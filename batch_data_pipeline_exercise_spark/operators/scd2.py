@@ -1,0 +1,145 @@
+"""SCD Type-2 operators — the reference's two flagship algorithms, Spark-first.
+
+Reference semantics (SURVEY.md §2.12):
+
+- M1 "snapshot merge": close current dim rows whose attributes differ from
+  today's full snapshot, insert changed+new rows with ``start_time = ts``
+  (reference ``examples/process_orders_sqls.py:28-51``).
+- M2 "event-log SCD2": derive per-key validity intervals from an event
+  stream — dedup duplicate deliveries, collapse consecutive same-value
+  events, chain each change to its successor's event time, sentinel-close
+  the last (reference ``process_orders_sqls.py:92-133``).
+
+Both are rewritten as deterministic, idempotent DataFrame rebuilds — there
+is no UPDATE on Parquet, and rebuild-from-history sidesteps the reference's
+cross-batch overlapping-interval quirk (SURVEY.md §2.12 M2 note).
+
+Scale notes: M2 is one window per key — a single hash shuffle on the key,
+linear in events, and skew-safe under AQE. M1 is one full-outer join on the
+key (snapshot side is a daily feed; dim side prunes to open rows only).
+The reference's rn-to-rn-1 self-join (J5) is replaced by ``F.lead``, which
+halves the shuffles.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from batch_data_pipeline_exercise_spark.functions.core import ts_lit
+from batch_data_pipeline_exercise_spark.schemas import SCD2_SENTINEL
+
+
+def scd2_from_events(
+    events: DataFrame,
+    key: str,
+    attr_cols: list[str],
+    time_col: str,
+    sentinel: str = SCD2_SENTINEL,
+    extra_cols: list[str] | None = None,
+    collapse_consecutive: bool = True,
+) -> DataFrame:
+    """Validity intervals from a full event log (M2, rebuild style).
+
+    Steps (all within one ``Window.partitionBy(key).orderBy(time_col)``
+    shuffle):
+
+    1. drop duplicate deliveries — ``(key, time)`` is the uniqueness
+       contract (reference README.md:41);
+    2. collapse consecutive same-attribute events, keeping the first of
+       each run (reference's W2, ``process_orders_sqls.py:107-115``) —
+       done null-safely via lag over an attr struct;
+    3. ``lead(time)`` is the successor's start → this row's ``end_time``,
+       sentinel for the open row (replaces the reference's rn = rn-1
+       self-join J5).
+
+    Returns columns: key, attrs, extra_cols, ``start_time``, ``end_time``.
+    """
+    w = Window.partitionBy(key).orderBy(time_col)
+    attrs = F.struct(*[F.col(c) for c in attr_cols])
+    keep = [key, *attr_cols, *(extra_cols or []), time_col]
+
+    df = events.select(*dict.fromkeys(keep)).dropDuplicates([key, time_col])
+    if collapse_consecutive:
+        df = (
+            df.withColumn("__prev", F.lag(attrs).over(w))
+            .filter(F.col("__prev").isNull() | ~attrs.eqNullSafe(F.col("__prev")))
+            .drop("__prev")
+        )
+    df = df.withColumn("start_time", F.col(time_col)).withColumn(
+        "end_time",
+        F.coalesce(F.lead(time_col).over(w), F.lit(sentinel).cast("timestamp")),
+    )
+    if time_col not in (extra_cols or []):
+        df = df.drop(time_col)
+    return df
+
+
+def scd2_snapshot_merge(
+    dim: DataFrame | None,
+    snapshot: DataFrame,
+    key: str,
+    attr_cols: list[str],
+    ts: datetime | str,
+    sentinel: str = SCD2_SENTINEL,
+) -> DataFrame:
+    """Merge a full daily snapshot into an SCD2 dimension (M1).
+
+    Classification via one full-outer join of the dim's *open* slice with
+    the snapshot on the key (closed history rows pass through untouched):
+
+    - unchanged (attrs equal, null-safely)      → keep open row
+    - changed                                   → close old row at ``ts``,
+                                                  open new row [ts, sentinel)
+    - dim-only (product vanished from snapshot) → keep open row (reference
+                                                  behavior: never closes)
+    - snapshot-only (brand new)                 → open new row [ts, sentinel)
+
+    ``snapshot`` must carry the key + attr_cols (+ ``processed_time`` if
+    present, which is propagated). ``dim`` may be ``None`` on the first run.
+    """
+    t = ts_lit(ts)
+    sent = F.lit(sentinel).cast("timestamp")
+    snap_cols = snapshot.columns
+
+    new_rows_from = lambda df: df.select(  # noqa: E731
+        *[F.col(f"s.{c}").alias(c) for c in snap_cols],
+        t.alias("start_time"),
+        sent.alias("end_time"),
+    )
+
+    if dim is None:
+        return new_rows_from(snapshot.alias("s"))
+
+    closed = dim.filter(F.col("end_time") != sent)
+    open_rows = dim.filter(F.col("end_time") == sent)
+
+    j = open_rows.alias("d").join(snapshot.alias("s"), on=F.col(f"d.{key}") == F.col(f"s.{key}"), how="full_outer")
+
+    changed_pred = F.lit(False)
+    for c in attr_cols:
+        changed_pred = changed_pred | ~F.col(f"d.{c}").eqNullSafe(F.col(f"s.{c}"))
+
+    dim_cols = dim.columns
+    keep_open = j.filter(F.col(f"s.{key}").isNull() | (F.col(f"d.{key}").isNotNull() & ~changed_pred)).select(
+        *[F.col(f"d.{c}").alias(c) for c in dim_cols]
+    )
+    close_old = j.filter(F.col(f"d.{key}").isNotNull() & F.col(f"s.{key}").isNotNull() & changed_pred).select(
+        *[F.col(f"d.{c}").alias(c) for c in dim_cols if c != "end_time"],
+        t.alias("end_time"),
+    ).select(*dim_cols)
+    open_new = new_rows_from(
+        j.filter(F.col(f"s.{key}").isNotNull() & (F.col(f"d.{key}").isNull() | changed_pred)).select(
+            *[F.col(f"s.{c}").alias(c) for c in snap_cols]
+        ).alias("s")
+    )
+
+    return closed.unionByName(keep_open).unionByName(close_old).unionByName(open_new.select(*dim_cols))
+
+
+def current_slice(dim: DataFrame, at: datetime | str, start: str = "start_time", end: str = "end_time") -> DataFrame:
+    """Rows valid at ``at`` — the point-in-time filter P3."""
+    t = ts_lit(at)
+    return dim.filter((t >= F.col(start)) & (t < F.col(end)))

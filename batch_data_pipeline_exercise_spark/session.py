@@ -1,0 +1,65 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference delegates all execution to PostgreSQL 13; here the equivalent
+"engine config" is the SparkSession. Defaults are tuned so the same code
+runs correctly on ``local[32]`` for tests and would behave on a large
+cluster: AQE on (runtime shuffle coalescing + skew-join splitting), UTC
+session timezone (the reference's Postgres ``timestamp`` is zone-naive —
+SURVEY.md §7 hard-point (e)), and Arrow enabled for the Pandas-UDF
+extension operators.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Number of local cores; overridable the same way bench.py is driven.
+_DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "*")
+
+
+def get_spark(
+    app_name: str = "batch-data-pipeline-exercise-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) a SparkSession with the engine's defaults.
+
+    On a real cluster ``master``/resources come from spark-submit; every
+    setting here is advisory and safe at any scale:
+
+    - AQE coalesces post-shuffle partitions, so a generous static
+      ``spark.sql.shuffle.partitions`` is fine at small SF and right at
+      large SF.
+    - ``autoBroadcastJoinThreshold`` stays at default (10 MB); small dims
+      (dim_dates is 29k rows) broadcast automatically, and we add explicit
+      ``F.broadcast`` hints on known-small sides anyway.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{_DEFAULT_CPUS}]")
+
+    conf = {
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.shuffle.partitions": str(shuffle_partitions or 32),
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # ANSI off: the reference's Postgres pipeline tolerates bad casts by
+        # producing NULLs at staging; we match that ingestion semantics.
+        "spark.sql.ansi.enabled": "false",
+        "spark.sql.parquet.compression.codec": "snappy",
+        # 128 MB split target — the right granularity for TB-scale scans.
+        "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+        "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,69 @@
+"""Parquet-backed warehouse layers (raw → stg → dim/fact → metrics).
+
+The reference's warehouse is Postgres tables with UNIQUE constraints and
+truncate-reload staging (``process_orders_sqls.py:12,64``). On Parquet
+there are no constraints and no UPDATE, so the layer contract is:
+
+- staging: ``overwrite`` per batch (truncate-reload equivalent),
+- dimensions: deterministic rebuild + atomic overwrite (SCD2, see
+  ``operators/scd2.py``),
+- facts: append with anti-join idempotency (``operators/facts.py``).
+
+Writes go through a temp-dir + rename-free overwrite (Spark's dynamic
+overwrite handles atomicity at the partition level); fact tables are
+partitioned by date for pruning at scale.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class Warehouse:
+    """Thin path registry + IO helper for the Parquet warehouse."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    def path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def exists(self, table: str) -> bool:
+        from batch_data_pipeline_exercise_spark.sources.csv_feed import feed_exists
+
+        return feed_exists(self.spark, os.path.join(self.path(table), "*.parquet")) or feed_exists(
+            self.spark, os.path.join(self.path(table), "_SUCCESS")
+        )
+
+    def read(self, table: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(table))
+
+    def overwrite(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> None:
+        """Overwrite via temp-dir + rename.
+
+        SCD2 rebuilds read the current dim and replace it; writing straight
+        back to the source path would fail ("cannot overwrite a path that
+        is also being read from") or corrupt it mid-job. Writing to
+        ``<path>__tmp`` and renaming makes the swap safe and near-atomic.
+        """
+        target, tmp = self.path(table), self.path(table) + "__tmp"
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(tmp)
+        jvm = self.spark.sparkContext._jvm  # type: ignore[union-attr]
+        conf = self.spark.sparkContext._jsc.hadoopConfiguration()  # type: ignore[union-attr]
+        fs = jvm.org.apache.hadoop.fs.Path(target).getFileSystem(conf)
+        tpath = jvm.org.apache.hadoop.fs.Path(target)
+        if fs.exists(tpath):
+            fs.delete(tpath, True)
+        fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), tpath)
+
+    def append(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> None:
+        w = df.write.mode("append")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self.path(table))

@@ -1,0 +1,21 @@
+from __future__ import annotations
+
+import pytest
+
+from batch_data_pipeline_exercise_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    spark = get_spark(
+        app_name="bdpe-spark-tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={"spark.ui.enabled": "false", "spark.driver.memory": "4g"},
+    )
+    yield spark
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return "/root/testdata/sf0.001"

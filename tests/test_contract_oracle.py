@@ -1,0 +1,69 @@
+"""Local differential harness mirroring the driver's t2 gate.
+
+Runs every contract query in Spark AND its oracle SQL in DuckDB on the
+same parquet tables (sf0.001 for speed), then compares row count, column
+names, and the full order-insensitive multiset of values — a strictly
+stronger check than the driver's hash compare.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from batch_data_pipeline_exercise_spark.plans import contract
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def canon(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)  # exact double repr — bit-identical or bust
+    return v
+
+
+def to_rowset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted([tuple(canon(r[i]) for i in order) for r in rows], key=repr)
+
+
+@pytest.mark.parametrize("name", [n for n, q in contract.REGISTRY.items() if q.oracle])
+def test_query_matches_oracle(spark, sf_dir, name):
+    q = contract.REGISTRY[name]
+    sdf = q.fn(spark, sf_dir)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_cols = sdf.columns
+
+    con = duck_con(sf_dir)
+    res = con.execute(q.oracle)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    con.close()
+
+    assert sorted(spark_cols) == sorted(duck_cols), f"{name}: column mismatch"
+    assert len(spark_rows) == len(duck_rows), f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    srs, drs = to_rowset(spark_cols, spark_rows), to_rowset(duck_cols, duck_rows)
+    mismatches = [(a, b) for a, b in zip(srs, drs) if a != b]
+    assert not mismatches, f"{name}: first value mismatches: {mismatches[:3]}"
