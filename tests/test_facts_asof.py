@@ -1,0 +1,97 @@
+"""Idempotent fact append (M3) + as-of join operator tests."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from batch_data_pipeline_exercise_spark.operators.asof import as_of_join
+from batch_data_pipeline_exercise_spark.operators.facts import (
+    earliest_per_key,
+    idempotent_append_rows,
+)
+
+
+def test_earliest_per_key(spark):
+    df = spark.createDataFrame(
+        [
+            ("o1", dt.datetime(2021, 1, 2), "completed"),
+            ("o1", dt.datetime(2021, 1, 1), "created"),
+            ("o2", dt.datetime(2021, 1, 3), "created"),
+        ],
+        "id string, t timestamp, status string",
+    )
+    out = {r["id"]: r for r in earliest_per_key(df, "id", ["t"]).collect()}
+    assert out["o1"]["status"] == "created" and len(out) == 2
+
+
+def test_idempotent_append(spark):
+    cands = spark.createDataFrame(
+        [("o1", dt.datetime(2021, 1, 1)), ("o1", dt.datetime(2021, 1, 2)), ("o2", dt.datetime(2021, 1, 3))],
+        "id string, t timestamp",
+    )
+    first = idempotent_append_rows(None, cands, "id", ["t"])
+    assert first.count() == 2
+    # re-running against the appended fact adds nothing
+    again = idempotent_append_rows(first, cands, "id", ["t"])
+    assert again.count() == 0
+    # a new candidate key still lands
+    more = cands.union(spark.createDataFrame([("o3", dt.datetime(2021, 1, 4))], "id string, t timestamp"))
+    assert idempotent_append_rows(first, more, "id", ["t"]).count() == 1
+
+
+def test_as_of_join_basic_and_ties(spark):
+    left = spark.createDataFrame(
+        [
+            ("u1", dt.datetime(2021, 1, 10), "L1"),
+            ("u1", dt.datetime(2021, 1, 1), "L2"),   # before any right row
+            ("u2", dt.datetime(2021, 1, 5), "L3"),
+        ],
+        "k string, lt timestamp, lbl string",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", dt.datetime(2021, 1, 5), 1, "a"),
+            ("u1", dt.datetime(2021, 1, 8), 2, "b"),
+            ("u1", dt.datetime(2021, 1, 8), 3, "c"),  # tie: greater id wins
+            ("u2", dt.datetime(2021, 1, 5), 4, "d"),  # equal ts: inclusive match
+        ],
+        "k string, rt timestamp, rid int, rv string",
+    )
+    out = {
+        r["lbl"]: r
+        for r in as_of_join(left, right, on="k", left_ts="lt", right_ts="rt", tie_break="rid").collect()
+    }
+    assert out["L1"]["rv"] == "c" and out["L1"]["rid"] == 3
+    assert out["L2"]["rv"] is None
+    assert out["L3"]["rv"] == "d"  # inclusive (<=)
+
+    strict = {
+        r["lbl"]: r
+        for r in as_of_join(left, right, on="k", left_ts="lt", right_ts="rt", tie_break="rid", strict=True).collect()
+    }
+    assert strict["L3"]["rv"] is None  # strict (<) excludes the equal-ts row
+
+
+def test_as_of_join_matches_naive_range_join(spark):
+    """Cross-check the linear algorithm against the quadratic definition on
+    a random batch."""
+    import random
+
+    rng = random.Random(7)
+    lrows = [(f"k{rng.randint(0, 20)}", dt.datetime(2021, 1, 1) + dt.timedelta(minutes=rng.randint(0, 5000)), i) for i in range(300)]
+    rrows = [(f"k{rng.randint(0, 20)}", dt.datetime(2021, 1, 1) + dt.timedelta(minutes=rng.randint(0, 5000)), i) for i in range(300)]
+    left = spark.createDataFrame(lrows, "k string, lt timestamp, lid int")
+    right = spark.createDataFrame(rrows, "k string, rt timestamp, rid int")
+
+    fast = as_of_join(left, right, on="k", left_ts="lt", right_ts="rt", tie_break="rid")
+    fast_map = {r["lid"]: r["rid"] for r in fast.collect()}
+
+    naive = (
+        left.join(right, (left.k == right.k) & (right.rt <= left.lt), "left")
+        .groupBy("lid")
+        .agg(F.max_by("rid", F.struct("rt", "rid")).alias("rid"))
+    )
+    naive_map = {r["lid"]: r["rid"] for r in naive.collect()}
+    assert fast_map == naive_map
