@@ -1,0 +1,139 @@
+"""Pipeline runner — the engine's replacement for the reference's Airflow
+DAGs.
+
+Task graph mirrored from reference ``examples/process_orders.py:54-131``
+(sensor → normalize → DDL → load → dim/fact transforms, fan-out at
+``:115``) and ``create_dim_dates.py``, re-expressed as plain function
+composition: Spark's lazy DAG already provides intra-job ordering, so the
+"orchestrator" is just sequencing + idempotent writes (SURVEY.md §2.11).
+
+Layer contract per run(ds, ts):
+
+- ``stg_*``: truncate-reload (overwrite) — reference ``:12,64``;
+- ``events_orders`` bronze: append-once event log (dedup on (id, time)),
+  the substrate for deterministic dim_orders rebuilds;
+- ``dim_products``: SCD2 snapshot merge (M1);
+- ``dim_orders``: SCD2 rebuild from the full bronze log (M2, rebuild
+  style — idempotent by construction, avoids the reference's cross-batch
+  overlap quirk);
+- ``fact_orders_created``: anti-join idempotent append (M3);
+- ``fact_inventory``: append-once changed-only snapshots.
+
+Re-running any stage with the same (ds, ts) is a no-op (tested).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from batch_data_pipeline_exercise_spark import schemas
+from batch_data_pipeline_exercise_spark.operators.facts import idempotent_append_rows
+from batch_data_pipeline_exercise_spark.operators.scd2 import scd2_from_events, scd2_snapshot_merge
+from batch_data_pipeline_exercise_spark.plans.dates import build_dim_dates
+from batch_data_pipeline_exercise_spark.sources.csv_feed import read_csv_feed
+from batch_data_pipeline_exercise_spark.sources.warehouse import Warehouse
+
+
+class Pipeline:
+    def __init__(self, spark: SparkSession, warehouse_root: str):
+        self.spark = spark
+        self.wh = Warehouse(spark, warehouse_root)
+
+    # -- dim_dates (reference create_dim_dates.py) --------------------------
+
+    def init_dates(self) -> None:
+        if not self.wh.exists("dim_dates"):
+            self.wh.overwrite(build_dim_dates(self.spark), "dim_dates")
+
+    # -- products feed (reference process_orders.py:23-68) ------------------
+
+    def run_products(self, csv_path: str, ts: datetime | str) -> None:
+        stg = read_csv_feed(self.spark, csv_path, schemas.PRODUCTS_FEED, ts)
+        self.wh.overwrite(stg, "stg_products")
+
+        dim_prev = self.wh.read("dim_products") if self.wh.exists("dim_products") else None
+        dim = scd2_snapshot_merge(
+            dim_prev,
+            self.wh.read("stg_products"),
+            key="id",
+            attr_cols=["title", "category", "price"],
+            ts=ts,
+        )
+        self.wh.overwrite(dim, "dim_products")
+
+    # -- order events feed (reference process_orders.py:71-131) -------------
+
+    def run_orders(self, csv_path: str, ts: datetime | str) -> None:
+        stg = read_csv_feed(
+            self.spark,
+            csv_path,
+            schemas.ORDER_EVENTS_FEED,
+            ts,
+            renames={
+                "productId": "product_id",
+                "totalPrice": "total_price",
+                "timestamp": "event_time",
+            },
+        )
+        self.wh.overwrite(stg, "stg_orders")
+        stg = self.wh.read("stg_orders")
+
+        # bronze event log: append only events not already present
+        prev_log = self.wh.read("events_orders") if self.wh.exists("events_orders") else None
+        fresh = stg.dropDuplicates(["id", "event_time"])
+        if prev_log is not None:
+            fresh = fresh.join(prev_log.select("id", "event_time"), ["id", "event_time"], "left_anti")
+            self.wh.append(fresh, "events_orders")
+        else:
+            self.wh.overwrite(fresh, "events_orders")
+
+        # dim_orders: deterministic rebuild from the full log (M2)
+        log = self.wh.read("events_orders")
+        dim = scd2_from_events(
+            log.withColumnRenamed("id", "order_id"),
+            key="order_id",
+            attr_cols=["status"],
+            time_col="event_time",
+            extra_cols=["processed_time", "event_time"],
+        ).select("order_id", "status", "event_time", "processed_time", "start_time", "end_time")
+        self.wh.overwrite(dim, "dim_orders")
+
+        # fact_orders_created: earliest event per order wins (M3)
+        dates = self.wh.read("dim_dates")
+        candidates = (
+            stg.join(F.broadcast(dates), F.to_date(stg.event_time) == dates.datum)
+            .select(
+                stg.id.alias("order_id"),
+                "product_id",
+                dates.id.alias("created_date_id"),
+                F.col("event_time").alias("created_time"),
+                "amount",
+                "total_price",
+                "processed_time",
+            )
+        )
+        existing = self.wh.read("fact_orders_created") if self.wh.exists("fact_orders_created") else None
+        rows = idempotent_append_rows(existing, candidates, key="order_id", order_cols=["created_time"])
+        if existing is not None:
+            self.wh.append(rows, "fact_orders_created")
+        else:
+            self.wh.overwrite(rows, "fact_orders_created")
+
+    # -- inventory feed (reference README.md:55-61) -------------------------
+
+    def run_inventory(self, csv_path: str, ts: datetime | str) -> None:
+        stg = read_csv_feed(
+            self.spark, csv_path, schemas.INVENTORY_FEED, ts, renames={"productId": "product_id"}
+        ).withColumnRenamed("date", "snapshot_date")
+        existing = self.wh.read("fact_inventory") if self.wh.exists("fact_inventory") else None
+        fresh = stg.dropDuplicates(["product_id", "snapshot_date"])
+        if existing is not None:
+            fresh = fresh.join(
+                existing.select("product_id", "snapshot_date"), ["product_id", "snapshot_date"], "left_anti"
+            )
+            self.wh.append(fresh, "fact_inventory")
+        else:
+            self.wh.overwrite(fresh, "fact_inventory")

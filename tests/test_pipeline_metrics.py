@@ -1,0 +1,110 @@
+"""End-to-end pipeline run on golden fixtures + all seven reference metrics,
+with hand-computed expected values, plus idempotent re-run checks."""
+
+from __future__ import annotations
+
+import datetime as dt
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from batch_data_pipeline_exercise_spark.plans import metrics
+from batch_data_pipeline_exercise_spark.plans.inventory import forward_fill_daily
+from batch_data_pipeline_exercise_spark.plans.pipeline import Pipeline
+
+FIX = "tests/fixtures"
+AS_OF = "2021-03-02 12:00:00"
+
+
+@pytest.fixture(scope="module")
+def wh(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("warehouse"))
+    p = Pipeline(spark, root)
+    p.init_dates()
+    p.run_products(f"{FIX}/products_2021-03-01.csv", ts="2021-03-01 01:00:00")
+    p.run_inventory(f"{FIX}/inventory_2021-03-01.csv", ts="2021-03-01 01:00:00")
+    p.run_products(f"{FIX}/products_2021-03-02.csv", ts="2021-03-02 01:00:00")
+    p.run_orders(f"{FIX}/orders_2021-03-02.csv", ts="2021-03-02 01:00:00")
+    p.run_inventory(f"{FIX}/inventory_2021-03-03.csv", ts="2021-03-03 01:00:00")
+    return p
+
+
+def test_metric1_current_status(wh):
+    out = {r["status"]: r["order_count"] for r in metrics.current_orders_by_status(wh.wh.read("dim_orders"), AS_OF).collect()}
+    assert out == {"completed": 2, "created": 2, "deleted": 1}
+
+
+def test_metric2_orders_per_quarter(wh):
+    out = {(r["year"], r["quarter"]): r["order_count"] for r in metrics.orders_created_per_quarter(wh.wh.read("fact_orders_created"), wh.wh.read("dim_dates")).collect()}
+    assert out == {(2019, 4): 1, (2021, 1): 4}
+
+
+def test_metric3_per_quarter_category(wh):
+    out = {
+        (r["year"], r["quarter"], r["category"]): r["order_count"]
+        for r in metrics.orders_created_per_quarter_category(
+            wh.wh.read("fact_orders_created"), wh.wh.read("dim_products"), wh.wh.read("dim_dates")
+        ).collect()
+    }
+    # o3 (dangling p9) and o5 (created before dim history) drop — reference
+    # inner-join semantics; o1 matches the *pre-change* category 'tools'.
+    assert out == {(2021, 1, "tools"): 1, (2021, 1, "gadgets"): 1, (2021, 1, "accessories"): 1}
+
+
+def test_metric4_retained(wh):
+    out = metrics.retained_orders(wh.wh.read("fact_orders_created"), wh.wh.read("dim_orders"), AS_OF).collect()
+    assert out[0]["order_count"] == 1  # o5 (o3 completed)
+
+
+def test_metric5_monthly_not_completed(wh):
+    out = {r["month"]: (r["orders_created"], r["not_completed"]) for r in metrics.monthly_created_not_completed(wh.wh.read("fact_orders_created"), wh.wh.read("dim_orders")).collect()}
+    assert out == {"2019-12": (1, 1), "2021-02": (1, 0), "2021-03": (3, 2)}
+
+
+def test_metric6_daily_stock(wh):
+    daily = forward_fill_daily(
+        wh.wh.read("fact_inventory").select("product_id", F.col("snapshot_date").alias("date"), "amount"),
+        horizon="2021-03-04",
+    )
+    out = {
+        (str(r["date"]), r["category"]): r["total_stock"]
+        for r in metrics.daily_stock_by_category(daily, wh.wh.read("dim_products"), "2021-03-01", "2021-03-04").collect()
+    }
+    # day 1: p1 still 'tools'; day 2 onward: 'hardware' (SCD2 point-in-time)
+    assert out[("2021-03-01", "tools")] == Decimal("10.00")
+    assert out[("2021-03-02", "hardware")] == Decimal("10.00")
+    assert out[("2021-03-03", "hardware")] == Decimal("8.00")  # snapshot change
+    assert out[("2021-03-04", "hardware")] == Decimal("8.00")  # forward-filled
+    assert out[("2021-03-01", "accessories")] == Decimal("0.00")  # zero stock is a row
+    assert out[("2021-03-03", "surprise")] == Decimal("5.00")  # p4 appears
+    assert ("2021-03-01", "surprise") not in out  # not before first snapshot
+
+
+def test_metric7_month_end_stock(wh):
+    daily = forward_fill_daily(
+        wh.wh.read("fact_inventory").select("product_id", F.col("snapshot_date").alias("date"), "amount"),
+        horizon="2021-03-31",
+    )
+    out = {
+        (str(r["date"]), r["category"]): r["total_stock"]
+        for r in metrics.month_end_stock_by_category(
+            daily, wh.wh.read("dim_products"), wh.wh.read("dim_dates"), "2021-03-01", "2021-03-31"
+        ).collect()
+    }
+    assert out[("2021-03-31", "hardware")] == Decimal("8.00")
+    assert all(d == "2021-03-31" for d, _ in out)  # only month ends survive
+
+
+def test_rerun_is_noop(wh):
+    dim_before = sorted(map(tuple, wh.wh.read("dim_products").collect()), key=repr)
+    fact_before = sorted(map(tuple, wh.wh.read("fact_orders_created").collect()), key=repr)
+    inv_before = sorted(map(tuple, wh.wh.read("fact_inventory").collect()), key=repr)
+
+    wh.run_products(f"{FIX}/products_2021-03-02.csv", ts="2021-03-02 01:00:00")
+    wh.run_orders(f"{FIX}/orders_2021-03-02.csv", ts="2021-03-02 01:00:00")
+    wh.run_inventory(f"{FIX}/inventory_2021-03-03.csv", ts="2021-03-03 01:00:00")
+
+    assert sorted(map(tuple, wh.wh.read("dim_products").collect()), key=repr) == dim_before
+    assert sorted(map(tuple, wh.wh.read("fact_orders_created").collect()), key=repr) == fact_before
+    assert sorted(map(tuple, wh.wh.read("fact_inventory").collect()), key=repr) == inv_before
