@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from batch_data_pipeline_exercise_spark.plans import contract
+from batch_data_pipeline_exercise_spark.plans import contract_ext  # noqa: F401 — registers extension queries
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,227 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+The LLM-training-data surface (BASELINE.json north star). Design rules:
+
+- everything is built-in-function DataFrame ops — explode/groupBy/join —
+  so each stage is one shuffle and scales linearly;
+- hashes that feed ORACLE-checked outputs are md5-derived (identical hex
+  across engines); Spark-private xxhash64 is reserved for
+  engine-internal fast paths;
+- MinHash trick: a shingle's i-th hash is ``substr(md5(i ∥ shingle), 1, 16)``
+  and the signature component is the lexicographic MIN — fixed-width
+  lowercase hex compares exactly like the underlying 64-bit integer, so
+  "min of hex strings" is a valid minhash in any engine.
+
+Pipeline shape (minhash_near_dups):
+  shingle explode → per-doc k mins (ONE groupBy) → band keys → bucket
+  self-join (only within equal (band, key) buckets) → exact-Jaccard verify
+  on candidates only. At 100 TB the bucket join is the pinch point — band
+  keys are high-entropy md5s, so buckets stay small unless docs really
+  collide; AQE skew-join covers the pathological all-identical case.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from batch_data_pipeline_exercise_spark.operators.text import tokenize
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text", normalized: bool = True) -> DataFrame:
+    """Keep the lowest-id representative per identical text (md5 keyed;
+    whitespace/case-normalized by default). Output: all columns of the
+    kept rows plus ``dup_count``."""
+    t = F.col(text_col)
+    key = F.md5(F.regexp_replace(F.lower(F.trim(t)), "\\s+", " ") if normalized else t)
+    keyed = df.withColumn("__key", key)
+    keep = keyed.groupBy("__key").agg(
+        F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count")
+    )
+    return (
+        keep.join(keyed.drop("dup_count", "__key").withColumnRenamed(id_col, "__id"), keep[id_col] == F.col("__id"))
+        .drop("__id", "__key")
+    )
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles, exploded to (id, shingle) rows."""
+    toks = tokenize(text_col)
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(shingles).alias("shingle"))
+        .filter(F.length("shingle") > 0)
+        .distinct()
+    )
+
+
+def _minhash_component(i: int) -> Column:
+    return F.min(F.substring(F.md5(F.concat_ws("§", F.lit(str(i)), F.col("shingle"))), 1, 16)).alias(f"h{i}")
+
+
+def minhash_signatures(shingles: DataFrame, k: int = 32) -> DataFrame:
+    """(id, sig: array<string>[k]) — one explode-side groupBy, k min-aggs."""
+    aggs = [_minhash_component(i) for i in range(k)]
+    sig = shingles.groupBy("id").agg(*aggs)
+    return sig.select("id", F.array(*[F.col(f"h{i}") for i in range(k)]).alias("sig"))
+
+
+def lsh_band_keys(signatures: DataFrame, bands: int, rows: int) -> DataFrame:
+    """Explode each signature into ``bands`` bucket keys of ``rows``
+    components each: (id, band, band_key)."""
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("", *[F.col("sig").getItem(b * rows + r) for r in range(rows)])).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return signatures.select("id", F.explode(pairs).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
+
+
+def lsh_candidate_pairs(band_keys: DataFrame) -> DataFrame:
+    """Distinct (id1 < id2) pairs sharing at least one LSH bucket."""
+    a, b = band_keys.alias("a"), band_keys.alias("b")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .distinct()
+    )
+
+
+def exact_jaccard(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
+    """True Jaccard for given pairs via two equi joins on (id, shingle) —
+    computed ONLY for candidates, not all pairs."""
+    counts = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = shingles.alias("a"), shingles.alias("b")
+    inter = (
+        pairs.join(a, pairs.id1 == F.col("a.id"))
+        .join(b, (pairs.id2 == F.col("b.id")) & (F.col("a.shingle") == F.col("b.shingle")))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        pairs.join(inter, ["id1", "id2"], "left")
+        .na.fill({"n_inter": 0})
+        .join(counts.withColumnRenamed("id", "id1").withColumnRenamed("n_sh", "n1"), "id1")
+        .join(counts.withColumnRenamed("id", "id2").withColumnRenamed("n_sh", "n2"), "id2")
+        .select(
+            "id1",
+            "id2",
+            (F.col("n_inter") / (F.col("n1") + F.col("n2") - F.col("n_inter"))).alias("jaccard"),
+        )
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: returns (id1, id2, jaccard)
+    pairs with verified ``jaccard >= threshold``. k = bands × rows."""
+    assert k % bands == 0
+    sh = word_shingles(df, id_col, text_col, n)
+    sig = minhash_signatures(sh, k)
+    cand = lsh_candidate_pairs(lsh_band_keys(sig, bands, k // bands))
+    return exact_jaccard(cand, sh).filter(F.col("jaccard") >= threshold)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str = "text", n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard via shingle equi-join. Quadratic in
+    docs sharing a shingle — correct at any size but meant for
+    verification / small corpora; use minhash_near_dups at scale."""
+    sh = word_shingles(df, id_col, text_col, n)
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .distinct()
+    )
+    return exact_jaccard(pairs, sh).filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def _hex_digit_val(hexstr: Column, pos: int) -> Column:
+    """Value 0-15 of the pos-th (1-based) hex char — portable string op."""
+    return (F.instr(F.lit("0123456789abcdef"), F.substring(hexstr, pos, 1)) - 1).cast("int")
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash from distinct word tokens, emitted as two unsigned
+    32-bit halves (simhash_hi, simhash_lo) to dodge sign-bit drift.
+
+    Per token: 64 bits from the first 16 hex chars of md5(token). Per doc
+    and bit: majority vote (+1/-1 sum ≥ 0 → 1). All md5/substring
+    arithmetic → bit-identical in an SQL oracle.
+    """
+    toks = df.select(F.col(id_col).alias("id"), F.explode(tokenize(text_col)).alias("tok")).filter(
+        F.length("tok") > 0
+    ).distinct()
+    h = F.md5(F.col("tok"))
+    bit_sums = []
+    for j in range(64):
+        digit = _hex_digit_val(h, 16 - j // 4)  # hex char holding bit j
+        bit = F.shiftright(digit, j % 4).bitwiseAND(F.lit(1))
+        bit_sums.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"b{j}"))
+    per_doc = toks.groupBy("id").agg(*bit_sums)
+    lo = sum(
+        (F.when(F.col(f"b{j}") >= 0, F.lit(2 ** j)).otherwise(F.lit(0)) for j in range(32)),
+        F.lit(0).cast("bigint"),
+    )
+    hi = sum(
+        (F.when(F.col(f"b{j + 32}") >= 0, F.lit(2 ** j)).otherwise(F.lit(0)) for j in range(32)),
+        F.lit(0).cast("bigint"),
+    )
+    return per_doc.select("id", hi.cast("bigint").alias("simhash_hi"), lo.cast("bigint").alias("simhash_lo"))
+
+
+def simhash_near_dups(df: DataFrame, id_col: str, text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+    """Near-dups by SimHash: band the 64 bits into four 16-bit chunks
+    (pigeonhole: hamming ≤ 3 ⇒ ≥1 identical chunk), bucket-join on chunk
+    equality, verify with bit_count(xor) over both halves."""
+    s = simhash(df, id_col, text_col)
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftright(F.col("simhash_hi" if c >= 2 else "simhash_lo"), (c % 2) * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("ckey"),
+            )
+            for c in range(4)
+        ]
+    )
+    banded = s.select("id", "simhash_hi", "simhash_lo", F.explode(chunks).alias("c")).select(
+        "id", "simhash_hi", "simhash_lo", F.col("c.chunk").alias("chunk"), F.col("c.ckey").alias("ckey")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("a.simhash_hi").bitwiseXOR(F.col("b.simhash_hi"))) + F.bit_count(
+        F.col("a.simhash_lo").bitwiseXOR(F.col("b.simhash_lo"))
+    )
+    return (
+        a.join(b, ["chunk", "ckey"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"), ham.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

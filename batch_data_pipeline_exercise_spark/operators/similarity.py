@@ -1,0 +1,142 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — exact, one broadcast join, linear
+scan; the JVM evaluates the dot product via ``zip_with``/``aggregate``
+(no Python in the loop). Scale path: LSH random-hyperplane bucketing —
+sign-bit sketches restrict candidate generation to equal buckets
+(tunable recall), turning the all-pairs O(n·q) scan into bucket-local
+work. Both are deterministic: hyperplanes come from a seeded generator
+and are baked into the plan as literals.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(v: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk_bruteforce(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine. Queries are broadcast
+    (the expected shape: few queries × huge corpus); ranking ties break on
+    neighbor id for determinism. Self-matches (same id) are excluded.
+
+    Output: (query_id, neighbor_id, rank, cosine).
+    """
+    e = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v"))
+    q = queries.select(F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("__q"))
+    scored = (
+        F.broadcast(q)
+        .join(e, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("__q").cast("array<double>"), F.col("__v").cast("array<double>")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes (Gaussian components, seeded)."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def with_lsh_bucket(
+    df: DataFrame, planes: list[list[float]], vec_col: str = "embedding", out_col: str = "bucket"
+) -> DataFrame:
+    """Sign-bit sketch: bucket = Σ (dot(v, plane_i) >= 0) << i. Pure
+    column expressions — the planes are plan literals, no UDF."""
+    v = F.col(vec_col).cast("array<double>")
+    bucket = F.lit(0).cast("bigint")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bucket = bucket + F.when(_dot(v, plane) >= 0, F.lit(2 ** i)).otherwise(F.lit(0))
+    return df.withColumn(out_col, bucket)
+
+
+def cosine_topk_lsh(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k: candidates limited to the query's LSH bucket.
+    Recall < 1 by design; expected bucket size is n/2^planes, so cost per
+    query drops exponentially with n_planes. Same output schema as the
+    brute-force variant."""
+    dim = len(embeddings.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_planes, seed)
+    e = with_lsh_bucket(
+        embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v")), planes, "__v", "eb"
+    )
+    q = with_lsh_bucket(
+        queries.select(F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("__q")), planes, "__q", "qb"
+    )
+    scored = (
+        F.broadcast(q)
+        .join(e, (F.col("qb") == F.col("eb")) & (F.col("query_id") != F.col("neighbor_id")))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("__q").cast("array<double>"), F.col("__v").cast("array<double>")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH bucket self-join (near
+    duplicates almost surely share all sign bits), verified by exact
+    cosine ≥ threshold. Output (id1, id2, cosine)."""
+    dim = len(embeddings.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_planes, seed)
+    b = with_lsh_bucket(embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v")), planes, "__v")
+    a, c = b.alias("a"), b.alias("b")
+    return (
+        a.join(c, "bucket")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            cosine(F.col("a.__v").cast("array<double>"), F.col("b.__v").cast("array<double>")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

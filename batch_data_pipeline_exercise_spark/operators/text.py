@@ -1,0 +1,124 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond-reference surface (BASELINE.json north star): language ID, quality
+scoring, token counting, document fingerprinting. All of it stays JVM-side
+(built-in ``pyspark.sql.functions`` — no Python UDFs in the hot path), so
+every operator here is a narrow projection that scales to 100 TB as a
+single pass over the text column.
+
+Cross-engine note: fingerprints use md5 (identical hex in Spark and
+DuckDB), not xxhash64 (Spark-private seed), so oracle queries can
+reproduce them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# A compact multilingual stopword table for the n-gram-heuristic language
+# scorer. Occurrence counts are substring-based (replace-count trick) so
+# the same logic is expressible in portable SQL.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of ", " is ", " a "],
+    "fr": [" le ", " la ", " et ", " les ", " des "],
+    "es": [" el ", " de ", " que ", " los ", " una "],
+    "de": [" der ", " die ", " und ", " das ", " ein "],
+}
+CJK_RANGE = "[\\u4e00-\\u9fff]"
+
+# BPE-ish tokenization: word pieces, digit runs, single non-space symbols.
+TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+ENGLISH_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are",
+    "was", "for", "on", "with", "as", "at", "by", "it", "this", "that",
+]
+
+
+def substring_count(text: Column, needle: str) -> Column:
+    """Occurrences of a literal substring: (len(s) - len(replace(s, m, ''))) / len(m).
+    Pure string ops → identical in any engine."""
+    return (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit("")))) / F.lit(len(needle))
+
+
+STAT_COLS = ["n_chars", "n_words", "n_tokens", "n_punct", "punct_ratio", "stopword_ratio", "avg_word_len"]
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / word / token / punctuation statistics, one projection.
+    Pre-existing columns with the same names are replaced (the documents
+    testdata table ships its own ``n_chars``)."""
+    df = df.drop(*[c for c in STAT_COLS if c in df.columns])
+    t = F.col(text_col)
+    padded = F.concat(F.lit(" "), F.lower(t), F.lit(" "))
+    n_words = F.size(F.split(F.trim(t), "\\s+"))
+    n_tokens = F.regexp_count(t, F.lit(TOKEN_PATTERN))
+    n_punct = F.regexp_count(t, F.lit("[.,;:!?'\"()\\[\\]{}-]"))
+    stop_hits = sum(
+        (substring_count(padded, f" {w} ") for w in ENGLISH_STOPWORDS), F.lit(0.0)
+    )
+    return df.select(
+        "*",
+        F.length(t).alias("n_chars"),
+        n_words.alias("n_words"),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        n_punct.cast("bigint").alias("n_punct"),
+        (n_punct / F.greatest(F.length(t), F.lit(1))).alias("punct_ratio"),
+        (stop_hits / F.greatest(n_words, F.lit(1))).alias("stopword_ratio"),
+        (F.length(F.regexp_replace(t, "\\s", "")) / F.greatest(n_words, F.lit(1))).alias("avg_word_len"),
+    )
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite [0,1] quality heuristic: length band + stopword presence +
+    sane punctuation + sane word length. Weights are arbitrary but fixed;
+    the point is a deterministic, filterable scalar."""
+    stats = with_text_stats(df, text_col) if "stopword_ratio" not in df.columns else df
+    len_score = F.least(F.col("n_chars") / F.lit(200.0), F.lit(1.0))
+    stop_score = F.least(F.col("stopword_ratio") * F.lit(4.0), F.lit(1.0))
+    punct_score = F.when(F.col("punct_ratio") <= 0.1, F.lit(1.0)).otherwise(
+        F.greatest(F.lit(0.0), F.lit(1.0) - (F.col("punct_ratio") - F.lit(0.1)) * F.lit(5.0))
+    )
+    wordlen_score = F.when((F.col("avg_word_len") >= 2) & (F.col("avg_word_len") <= 12), F.lit(1.0)).otherwise(F.lit(0.3))
+    # no rounding: the raw double is already deterministic (fixed operand
+    # order), and round() semantics differ subtly across engines
+    return stats.withColumn(
+        "quality_score",
+        len_score * F.lit(0.3) + stop_score * F.lit(0.3) + punct_score * F.lit(0.2) + wordlen_score * F.lit(0.2),
+    )
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """n-gram-heuristic language ID over the stopword marker table; CJK
+    character density short-circuits to 'zh'. Ties resolve by fixed
+    language order (en, fr, es, de) — deterministic by construction."""
+    t = F.col(text_col)
+    padded = F.concat(F.lit(" "), F.lower(t), F.lit(" "))
+    scores = {
+        lang: sum((substring_count(padded, m) for m in markers), F.lit(0.0))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    cjk = F.regexp_count(t, F.lit(CJK_RANGE))
+    best = F.lit("und")
+    best_score = F.lit(0.0)
+    # fixed iteration order; strict > keeps the earlier language on ties
+    for lang in ["en", "fr", "es", "de"]:
+        is_better = scores[lang] > best_score
+        best = F.when(is_better, F.lit(lang)).otherwise(best)
+        best_score = F.when(is_better, scores[lang]).otherwise(best_score)
+    lang_col = F.when(cjk * 2 > F.length(t) * 0.1, F.lit("zh")).otherwise(best)
+    return df.withColumn("lang_pred", lang_col)
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprints: full-content md5 plus a normalized
+    (case/whitespace-insensitive) md5 — the cheap exact-dup keys."""
+    t = F.col(text_col)
+    norm = F.regexp_replace(F.lower(F.trim(t)), "\\s+", " ")
+    return df.withColumn("fingerprint", F.md5(t)).withColumn("fingerprint_norm", F.md5(norm))
+
+
+def tokenize(text_col: str = "text") -> Column:
+    """Whitespace word tokens, lowercased — the substrate for shingling."""
+    return F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), "\\s+", " "), " ")

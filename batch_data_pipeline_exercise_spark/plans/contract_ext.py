@@ -1,0 +1,321 @@
+"""Driver-contract queries for the LLM-pipeline extension operators
+(dedup / similarity / text analysis) over the ``documents`` and
+``embeddings`` tables.
+
+Oracle construction notes (on top of the rules in ``contract.py``):
+
+- all content hashing is md5 (identical hex in both engines); the MinHash
+  "min of fixed-width hex strings ≡ min of 64-bit ints" trick makes
+  signatures exactly reproducible in SQL;
+- double-valued scores are built with IDENTICAL operand order on both
+  sides (the SQL is generated from the same Python lists as the Spark
+  expressions), so results match bit-for-bit;
+- similarity outputs are rank-only / id-only: DuckDB's
+  ``list_dot_product`` is a sequential fold, bit-identical to Spark's
+  ``aggregate`` fold (verified empirically), and the nearest pair sits
+  1.3e-4 from the 0.4 threshold — no boundary flakiness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from batch_data_pipeline_exercise_spark.operators import dedup, similarity, text
+from batch_data_pipeline_exercise_spark.plans.contract import load, register
+
+# ---------------------------------------------------------------------------
+# shared oracle SQL fragments (DuckDB)
+# ---------------------------------------------------------------------------
+
+_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_TOKS_CTE = f"toks AS (SELECT doc_id, text, string_split({_NORM}, ' ') AS tk FROM documents)"
+_SHINGLES_CTE = (
+    "sh AS (SELECT DISTINCT doc_id, s FROM toks, "
+    "UNNEST(list_transform(range(0, greatest(len(tk)-3, 0)+1), "
+    "i -> array_to_string(list_slice(tk, i+1, i+3), ' '))) AS u(s) "
+    "WHERE length(s) > 0)"
+)
+_TOK_CTE = "tok AS (SELECT DISTINCT doc_id, t FROM toks, UNNEST(tk) AS u(t) WHERE length(t) > 0)"
+
+
+def _sql_substring_count(padded: str, needle: str) -> str:
+    esc = needle.replace("'", "''")
+    return f"(length({padded}) - length(replace({padded}, '{esc}', ''))) / {len(needle)}"
+
+
+def _sql_marker_score(markers: list[str]) -> str:
+    expr = "0.0"
+    for m in markers:
+        expr += " + " + _sql_substring_count("pad", m)
+    return expr
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_dedup_exact",
+    oracle=f"""
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+    FROM (SELECT doc_id, md5({_NORM}) AS k FROM documents)
+    GROUP BY k
+    """,
+    doc="Exact dedup: lowest-id representative per normalized-content md5.",
+)
+def doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return dedup.exact_dedup(d, "doc_id").select("doc_id", "dup_count")
+
+
+@register(
+    "doc_minhash_signature",
+    oracle="WITH "
+    + _TOKS_CTE
+    + ", "
+    + _SHINGLES_CTE
+    + ", sig AS (SELECT doc_id, "
+    + ", ".join(f"MIN(substr(md5('{i}§' || s), 1, 16)) AS h{i}" for i in range(32))
+    + " FROM sh GROUP BY doc_id) SELECT doc_id, h0 AS sig_first, h31 AS sig_last, md5("
+    + " || ".join(f"h{i}" for i in range(32))
+    + ") AS sig_hash FROM sig",
+    doc="MinHash signatures (k=32) over word 3-shingles — md5-hex min trick, "
+    "exactly reproducible cross-engine.",
+    bench=True,
+)
+def doc_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(dedup.word_shingles(d, "doc_id"), k=32)
+    return sig.select(
+        F.col("id").alias("doc_id"),
+        F.col("sig").getItem(0).alias("sig_first"),
+        F.col("sig").getItem(31).alias("sig_last"),
+        F.md5(F.array_join("sig", "")).alias("sig_hash"),
+    )
+
+
+@register(
+    "doc_minhash_lsh_pairs",
+    oracle="WITH "
+    + _TOKS_CTE
+    + ", "
+    + _SHINGLES_CTE
+    + ", sig AS (SELECT doc_id, "
+    + ", ".join(f"MIN(substr(md5('{i}§' || s), 1, 16)) AS h{i}" for i in range(32))
+    + " FROM sh GROUP BY doc_id), bands AS ("
+    + " UNION ALL ".join(
+        "SELECT doc_id, %d AS band, md5(%s) AS band_key FROM sig"
+        % (b, " || ".join(f"h{b * 4 + r}" for r in range(4)))
+        for b in range(8)
+    )
+    + ") SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 FROM bands a JOIN bands b "
+    + "ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id",
+    doc="MinHash-LSH candidate pairs (8 bands × 4 rows) — docs sharing any "
+    "signature band. Empty on this corpus unless true near-dups exist, and "
+    "the oracle must agree it is empty.",
+)
+def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(dedup.word_shingles(d, "doc_id"), k=32)
+    cand = dedup.lsh_candidate_pairs(dedup.lsh_band_keys(sig, bands=8, rows=4))
+    return cand
+
+
+@register(
+    "doc_simhash",
+    oracle="WITH "
+    + _TOKS_CTE
+    + ", "
+    + _TOK_CTE
+    + ", bits AS (SELECT doc_id, md5(t) AS h FROM tok), per AS (SELECT doc_id, "
+    + ", ".join(
+        f"SUM(CASE WHEN ((strpos('0123456789abcdef', substr(h, {16 - j // 4}, 1)) - 1) >> {j % 4}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(64)
+    )
+    + " FROM bits GROUP BY doc_id) SELECT doc_id, "
+    + "0 + " + " + ".join(f"(CASE WHEN b{j + 32} >= 0 THEN {2 ** j} ELSE 0 END)" for j in range(32))
+    + " AS simhash_hi, "
+    + "0 + " + " + ".join(f"(CASE WHEN b{j} >= 0 THEN {2 ** j} ELSE 0 END)" for j in range(32))
+    + " AS simhash_lo FROM per",
+    doc="64-bit SimHash per document from md5 hex-digit bits, emitted as two "
+    "unsigned 32-bit halves.",
+)
+def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return dedup.simhash(d, "doc_id").select(F.col("id").alias("doc_id"), "simhash_hi", "simhash_lo")
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+_PUNCT_SQL = "'[.,;:!?''\"()\\[\\]{}-]'"
+_TOKEN_SQL = "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'"
+
+
+@register(
+    "doc_text_stats",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text, ' ' || lower(text) || ' ' AS pad,
+             len(string_split_regex(trim(text), '\\s+')) AS n_words,
+             len(regexp_extract_all(text, {_PUNCT_SQL})) AS n_punct
+      FROM documents
+    )
+    SELECT doc_id,
+           length(text) AS n_chars,
+           n_words,
+           CAST(len(regexp_extract_all(text, {_TOKEN_SQL})) AS BIGINT) AS n_tokens,
+           CAST(n_punct AS BIGINT) AS n_punct,
+           n_punct / greatest(length(text), 1) AS punct_ratio,
+           ({_sql_marker_score([f" {w} " for w in text.ENGLISH_STOPWORDS])}) / greatest(n_words, 1) AS stopword_ratio,
+           length(regexp_replace(text, '\\s', '', 'g')) / greatest(n_words, 1) AS avg_word_len
+    FROM base
+    """,
+    doc="Per-document length/word/token/punctuation/stopword statistics — "
+    "identical operand order both engines for bit-exact doubles.",
+    bench=True,
+)
+def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return text.with_text_stats(d).select(
+        "doc_id", "n_chars", "n_words", "n_tokens", "n_punct", "punct_ratio", "stopword_ratio", "avg_word_len"
+    )
+
+
+@register(
+    "doc_quality_score",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text, ' ' || lower(text) || ' ' AS pad,
+             len(string_split_regex(trim(text), '\\s+')) AS n_words,
+             len(regexp_extract_all(text, {_PUNCT_SQL})) AS n_punct
+      FROM documents
+    ), stats AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             n_punct / greatest(length(text), 1) AS punct_ratio,
+             ({_sql_marker_score([f" {w} " for w in text.ENGLISH_STOPWORDS])}) / greatest(n_words, 1) AS stopword_ratio,
+             length(regexp_replace(text, '\\s', '', 'g')) / greatest(n_words, 1) AS avg_word_len
+      FROM base
+    )
+    SELECT doc_id,
+           least(n_chars / 200.0, 1.0) * 0.3
+           + least(stopword_ratio * 4.0, 1.0) * 0.3
+           + (CASE WHEN punct_ratio <= 0.1 THEN 1.0
+                   ELSE greatest(0.0, 1.0 - (punct_ratio - 0.1) * 5.0) END) * 0.2
+           + (CASE WHEN avg_word_len >= 2 AND avg_word_len <= 12 THEN 1.0 ELSE 0.3 END) * 0.2
+           AS quality_score
+    FROM stats
+    """,
+    doc="Composite [0,1] quality heuristic (length/stopword/punct/word-length).",
+)
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return text.with_quality_score(d).select("doc_id", "quality_score")
+
+
+def _langid_oracle() -> str:
+    scores = {lang: _sql_marker_score(ms) for lang, ms in text.LANG_MARKERS.items()}
+    cjk = "len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]'))"
+    return f"""
+    WITH base AS (
+      SELECT doc_id, text, ' ' || lower(text) || ' ' AS pad FROM documents
+    ), scored AS (
+      SELECT doc_id, {cjk} AS cjk, length(text) AS n,
+             ({scores["en"]}) AS s_en, ({scores["fr"]}) AS s_fr,
+             ({scores["es"]}) AS s_es, ({scores["de"]}) AS s_de
+      FROM base
+    )
+    SELECT doc_id,
+           CASE WHEN cjk * 2 > n * 0.1 THEN 'zh'
+                WHEN s_en > 0 AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
+                WHEN s_fr > 0 AND s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+                WHEN s_es > 0 AND s_es >= s_de THEN 'es'
+                WHEN s_de > 0 THEN 'de'
+                ELSE 'und' END AS lang_pred
+    FROM scored
+    """
+
+
+@register(
+    "doc_lang_id",
+    oracle=_langid_oracle(),
+    doc="Stopword-marker language ID with CJK short-circuit; ties keep the "
+    "earlier language in fixed order (en, fr, es, de).",
+)
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return text.with_lang_id(d).select("doc_id", "lang_pred")
+
+
+@register(
+    "doc_fingerprints",
+    oracle=f"SELECT doc_id, md5(text) AS fingerprint, md5({_NORM}) AS fingerprint_norm FROM documents",
+    doc="Content + normalized-content md5 fingerprints.",
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return text.with_fingerprint(d).select("doc_id", "fingerprint", "fingerprint_norm")
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_cosine_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT query_id, e.vec_id AS neighbor_id,
+             list_dot_product(qv, v)
+             / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS c
+      FROM q JOIN e ON e.vec_id <> query_id
+    )
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+    doc="Brute-force cosine top-10 per query (queries = vec_id < 10); "
+    "rank-only output keeps the hash float-free.",
+    bench=True,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = similarity.cosine_topk_bruteforce(e, q, k=10)
+    return out.select("query_id", "neighbor_id", "rank")
+
+
+@register(
+    "embedding_near_dup_pairs",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS id1, b.vec_id AS id2
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+    """,
+    doc="Exact embedding-cosine near-dup pairs at threshold 0.4 (id-only "
+    "output; nearest pair is 1.3e-4 from the cut, so no boundary risk).",
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id1"), F.col("embedding").cast("array<double>").alias("__a"))
+    b = e.select(F.col("vec_id").alias("id2"), F.col("embedding").cast("array<double>").alias("__b"))
+    return (
+        a.join(b, F.col("id1") < F.col("id2"))
+        .filter(similarity.cosine(F.col("__a"), F.col("__b")) >= 0.4)
+        .select("id1", "id2")
+    )

@@ -14,6 +14,7 @@ import duckdb
 import pytest
 
 from batch_data_pipeline_exercise_spark.plans import contract
+from batch_data_pipeline_exercise_spark.plans import contract_ext  # noqa: F401 — registers extension queries
 
 TABLES = [
     "region",

@@ -1,0 +1,92 @@
+"""Similarity search + multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from batch_data_pipeline_exercise_spark.operators import multimodal, similarity
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rng = random.Random(1)
+    rows = []
+    for i in range(100):
+        rows.append((i, [rng.gauss(0, 1) for _ in range(16)]))
+    # 100/101: near-identical pair; 102: exact copy of 0
+    rows.append((100, [x + 0.001 for x in rows[10][1]]))
+    rows.append((102, list(rows[0][1])))
+    return spark.createDataFrame(rows, "vec_id int, embedding array<double>").cache()
+
+
+def brute_force_expected(rows, qid, k):
+    qv = dict(rows)[qid]
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    scored = sorted(((cos(qv, v), i) for i, v in rows if i != qid), key=lambda t: (-t[0], t[1]))
+    return [i for _, i in scored[:k]]
+
+
+def test_cosine_topk_bruteforce(spark, vecs):
+    rows = [(r["vec_id"], r["embedding"]) for r in vecs.collect()]
+    queries = vecs.filter(F.col("vec_id").isin([0, 10])).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = similarity.cosine_topk_bruteforce(vecs, queries, k=5)
+    got = {qid: [r["neighbor_id"] for r in sorted(rs, key=lambda r: r["rank"])] for qid, rs in
+           ((q, [r for r in out.collect() if r["query_id"] == q]) for q in [0, 10])}
+    assert got[0] == brute_force_expected(rows, 0, 5)
+    assert got[10] == brute_force_expected(rows, 10, 5)
+    assert got[0][0] == 102  # the planted exact copy ranks first
+    assert got[10][0] == 100  # the planted near-copy ranks first
+
+
+def test_cosine_topk_lsh_recall(spark, vecs):
+    queries = vecs.filter(F.col("vec_id").isin([0, 10])).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = similarity.cosine_topk_lsh(vecs, queries, k=3, n_planes=4).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    # identical/near-identical vectors land in the query's own bucket
+    assert any(r["neighbor_id"] == 102 for r in by_q[0])
+    assert any(r["neighbor_id"] == 100 for r in by_q[10])
+
+
+def test_embedding_near_dup_pairs(spark, vecs):
+    pairs = {(r["id1"], r["id2"]): r["cosine"] for r in similarity.embedding_near_dup_pairs(vecs, threshold=0.99).collect()}
+    assert (0, 102) in pairs and pairs[(0, 102)] == pytest.approx(1.0)
+    assert (10, 100) in pairs and pairs[(10, 100)] > 0.999
+    assert len(pairs) == 2  # random gaussians don't fake-pair at 0.99
+
+
+def test_multimodal_features_and_plumbing(spark):
+    rows = [(f"m{i}", "image", bytes([i]) * (100 + i), "image/png", None, None, 3000) for i in range(20)]
+    df = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+
+    meta = multimodal.attach_media_metadata(df)
+    m = {r["media_id"]: r for r in meta.collect()}
+    assert m["m0"]["n_bytes"] == 100 and len(m["m0"]["content_sha1"]) == 40
+
+    feats = multimodal.extract_image_features(df)
+    assert feats.schema == multimodal.IMAGE_FEATURES_SCHEMA
+    f = {r["media_id"]: r for r in feats.collect()}
+    assert len(f) == 20
+    assert all(64 <= r["width"] < 256 and 0 <= r["mean_luma"] <= 1 for r in f.values())
+    # deterministic stub: same content → same features
+    again = {r["media_id"]: r["phash"] for r in multimodal.extract_image_features(df).collect()}
+    assert again == {k: v["phash"] for k, v in f.items()}
+
+    resized = {r["media_id"]: r for r in multimodal.resize_images(df, max_side=32).collect()}
+    assert all(max(r["target_width"], r["target_height"]) == 32 for r in resized.values())
+
+    frames = multimodal.sample_video_frames(df, every_ms=1000)
+    assert frames.count() == 20 * 4  # 0,1000,2000,3000
