@@ -1,0 +1,347 @@
+"""Second breadth batch of driver-contract queries — covers the SURVEY §2
+operator families not yet exercised by ``contract.py``: set operations,
+conditional/pivot aggregation, rollup, window frames (lag + running sums),
+top-k per group, range filters with string functions, and the M1 SCD2
+snapshot merge as an oracle-checked query.
+
+Same cross-engine determinism rules as ``contract.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from batch_data_pipeline_exercise_spark.operators.scd2 import scd2_snapshot_merge
+from batch_data_pipeline_exercise_spark.plans.contract import dec, fmt_ts, load, register
+
+# ---------------------------------------------------------------------------
+# Aggregation variants
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "monthly_open_orders",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           COUNT(*) AS orders_created,
+           COUNT(*) FILTER (WHERE o_orderstatus <> 'F') AS not_finished
+    FROM orders GROUP BY 1
+    """,
+    doc="Reference metric 5 shape (README.md:49): per-month conditional "
+    "aggregation — created vs not-finished counts (A5).",
+)
+def monthly_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month")).agg(
+        F.count(F.lit(1)).alias("orders_created"),
+        F.count_if(F.col("o_orderstatus") != "F").alias("not_finished"),
+    )
+
+
+@register(
+    "event_type_pivot",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+           COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS error
+    FROM events GROUP BY user_id
+    """,
+    doc="Pivot: per-user event-type counts as columns (explicit value list "
+    "keeps the plan a single pass — no extra distinct-values job).",
+)
+def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+@register(
+    "revenue_rollup",
+    oracle="""
+    SELECT r.r_name AS region,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS year,
+           COUNT(*) AS order_count,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, EXTRACT(year FROM o.o_orderdate))
+    """,
+    doc="Hierarchical rollup (region → region+year → grand total) with "
+    "NULL super-aggregate markers (A-family extension).",
+)
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup(F.col("r_name").alias("region"), F.year("o_orderdate").alias("year"))
+        .agg(F.count(F.lit(1)).alias("order_count"), F.sum(dec("o_totalprice")).cast("double").alias("total_price"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "active_nations",
+    oracle="""
+    SELECT n_nationkey, n_name FROM nation
+    WHERE n_nationkey IN (SELECT c_nationkey FROM customer)
+       OR n_nationkey IN (SELECT s_nationkey FROM supplier)
+    """,
+    doc="Set ops: nations having customers UNION nations having suppliers "
+    "(semi-join + union + distinct).",
+)
+def active_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    active = c.unionByName(s).distinct()
+    return n.join(active, n.n_nationkey == active.k, "left_semi").select("n_nationkey", "n_name")
+
+
+# ---------------------------------------------------------------------------
+# Window frames
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "user_sessions",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id
+    """,
+    doc="Sessionization: 30-minute-gap sessions per user via lag + running "
+    "sum (W-family with frames; one shuffle on user_id).",
+    bench=True,
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = Window.partitionBy("user_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = e.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long") > 30 * 60, 1
+        ).when(F.lag("ts").over(w).isNull(), 1).otherwise(0),
+    )
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(wrun))
+    return sessions.groupBy("user_id").agg(
+        F.max("session_id").cast("bigint").alias("n_sessions"), F.count(F.lit(1)).alias("n_events")
+    )
+
+
+@register(
+    "daily_event_running_value",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             SUM(CAST(value AS DECIMAL(18,2))) AS v
+      FROM events GROUP BY 1, 2
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, event_type,
+           CAST(v AS DOUBLE) AS day_value,
+           CAST(SUM(v) OVER (PARTITION BY event_type ORDER BY day
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS running_value
+    FROM daily
+    """,
+    doc="Running totals: per-type daily value + cumulative sum (window "
+    "frame over pre-aggregated rows; decimal accumulation → exact).",
+)
+def daily_event_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day"), "event_type").agg(F.sum(dec("value")).alias("v"))
+    wrun = Window.partitionBy("event_type").orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        F.col("v").cast("double").alias("day_value"),
+        F.sum("v").over(wrun).cast("double").alias("running_value"),
+    )
+
+
+@register(
+    "top3_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, rnk FROM (
+      SELECT o_custkey, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders
+    ) WHERE rnk <= 3
+    """,
+    doc="Top-k per group (O-family): 3 priciest orders per customer, "
+    "deterministic tiebreak.",
+)
+def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filters + scalar functions + date-key join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "recent_unfinished_orders",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR) || '_'
+             || CAST(EXTRACT(quarter FROM o_orderdate) AS VARCHAR) AS quarter_label,
+           o_orderpriority
+    FROM orders
+    WHERE o_orderdate < date_trunc('month', TIMESTAMP '2001-06-15 00:00:00')
+      AND o_orderdate >= TIMESTAMP '2000-06-01 00:00:00'
+      AND o_orderstatus <> 'F'
+    """,
+    doc="Range + inequality filters (P6/P7) with the year_quarter concat "
+    "label (F10); filters push into the parquet scan.",
+)
+def recent_unfinished_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    cutoff = F.date_trunc("month", F.lit("2001-06-15 00:00:00").cast("timestamp"))
+    return (
+        o.filter(
+            (F.col("o_orderdate") < cutoff)
+            & (F.col("o_orderdate") >= F.lit("2000-06-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderstatus") != "F")
+        )
+        .select(
+            "o_orderkey",
+            F.concat_ws("_", F.year("o_orderdate"), F.quarter("o_orderdate")).alias("quarter_label"),
+            "o_orderpriority",
+        )
+    )
+
+
+@register(
+    "orders_by_date_key",
+    oracle="""
+    WITH dim AS (
+      SELECT strftime(d, '%Y%m%d') AS id,
+             CAST(EXTRACT(year FROM d) AS INTEGER) AS year,
+             CAST(EXTRACT(quarter FROM d) AS INTEGER) AS quarter
+      FROM (SELECT DATE '1970-01-01' + CAST(i AS INTEGER) AS d FROM range(0, 29220) t(i))
+    )
+    SELECT dim.year, dim.quarter, COUNT(*) AS order_count
+    FROM orders o JOIN dim ON strftime(o.o_orderdate, '%Y%m%d') = dim.id
+    GROUP BY 1, 2
+    """,
+    doc="Reference metric 2 via the yyyymmdd surrogate date-key broadcast "
+    "join against the generated dim_dates spine (J1 + F2 + S8).",
+)
+def orders_by_date_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from batch_data_pipeline_exercise_spark.plans.dates import build_dim_dates
+
+    o = load(spark, sf_dir, "orders").withColumn("date_key", F.date_format("o_orderdate", "yyyyMMdd"))
+    dim = build_dim_dates(spark).select("id", "year", "quarter")
+    return (
+        o.join(F.broadcast(dim), o.date_key == dim.id)
+        .groupBy("year", "quarter")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# M1 SCD2 snapshot merge as an oracle-checked query
+# ---------------------------------------------------------------------------
+
+_SNAP_ORACLE = """
+    WITH day1 AS (
+      SELECT CAST(p_partkey AS VARCHAR) AS id, p_name AS title, p_brand AS category,
+             CAST(p_retailprice AS DECIMAL(18,2)) AS price
+      FROM part
+    ), day2 AS (
+      SELECT id, title,
+             CASE WHEN substr(id, -1, 1) = '3' THEN 'BrandX' ELSE category END AS category,
+             CASE WHEN substr(id, -1, 1) = '7' THEN CAST(price + 1 AS DECIMAL(18,2)) ELSE price END AS price
+      FROM day1
+    ), changed AS (
+      SELECT d1.id FROM day1 d1 JOIN day2 d2 USING (id)
+      WHERE d1.category IS DISTINCT FROM d2.category OR d1.price IS DISTINCT FROM d2.price
+            OR d1.title IS DISTINCT FROM d2.title
+    )
+    SELECT id, title, category, CAST(price AS DOUBLE) AS price,
+           '2024-01-01 00:00:00' AS start_time,
+           CASE WHEN id IN (SELECT id FROM changed) THEN '2024-01-02 00:00:00'
+                ELSE '2999-12-31 23:59:59' END AS end_time
+    FROM day1
+    UNION ALL
+    SELECT id, title, category, CAST(price AS DOUBLE) AS price,
+           '2024-01-02 00:00:00' AS start_time, '2999-12-31 23:59:59' AS end_time
+    FROM day2 WHERE id IN (SELECT id FROM changed)
+"""
+
+
+@register(
+    "scd2_snapshot_part_dim",
+    oracle=_SNAP_ORACLE,
+    doc="M1 snapshot merge (process_orders_sqls.py:28-51 semantics) run on "
+    "two derived daily snapshots of `part`: day2 changes category for ids "
+    "ending in 3 and price for ids ending in 7; output is the full SCD2 dim "
+    "with closed + open intervals.",
+    bench=True,
+)
+def scd2_snapshot_part_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    day1 = p.select(
+        F.col("p_partkey").cast("string").alias("id"),
+        F.col("p_name").alias("title"),
+        F.col("p_brand").alias("category"),
+        dec("p_retailprice").alias("price"),
+    )
+    last = F.substring(F.col("id"), -1, 1)
+    day2 = day1.select(
+        "id",
+        "title",
+        F.when(last == "3", F.lit("BrandX")).otherwise(F.col("category")).alias("category"),
+        F.when(last == "7", (F.col("price") + 1).cast("decimal(18,2)")).otherwise(F.col("price")).alias("price"),
+    )
+    dim1 = scd2_snapshot_merge(None, day1, key="id", attr_cols=["title", "category", "price"], ts="2024-01-01 00:00:00")
+    dim2 = scd2_snapshot_merge(dim1, day2, key="id", attr_cols=["title", "category", "price"], ts="2024-01-02 00:00:00")
+    return dim2.select(
+        "id",
+        "title",
+        "category",
+        F.col("price").cast("double").alias("price"),
+        fmt_ts("start_time").substr(1, 19).alias("start_time"),
+        fmt_ts("end_time").substr(1, 19).alias("end_time"),
+    )
