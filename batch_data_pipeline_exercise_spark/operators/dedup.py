@@ -58,14 +58,24 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str = "text", n: int = 3
     )
 
 
-def _minhash_component(i: int) -> Column:
-    return F.min(F.substring(F.md5(F.concat_ws("§", F.lit(str(i)), F.col("shingle"))), 1, 16)).alias(f"h{i}")
-
-
 def minhash_signatures(shingles: DataFrame, k: int = 32) -> DataFrame:
-    """(id, sig: array<string>[k]) — one explode-side groupBy, k min-aggs."""
-    aggs = [_minhash_component(i) for i in range(k)]
-    sig = shingles.groupBy("id").agg(*aggs)
+    """(id, sig: array<string>[k]).
+
+    The k hashes are computed once per DISTINCT shingle (the dictionary is
+    far smaller than the doc×shingle pair set — shingles repeat across
+    documents), then joined back and min-aggregated per doc. Same result
+    as hashing per pair, ~k× less md5 work; the join is equi on the
+    shingle and AQE broadcasts the dictionary when it is small.
+    """
+    sh_dict = shingles.select("shingle").distinct().select(
+        "shingle",
+        *[
+            F.substring(F.md5(F.concat_ws("§", F.lit(str(i)), F.col("shingle"))), 1, 16).alias(f"g{i}")
+            for i in range(k)
+        ],
+    )
+    joined = shingles.join(sh_dict, "shingle")
+    sig = joined.groupBy("id").agg(*[F.min(f"g{i}").alias(f"h{i}") for i in range(k)])
     return sig.select("id", F.array(*[F.col(f"h{i}") for i in range(k)]).alias("sig"))
 
 

@@ -115,6 +115,80 @@ def cosine_topk_lsh(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_assign(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF-style cell assignment with deterministic centroids.
+
+    Centroids are the ``n_cells`` lowest-id vectors (deterministic, no
+    iterative k-means — at 100 TB you'd train real centroids offline and
+    pass them in the same way). Each vector is assigned to its
+    highest-cosine centroid via a broadcast of the centroid table + one
+    ranking window. Returns (assigned, centroids): ``assigned`` adds a
+    ``cell`` column.
+    """
+    w_c = Window.orderBy(F.col(id_col))
+    centroids = (
+        embeddings.withColumn("__rn", F.row_number().over(w_c))
+        .filter(F.col("__rn") <= n_cells)
+        .select(F.col(id_col).alias("cell"), F.col(vec_col).cast("array<double>").alias("__c"))
+    )
+    scored = (
+        embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v"))
+        .join(F.broadcast(centroids))
+        .select("id", "__v", "cell", cosine(F.col("__v").cast("array<double>"), F.col("__c")).alias("__cos"))
+    )
+    w = Window.partitionBy("id").orderBy(F.col("__cos").desc(), "cell")
+    assigned = (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select("id", "__v", "cell")
+    )
+    return assigned, centroids
+
+
+def cosine_topk_ivf(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k via inverted-file probing: each query scans only
+    its ``n_probe`` nearest cells (≈ n_probe/n_cells of the corpus).
+    Same output schema as the brute-force variant; recall grows with
+    n_probe."""
+    assigned, centroids = ivf_assign(embeddings, n_cells, id_col, vec_col)
+    q = queries.select(F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("__q"))
+    q_cells = (
+        q.join(F.broadcast(centroids))
+        .select("query_id", "__q", "cell", cosine(F.col("__q").cast("array<double>"), F.col("__c")).alias("__cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("__cos").desc(), "cell")
+    probes = q_cells.withColumn("__r", F.row_number().over(w)).filter(F.col("__r") <= n_probe).select(
+        "query_id", "__q", "cell"
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(assigned, "cell")
+        .filter(F.col("query_id") != F.col("id"))
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            cosine(F.col("__q").cast("array<double>"), F.col("__v").cast("array<double>")).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w2)).filter(F.col("rank") <= k)
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -1,0 +1,73 @@
+"""Skew-handling utilities: salting for hot keys.
+
+AQE's skew-join splitting (enabled in ``session.py``) covers sort-merge
+join skew at runtime, but two shapes still need explicit salting at
+100 TB:
+
+- **aggregation skew**: a groupBy where one key holds a large share of all
+  rows bottlenecks its single reduce task. ``salted_agg`` splits each key
+  into ``n_salts`` partial groups and re-aggregates — classic two-level
+  combine; correct for any algebraic aggregate (sum/count/min/max).
+- **broadcast-impossible skewed join**: joining a huge skewed fact to a
+  mid-size dim that exceeds the broadcast threshold. ``salted_join``
+  explodes the dim ``n_salts``× and salts the fact side randomly-but-
+  deterministically (hash-based, not rand(), so retries/re-runs stay
+  stable), spreading each hot key over ``n_salts`` tasks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _salt(df_cols: list[str], n_salts: int) -> Column:
+    """Deterministic per-row salt in [0, n_salts): hash of the full row —
+    stable across retries (rand() is not)."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in df_cols]), F.lit(n_salts))
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-level aggregation for skewed keys.
+
+    ``aggs``: output_name → (function, column) with function in
+    {sum, count, min, max}. Example::
+
+        salted_agg(events, ["event_type"], {"n": ("count", "*"),
+                                            "total": ("sum", "value")})
+
+    Level 1 aggregates (keys + salt) — spreading a hot key over
+    ``n_salts`` tasks; level 2 merges the partials (tiny input).
+    """
+    mergers = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
+    level1 = [
+        (F.count(F.lit(1)) if fn == "count" else getattr(F, fn)(col)).alias(f"__p_{name}")
+        for name, (fn, col) in aggs.items()
+    ]
+    level2 = [
+        getattr(F, mergers[fn])(f"__p_{name}").alias(name) for name, (fn, col) in aggs.items()
+    ]
+    salted = df.withColumn("__salt", _salt(df.columns, n_salts))
+    return salted.groupBy(*keys, "__salt").agg(*level1).groupBy(*keys).agg(*level2)
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the dim side replicated ``n_salts``× and the fact
+    side salted deterministically, so a hot join key spreads over
+    ``n_salts`` reduce tasks instead of one. Dim replication costs
+    ``n_salts × |dim|`` — use when dim is too big to broadcast but far
+    smaller than the fact."""
+    dim_rep = dim.withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
+    fact_salted = fact.withColumn("__salt", _salt(fact.columns, n_salts).cast("int"))
+    return fact_salted.join(dim_rep, [on, "__salt"], how).drop("__salt")

@@ -299,6 +299,54 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_cosine_topk_ivf",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cell, v AS c FROM e ORDER BY vec_id LIMIT 16),
+    asg_scored AS (
+      SELECT e.vec_id AS id, e.v, cent.cell,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+               list_dot_product(e.v, cent.c)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.c, cent.c))) DESC,
+               cent.cell) AS rn
+      FROM e CROSS JOIN cent
+    ),
+    asg AS (SELECT id, v, cell FROM asg_scored WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    probe_scored AS (
+      SELECT q.query_id, q.qv, cent.cell,
+             ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+               list_dot_product(q.qv, cent.c)
+               / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cent.c, cent.c))) DESC,
+               cent.cell) AS rn
+      FROM q CROSS JOIN cent
+    ),
+    probes AS (SELECT query_id, qv, cell FROM probe_scored WHERE rn <= 4),
+    cand AS (
+      SELECT p.query_id, a.id AS neighbor_id,
+             list_dot_product(p.qv, a.v)
+             / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))) AS c
+      FROM probes p JOIN asg a ON a.cell = p.cell AND a.id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
+      FROM cand
+    ) WHERE rank <= 10
+    """,
+    doc="IVF-probed approximate top-10 (16 deterministic cells, probe 4): "
+    "each query scans ~1/4 of the corpus; rank-only output.",
+)
+def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = similarity.cosine_topk_ivf(e, q, k=10, n_cells=16, n_probe=4)
+    return out.select("query_id", "neighbor_id", "rank")
+
+
+@register(
     "embedding_near_dup_pairs",
     oracle="""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

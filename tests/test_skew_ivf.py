@@ -1,0 +1,73 @@
+"""Salted-aggregation/join and IVF ANN tests."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from batch_data_pipeline_exercise_spark.operators import similarity
+from batch_data_pipeline_exercise_spark.operators.skew import salted_agg, salted_join
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # hot key 'h' holds 80% of rows
+    rows = [("h" if i % 5 != 0 else f"k{i % 37}", float(i % 100)) for i in range(5000)]
+    return spark.createDataFrame(rows, "k string, v double").cache()
+
+
+def test_salted_agg_matches_plain(spark, skewed):
+    plain = {
+        r["k"]: (r["n"], r["total"], r["mx"])
+        for r in skewed.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"), F.max("v").alias("mx")
+        ).collect()
+    }
+    salted = {
+        r["k"]: (r["n"], r["total"], r["mx"])
+        for r in salted_agg(
+            skewed, ["k"], {"n": ("count", "*"), "total": ("sum", "v"), "mx": ("max", "v")}, n_salts=8
+        ).collect()
+    }
+    assert set(plain) == set(salted)
+    for k in plain:
+        assert plain[k][0] == salted[k][0] and plain[k][2] == salted[k][2]
+        assert plain[k][1] == pytest.approx(salted[k][1])
+
+
+def test_salted_join_matches_plain(spark, skewed):
+    dim = spark.createDataFrame(
+        [("h", "hot"), ("k0", "cold0"), ("k5", "cold5"), ("zz", "unused")], "k string, label string"
+    )
+    plain = sorted(map(tuple, skewed.join(dim, "k").select("k", "v", "label").collect()))
+    salted = sorted(map(tuple, salted_join(skewed, dim, on="k", n_salts=4).select("k", "v", "label").collect()))
+    assert plain == salted
+    left = sorted(
+        map(tuple, salted_join(skewed, dim, on="k", n_salts=4, how="left").select("k", "v", "label").collect()),
+        key=repr,
+    )
+    plain_left = sorted(map(tuple, skewed.join(dim, "k", "left").select("k", "v", "label").collect()), key=repr)
+    assert left == plain_left
+
+
+def test_ivf_topk_recall(spark):
+    rng = random.Random(3)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(300)]
+    rows.append((300, list(rows[42][1])))  # exact copy of 42
+    vecs = spark.createDataFrame(rows, "vec_id int, embedding array<double>").cache()
+    queries = vecs.filter(F.col("vec_id") == 42).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = similarity.cosine_topk_bruteforce(vecs, queries, k=10)
+    approx = similarity.cosine_topk_ivf(vecs, queries, k=10, n_cells=8, n_probe=4)
+    exact_ids = {r["neighbor_id"] for r in exact.collect()}
+    approx_rows = approx.collect()
+    approx_ids = {r["neighbor_id"] for r in approx_rows}
+    # the planted duplicate must be found, rank 1
+    assert min(approx_rows, key=lambda r: r["rank"])["neighbor_id"] == 300
+    # probing half the cells recovers a solid share of the true top-10
+    assert len(exact_ids & approx_ids) >= 5
+    # every returned neighbor's cosine is genuine (subset of full scoring)
+    assert all(r["rank"] <= 10 for r in approx_rows)
