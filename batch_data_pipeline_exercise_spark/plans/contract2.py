@@ -280,6 +280,87 @@ def orders_by_date_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "user_daily_value_filled",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, day, CAST(value AS DECIMAL(18,2)) AS v FROM (
+        SELECT user_id, CAST(ts AS DATE) AS day, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ), spine AS (
+      SELECT m.user_id, d.day
+      FROM (SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id) m
+      JOIN (SELECT CAST(generate_series AS DATE) AS day
+            FROM generate_series(DATE '2024-01-01', DATE '2024-01-30', INTERVAL 1 DAY)) d
+        ON d.day >= m.d0
+    )
+    SELECT spine.user_id, strftime(spine.day, '%Y-%m-%d') AS day,
+           CAST(last_value(v IGNORE NULLS) OVER (
+                  PARTITION BY spine.user_id ORDER BY spine.day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS value_filled
+    FROM spine LEFT JOIN daily ON daily.user_id = spine.user_id AND daily.day = spine.day
+    """,
+    doc="Reference inventory metric shape (README.md:64, A7): changed-only "
+    "daily levels forward-filled over a dense per-key date spine — the "
+    "plans/inventory.py operator applied to the events table (each user's "
+    "last value per day, filled through 2024-01-30).",
+    bench=True,
+)
+def user_daily_value_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from batch_data_pipeline_exercise_spark.plans.inventory import forward_fill_daily
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", F.to_date("ts")).orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    daily = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("user_id").alias("product_id"),
+            F.to_date("ts").alias("date"),
+            dec("value").alias("amount"),
+        )
+    )
+    filled = forward_fill_daily(daily, horizon="2024-01-30")
+    return filled.select(
+        F.col("product_id").alias("user_id"),
+        F.date_format("date", "yyyy-MM-dd").alias("day"),
+        F.col("amount").cast("double").alias("value_filled"),
+    )
+
+
+@register(
+    "order_surrogate_keys",
+    oracle="""
+    SELECT o_orderkey,
+           sha256('orders' || chr(31) || CAST(o_orderkey AS VARCHAR)) AS sk,
+           md5(CAST(o_orderkey AS VARCHAR) || chr(31) || o_orderstatus || chr(31)
+               || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)) AS row_checksum
+    FROM orders
+    """,
+    doc="Warehouse practice F14 (guides.md:63-64): sha256 surrogate key "
+    "from source-system + natural key, md5 row checksum for change "
+    "detection — reproducible cross-engine.",
+)
+def order_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    sep = "\x1f"
+    return o.select(
+        "o_orderkey",
+        F.sha2(F.concat_ws(sep, F.lit("orders"), F.col("o_orderkey").cast("string")), 256).alias("sk"),
+        F.md5(
+            F.concat_ws(
+                sep,
+                F.col("o_orderkey").cast("string"),
+                F.col("o_orderstatus"),
+                dec("o_totalprice").cast("string"),
+            )
+        ).alias("row_checksum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # M1 SCD2 snapshot merge as an oracle-checked query
 # ---------------------------------------------------------------------------

@@ -67,3 +67,14 @@ class Warehouse:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(self.path(table))
+
+    def register_catalog(self, table: str, name: str | None = None) -> None:
+        """Expose a warehouse table in the session catalog so users can
+        ``spark.sql`` against it — the engine's equivalent of the
+        reference's CREATE TABLE IF NOT EXISTS DDL (S4,
+        process_orders_sqls.py:4,16,54,68,80). External parquet table:
+        the catalog entry points at the warehouse path, no data copy."""
+        name = name or table
+        self.spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {name} USING parquet LOCATION '{self.path(table)}'"
+        )

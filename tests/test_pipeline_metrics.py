@@ -108,3 +108,11 @@ def test_rerun_is_noop(wh):
     assert sorted(map(tuple, wh.wh.read("dim_products").collect()), key=repr) == dim_before
     assert sorted(map(tuple, wh.wh.read("fact_orders_created").collect()), key=repr) == fact_before
     assert sorted(map(tuple, wh.wh.read("fact_inventory").collect()), key=repr) == inv_before
+
+
+def test_catalog_registration(wh, spark):
+    wh.wh.register_catalog("dim_dates", "dim_dates_cat")
+    n = spark.sql("SELECT COUNT(*) AS n FROM dim_dates_cat").first()["n"]
+    assert n == 29220
+    wh.wh.register_catalog("dim_dates", "dim_dates_cat")  # IF NOT EXISTS → no-op
+    spark.sql("DROP TABLE dim_dates_cat")
