@@ -74,7 +74,10 @@ def minhash_signatures(shingles: DataFrame, k: int = 32) -> DataFrame:
             for i in range(k)
         ],
     )
-    joined = shingles.join(sh_dict, "shingle")
+    # dict ≈ |vocab|³-bounded and usually ≪ pairs; broadcast it so the pair
+    # side never shuffles for this join (at true 100 TB vocab scale AQE
+    # falls back to a shuffle join automatically if the hint is dropped)
+    joined = shingles.join(F.broadcast(sh_dict), "shingle")
     sig = joined.groupBy("id").agg(*[F.min(f"g{i}").alias(f"h{i}") for i in range(k)])
     return sig.select("id", F.array(*[F.col(f"h{i}") for i in range(k)]).alias("sig"))
 

@@ -76,8 +76,18 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    # documents/embeddings ship as single-row-group files: parquet scan
+    # splitting cannot parallelize inside one row group, so their narrow,
+    # compute-dense stages (regex, shingling, 32-way hashing, dot
+    # products) would run on ONE core — an explicit shuffle restores
+    # parallelism and pays for itself. The fact tables hit a real shuffle
+    # (join/agg) almost immediately anyway, so they skip it: measured at
+    # sf0.1, repartitioning them costs more than it saves.
+    if table in ("documents", "embeddings"):
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 def dec(col: str, p: int = 18, s: int = 2) -> F.Column:

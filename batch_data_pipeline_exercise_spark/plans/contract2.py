@@ -94,6 +94,85 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "distinct_users_per_type",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+    doc="Distinct aggregation (exact COUNT DISTINCT; the approx_count_distinct "
+    "variant is engine-private HLL and intentionally not oracle-checked).",
+)
+def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"), F.count(F.lit(1)).alias("n_events")
+    )
+
+
+@register(
+    "median_price_by_status",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderstatus AS status, CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+      FROM orders
+    )
+    SELECT status, CAST(AVG(p) AS DOUBLE) AS median_price
+    FROM ranked
+    WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+    GROUP BY status
+    """,
+    doc="Exact median via rank-the-middle (decimal mean of ≤2 middle values "
+    "→ deterministic; native percentile interpolation differs across "
+    "engines in the last ulp).",
+)
+def median_price_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    wn = Window.partitionBy("o_orderstatus")
+    ranked = o.select(
+        F.col("o_orderstatus").alias("status"),
+        dec("o_totalprice").alias("p"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    mid = ranked.filter(
+        (F.col("rn") == F.floor((F.col("n") + 1) / 2)) | (F.col("rn") == F.floor((F.col("n") + 2) / 2))
+    )
+    return mid.groupBy("status").agg(F.avg("p").cast("double").alias("median_price"))
+
+
+@register(
+    "lineitem_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
+           CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS value FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'extendedprice',
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount',
+           CAST(CAST(l_discount AS DECIMAL(18,2)) AS DOUBLE) FROM lineitem
+    """,
+    doc="Unpivot/melt via stack(): three measure columns → (metric, value) "
+    "rows, one scan (vs the oracle's 3-scan UNION ALL).",
+)
+def lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(3, 'quantity', CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE), "
+            "'extendedprice', CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE), "
+            "'discount', CAST(CAST(l_discount AS DECIMAL(18,2)) AS DOUBLE)) AS (metric, value)"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Set operations
 # ---------------------------------------------------------------------------

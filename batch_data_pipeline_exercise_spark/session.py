@@ -56,6 +56,9 @@ def get_spark(
         "spark.sql.parquet.compression.codec": "snappy",
         # 128 MB split target — the right granularity for TB-scale scans.
         "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+        # ...but never fewer scan splits than cores: small benchmark files
+        # would otherwise land on one core (row-group permitting)
+        "spark.sql.files.minPartitionNum": str(shuffle_partitions or 32),
         "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
     }
     if extra_conf:

@@ -40,11 +40,16 @@ def main() -> None:
     # warmup: run the first headline query once, untimed
     headline[0].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
 
+    # two timed runs per query, keep the min — strips one-off codegen /
+    # broadcast-build / JIT noise so numbers reflect steady-state
     timings: dict[str, float] = {}
     for q in headline:
-        t0 = time.perf_counter()
-        q.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[q.name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            q.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[q.name] = round(best, 3)
 
     print(
         json.dumps(
