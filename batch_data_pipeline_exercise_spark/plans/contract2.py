@@ -95,6 +95,27 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "event_props_json",
+    oracle="""
+    SELECT event_type,
+           SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS k_sum,
+           MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS k_max,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    doc="Semi-structured JSON column: extract props.k from the JSON string "
+    "payload and aggregate (get_json_object family — parsed in-flight, no "
+    "schema migration).",
+)
+def event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.groupBy("event_type").agg(
+        F.sum(k).alias("k_sum"), F.max(k).alias("k_max"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
     "distinct_users_per_type",
     oracle="""
     SELECT event_type, COUNT(DISTINCT user_id) AS n_users,

@@ -60,3 +60,24 @@ def test_streaming_windowed_agg(spark, stream_dirs, tmp_path):
     assert rows[("2021-03-01", "created")] == 2  # o1, o2 (dup suppressed)
     assert rows[("2021-03-02", "deleted")] == 2  # distinct-ts repeats both count ((id, ts) is the dedup key)
     assert rows[("2019-12-31", "created")] == 1  # years-late event still lands in its window
+
+
+def test_stateful_order_summary(spark, stream_dirs):
+    from batch_data_pipeline_exercise_spark.streaming.stateful import order_state_stream
+
+    raw, _, _ = stream_dirs
+    ev = ingest.stream_order_events(spark, raw).select("id", "status", "event_time")
+    out = order_state_stream(ev)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("order_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = {r["id"]: r for r in spark.sql("SELECT * FROM order_state").collect()}
+    assert rows["o1"]["n_events"] == 2 and rows["o1"]["last_status"] == "completed"
+    assert rows["o2"]["n_events"] == 1  # duplicate delivery suppressed upstream
+    assert rows["o4"]["n_events"] == 3 and rows["o4"]["last_status"] == "deleted"
+    assert str(rows["o5"]["first_ts"]).startswith("2019-12-31")
