@@ -44,18 +44,24 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text", normalized: 
     )
 
 
-def word_shingles(df: DataFrame, id_col: str, text_col: str = "text", n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles, exploded to (id, shingle) rows."""
+def word_shingles(
+    df: DataFrame, id_col: str, text_col: str = "text", n: int = 3, distinct: bool = True
+) -> DataFrame:
+    """Word n-gram shingles, exploded to (id, shingle) rows.
+
+    ``distinct=True`` (default) dedups per doc — required for Jaccard
+    set arithmetic. Min-aggregating consumers (minhash signatures) can
+    pass ``distinct=False`` and skip that whole shuffle: the min over a
+    multiset equals the min over its support."""
     toks = tokenize(text_col)
     shingles = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
     )
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(shingles).alias("shingle"))
-        .filter(F.length("shingle") > 0)
-        .distinct()
+    out = df.select(F.col(id_col).alias("id"), F.explode(shingles).alias("shingle")).filter(
+        F.length("shingle") > 0
     )
+    return out.distinct() if distinct else out
 
 
 def minhash_signatures(shingles: DataFrame, k: int = 32) -> DataFrame:

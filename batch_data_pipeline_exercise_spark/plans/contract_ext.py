@@ -88,7 +88,7 @@ def doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    sig = dedup.minhash_signatures(dedup.word_shingles(d, "doc_id"), k=32)
+    sig = dedup.minhash_signatures(dedup.word_shingles(d, "doc_id", distinct=False), k=32)
     return sig.select(
         F.col("id").alias("doc_id"),
         F.col("sig").getItem(0).alias("sig_first"),
@@ -119,7 +119,7 @@ def doc_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    sig = dedup.minhash_signatures(dedup.word_shingles(d, "doc_id"), k=32)
+    sig = dedup.minhash_signatures(dedup.word_shingles(d, "doc_id", distinct=False), k=32)
     cand = dedup.lsh_candidate_pairs(dedup.lsh_band_keys(sig, bands=8, rows=4))
     return cand
 

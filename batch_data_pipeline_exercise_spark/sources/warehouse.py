@@ -63,6 +63,15 @@ class Warehouse:
         fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), tpath)
 
     def append(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> None:
+        """Append, conforming to the existing table's column order.
+
+        Anti-join idempotency patterns reorder columns (join keys come
+        first), and parquet directory reads surface whichever part-file
+        footer gets sampled — mixed orders make the table's column order
+        nondeterministic. Values are always name-resolved; this keeps the
+        schema presentation stable too."""
+        if self.exists(table):
+            df = df.select(*self.read(table).columns)
         w = df.write.mode("append")
         if partition_by:
             w = w.partitionBy(*partition_by)

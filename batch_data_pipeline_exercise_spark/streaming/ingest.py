@@ -69,6 +69,29 @@ def write_bronze(
     return writer.start()
 
 
+def streaming_sessions(
+    spark: SparkSession,
+    raw_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "30 days",
+) -> DataFrame:
+    """Native event-time sessionization: ``session_window`` groups events
+    into variable-length windows closed after ``gap`` of inactivity —
+    the streaming counterpart of the batch lag+cumsum sessionizer
+    (contract query ``user_sessions``)."""
+    ev = stream_order_events(spark, raw_dir, watermark)
+    return (
+        ev.groupBy(F.session_window("event_time", gap).alias("w"), "id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def streaming_status_counts(
     spark: SparkSession,
     raw_dir: str,

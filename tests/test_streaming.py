@@ -81,3 +81,24 @@ def test_stateful_order_summary(spark, stream_dirs):
     assert rows["o2"]["n_events"] == 1  # duplicate delivery suppressed upstream
     assert rows["o4"]["n_events"] == 3 and rows["o4"]["last_status"] == "deleted"
     assert str(rows["o5"]["first_ts"]).startswith("2019-12-31")
+
+
+def test_streaming_session_window(spark, stream_dirs):
+    raw, _, _ = stream_dirs
+    out = ingest.streaming_sessions(spark, raw, gap="30 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM sessions").collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["id"], []).append(r)
+    # o1: events 90 min apart -> two separate sessions
+    assert len(by_id["o1"]) == 2
+    # o4: three events within 10 minutes -> one session of 3
+    assert len(by_id["o4"]) == 1 and by_id["o4"][0]["n_events"] == 3
