@@ -315,6 +315,84 @@ def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "orders_price_band_range_join",
+    oracle="""
+    WITH bands AS (
+      SELECT CAST(i AS INTEGER) AS band_id,
+             CAST(i AS DOUBLE) * 50000 AS lo,
+             (CAST(i AS DOUBLE) + 1) * 50000 AS hi
+      FROM range(0, 10) t(i)
+    )
+    SELECT b.band_id, COUNT(*) AS order_count,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders o JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.band_id
+    """,
+    doc="Non-equi interval join via the bucketized range-join operator "
+    "(operators/rangejoin.py): price bands of width 50k, equi on bucket + "
+    "residual predicate — no nested-loop join in the plan.",
+)
+def orders_price_band_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from batch_data_pipeline_exercise_spark.operators.rangejoin import range_join
+
+    o = load(spark, sf_dir, "orders")
+    bands = spark.range(0, 10).select(
+        F.col("id").cast("int").alias("band_id"),
+        (F.col("id").cast("double") * 50000).alias("lo"),
+        ((F.col("id").cast("double") + 1) * 50000).alias("hi"),
+    )
+    joined = range_join(o, bands, point_col="o_totalprice", start_col="lo", end_col="hi", bucket_width=50000)
+    return joined.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("order_count"),
+        F.sum(dec("o_totalprice")).cast("double").alias("total_price"),
+    )
+
+
+@register(
+    "priority_set_ops",
+    oracle="""
+    SELECT o_orderpriority, 'both' AS membership FROM (
+      SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+      INTERSECT
+      SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+    )
+    UNION ALL
+    SELECT o_orderpriority, 'only_f' FROM (
+      SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+      EXCEPT
+      SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+    )
+    """,
+    doc="INTERSECT / EXCEPT set operations over order priorities by status.",
+)
+def priority_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    op = o.filter(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    both = f.intersect(op).withColumn("membership", F.lit("both"))
+    only_f = f.subtract(op).withColumn("membership", F.lit("only_f"))
+    return both.unionByName(only_f)
+
+
+@register(
+    "approx_sketches",
+    oracle=None,  # HLL / KLL sketches are engine-private — rows-only check
+    doc="Approximate aggregates (approx_count_distinct HLL, "
+    "percentile_approx KLL-ish): sketch values are engine-specific by "
+    "nature, so this query is intentionally oracle-free (the driver "
+    "records a rows-only check; exact counterparts are "
+    "distinct_users_per_type and median_price_by_status).",
+)
+def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", 0.5).alias("approx_median_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Filters + scalar functions + date-key join
 # ---------------------------------------------------------------------------
