@@ -47,14 +47,18 @@ class ContractQuery:
     oracle: str | None
     doc: str = ""
     bench: bool = False  # include in bench.py headline set
+    # True only for queries that are INTENTIONALLY all-pairs (brute-force
+    # similarity baselines); the plan-quality test forbids nested-loop /
+    # cartesian joins everywhere else.
+    allow_quadratic: bool = False
 
 
 REGISTRY: dict[str, ContractQuery] = {}
 
 
-def register(name: str, oracle: str | None, doc: str = "", bench: bool = False):
+def register(name: str, oracle: str | None, doc: str = "", bench: bool = False, allow_quadratic: bool = False):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        REGISTRY[name] = ContractQuery(name, fn, oracle, doc, bench)
+        REGISTRY[name] = ContractQuery(name, fn, oracle, doc, bench, allow_quadratic)
         return fn
 
     return deco

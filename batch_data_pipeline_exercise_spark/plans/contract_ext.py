@@ -288,6 +288,7 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Brute-force cosine top-10 per query (queries = vec_id < 10); "
     "rank-only output keeps the hash float-free.",
     bench=True,
+    allow_quadratic=True,
 )
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
@@ -335,7 +336,10 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE rank <= 10
     """,
     doc="IVF-probed approximate top-10 (16 deterministic cells, probe 4): "
-    "each query scans ~1/4 of the corpus; rank-only output.",
+    "each query scans ~1/4 of the corpus; rank-only output. The centroid "
+    "assignment is a BOUNDED broadcast cross (n x n_cells, linear in n) — "
+    "flagged allow_quadratic for the plan gate but not actually quadratic.",
+    allow_quadratic=True,
 )
 def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
@@ -357,6 +361,7 @@ def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Exact embedding-cosine near-dup pairs at threshold 0.4 (id-only "
     "output; nearest pair is 1.3e-4 from the cut, so no boundary risk).",
+    allow_quadratic=True,
 )
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")

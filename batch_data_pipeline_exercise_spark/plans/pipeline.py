@@ -117,10 +117,12 @@ class Pipeline:
         )
         existing = self.wh.read("fact_orders_created") if self.wh.exists("fact_orders_created") else None
         rows = idempotent_append_rows(existing, candidates, key="order_id", order_cols=["created_time"])
+        # date-partitioned for pruning: metric queries filter by creation
+        # date, so scans touch only the partitions in range
         if existing is not None:
-            self.wh.append(rows, "fact_orders_created")
+            self.wh.append(rows, "fact_orders_created", partition_by=["created_date_id"])
         else:
-            self.wh.overwrite(rows, "fact_orders_created")
+            self.wh.overwrite(rows, "fact_orders_created", partition_by=["created_date_id"])
 
     # -- inventory feed (reference README.md:55-61) -------------------------
 
@@ -134,6 +136,6 @@ class Pipeline:
             fresh = fresh.join(
                 existing.select("product_id", "snapshot_date"), ["product_id", "snapshot_date"], "left_anti"
             )
-            self.wh.append(fresh, "fact_inventory")
+            self.wh.append(fresh, "fact_inventory", partition_by=["snapshot_date"])
         else:
-            self.wh.overwrite(fresh, "fact_inventory")
+            self.wh.overwrite(fresh, "fact_inventory", partition_by=["snapshot_date"])

@@ -116,3 +116,12 @@ def test_catalog_registration(wh, spark):
     assert n == 29220
     wh.wh.register_catalog("dim_dates", "dim_dates_cat")  # IF NOT EXISTS → no-op
     spark.sql("DROP TABLE dim_dates_cat")
+
+
+def test_fact_partition_pruning(wh):
+    """Facts are date-partitioned; a date filter must prune at the scan
+    (PartitionFilters in the plan, not a post-scan filter)."""
+    fact = wh.wh.read("fact_orders_created").filter(F.col("created_date_id") == "20210301")
+    plan = fact._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(created_date_id" in plan, plan
+    assert fact.count() == 2  # o1, o2 created on 2021-03-01
