@@ -34,8 +34,13 @@ def idempotent_append_rows(
     order_cols: list[str],
 ) -> DataFrame:
     """Rows safe to append: earliest candidate per key, minus keys already
-    in ``existing``. Appending the result re-run after re-run is a no-op."""
-    fresh = earliest_per_key(candidates, key, order_cols)
+    in ``existing``. Appending the result re-run after re-run is a no-op.
+
+    NULL-key candidates are dropped outright: the anti-join can never
+    match them (NULL != NULL), so they would re-append every run — and
+    the fact key is NOT NULL by contract anyway (reference DDL
+    ``process_orders_sqls.py:81``)."""
+    fresh = earliest_per_key(candidates.filter(F.col(key).isNotNull()), key, order_cols)
     if existing is None:
         return fresh
     return fresh.join(existing.select(key), on=key, how="left_anti")

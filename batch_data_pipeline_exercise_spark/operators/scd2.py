@@ -123,9 +123,11 @@ def scd2_snapshot_merge(
         changed_pred = changed_pred | ~F.col(f"d.{c}").eqNullSafe(F.col(f"s.{c}"))
 
     dim_cols = dim.columns
-    keep_open = j.filter(F.col(f"s.{key}").isNull() | (F.col(f"d.{key}").isNotNull() & ~changed_pred)).select(
-        *[F.col(f"d.{c}").alias(c) for c in dim_cols]
-    )
+    # d.key must exist: a snapshot row with a NULL key would otherwise
+    # satisfy `s.key IS NULL` and inject an all-NULL dim row
+    keep_open = j.filter(
+        F.col(f"d.{key}").isNotNull() & (F.col(f"s.{key}").isNull() | ~changed_pred)
+    ).select(*[F.col(f"d.{c}").alias(c) for c in dim_cols])
     close_old = j.filter(F.col(f"d.{key}").isNotNull() & F.col(f"s.{key}").isNotNull() & changed_pred).select(
         *[F.col(f"d.{c}").alias(c) for c in dim_cols if c != "end_time"],
         t.alias("end_time"),

@@ -22,9 +22,15 @@ from pyspark.sql import functions as F
 
 
 def _salt(df_cols: list[str], n_salts: int) -> Column:
-    """Deterministic per-row salt in [0, n_salts): hash of the full row —
-    stable across retries (rand() is not)."""
-    return F.pmod(F.xxhash64(*[F.col(c) for c in df_cols]), F.lit(n_salts))
+    """Per-row salt in [0, n_salts).
+
+    Seeded ``rand``: deterministic per (seed, partition index, row
+    position), so task retries reproduce the same salts for a stable
+    input layout. A pure row-content hash would NOT work here — the hot
+    key's rows are often byte-identical (the exact shape salting
+    targets), and identical rows would all hash to one salt, defeating
+    the spread."""
+    return F.floor(F.rand(42) * n_salts).cast("int")
 
 
 def salted_agg(
@@ -69,5 +75,5 @@ def salted_join(
     ``n_salts × |dim|`` — use when dim is too big to broadcast but far
     smaller than the fact."""
     dim_rep = dim.withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
-    fact_salted = fact.withColumn("__salt", _salt(fact.columns, n_salts).cast("int"))
+    fact_salted = fact.withColumn("__salt", _salt(fact.columns, n_salts))
     return fact_salted.join(dim_rep, [on, "__salt"], how).drop("__salt")

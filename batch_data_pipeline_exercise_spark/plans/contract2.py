@@ -250,10 +250,13 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wrun = Window.partitionBy("user_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # µs-precision gap: unix_micros, NOT cast('long') — the cast truncates
+    # to whole seconds, which can disagree with the oracle's exact
+    # INTERVAL comparison for gaps within 1s of the threshold
     flagged = e.withColumn(
         "new_session",
         F.when(
-            F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long") > 30 * 60, 1
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.lag(F.col("ts")).over(w)) > 30 * 60 * 1_000_000, 1
         ).when(F.lag("ts").over(w).isNull(), 1).otherwise(0),
     )
     sessions = flagged.withColumn("session_id", F.sum("new_session").over(wrun))

@@ -81,9 +81,13 @@ class Pipeline:
         self.wh.overwrite(stg, "stg_orders")
         stg = self.wh.read("stg_orders")
 
-        # bronze event log: append only events not already present
+        # bronze event log: append only events not already present.
+        # NULL keys are rejected (NOT NULL contract; a NULL id/event_time
+        # could never anti-join-match and would re-append every run)
         prev_log = self.wh.read("events_orders") if self.wh.exists("events_orders") else None
-        fresh = stg.dropDuplicates(["id", "event_time"])
+        fresh = stg.filter(F.col("id").isNotNull() & F.col("event_time").isNotNull()).dropDuplicates(
+            ["id", "event_time"]
+        )
         if prev_log is not None:
             fresh = fresh.join(prev_log.select("id", "event_time"), ["id", "event_time"], "left_anti")
             self.wh.append(fresh, "events_orders")
@@ -118,11 +122,15 @@ class Pipeline:
         existing = self.wh.read("fact_orders_created") if self.wh.exists("fact_orders_created") else None
         rows = idempotent_append_rows(existing, candidates, key="order_id", order_cols=["created_time"])
         # date-partitioned for pruning: metric queries filter by creation
-        # date, so scans touch only the partitions in range
+        # date, so scans touch only the partitions in range. The partition
+        # column is a DateType derived from created_time — partitioning by
+        # the yyyymmdd STRING key would get type-inferred back as INT on
+        # read, silently breaking the declared schema.
+        rows = rows.withColumn("created_date", F.to_date("created_time"))
         if existing is not None:
-            self.wh.append(rows, "fact_orders_created", partition_by=["created_date_id"])
+            self.wh.append(rows, "fact_orders_created", partition_by=["created_date"])
         else:
-            self.wh.overwrite(rows, "fact_orders_created", partition_by=["created_date_id"])
+            self.wh.overwrite(rows, "fact_orders_created", partition_by=["created_date"])
 
     # -- inventory feed (reference README.md:55-61) -------------------------
 
@@ -131,7 +139,9 @@ class Pipeline:
             self.spark, csv_path, schemas.INVENTORY_FEED, ts, renames={"productId": "product_id"}
         ).withColumnRenamed("date", "snapshot_date")
         existing = self.wh.read("fact_inventory") if self.wh.exists("fact_inventory") else None
-        fresh = stg.dropDuplicates(["product_id", "snapshot_date"])
+        fresh = stg.filter(F.col("product_id").isNotNull() & F.col("snapshot_date").isNotNull()).dropDuplicates(
+            ["product_id", "snapshot_date"]
+        )
         if existing is not None:
             fresh = fresh.join(
                 existing.select("product_id", "snapshot_date"), ["product_id", "snapshot_date"], "left_anti"

@@ -12,9 +12,11 @@ from __future__ import annotations
 
 from datetime import datetime
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from batch_data_pipeline_exercise_spark.functions.core import ts_lit
 
 
 def feed_exists(spark: SparkSession, path: str) -> bool:
@@ -25,12 +27,6 @@ def feed_exists(spark: SparkSession, path: str) -> bool:
     hpath = sc._jvm.org.apache.hadoop.fs.Path(path)  # type: ignore[union-attr]
     fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())  # type: ignore[union-attr]
     return bool(fs.globStatus(hpath))
-
-
-def _ts_lit(ts: datetime | str) -> Column:
-    if isinstance(ts, datetime):
-        ts = ts.strftime("%Y-%m-%d %H:%M:%S")
-    return F.lit(ts).cast(T.TimestampType())
 
 
 def read_csv_feed(
@@ -53,4 +49,4 @@ def read_csv_feed(
     df = spark.read.csv(path, header=True, schema=schema, mode="PERMISSIVE")
     for old, new in (renames or {}).items():
         df = df.withColumnRenamed(old, new)
-    return df.withColumn("processed_time", _ts_lit(ts))
+    return df.withColumn("processed_time", ts_lit(ts))

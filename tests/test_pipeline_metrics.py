@@ -120,8 +120,15 @@ def test_catalog_registration(wh, spark):
 
 def test_fact_partition_pruning(wh):
     """Facts are date-partitioned; a date filter must prune at the scan
-    (PartitionFilters in the plan, not a post-scan filter)."""
-    fact = wh.wh.read("fact_orders_created").filter(F.col("created_date_id") == "20210301")
+    (PartitionFilters in the plan, not a post-scan filter), and the
+    partition column must survive as a real DateType (not a type-inferred
+    int from a yyyymmdd string)."""
+    import pyspark.sql.types as T
+
+    fact_all = wh.wh.read("fact_orders_created")
+    assert isinstance(fact_all.schema["created_date"].dataType, T.DateType)
+    assert isinstance(fact_all.schema["created_date_id"].dataType, T.StringType)
+    fact = fact_all.filter(F.col("created_date") == "2021-03-01")
     plan = fact._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters: [isnotnull(created_date_id" in plan, plan
+    assert "PartitionFilters: [isnotnull(created_date" in plan, plan
     assert fact.count() == 2  # o1, o2 created on 2021-03-01
