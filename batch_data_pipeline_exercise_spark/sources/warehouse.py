@@ -49,18 +49,24 @@ class Warehouse:
         is also being read from") or corrupt it mid-job. Writing to
         ``<path>__tmp`` and renaming makes the swap safe and near-atomic.
         """
-        target, tmp = self.path(table), self.path(table) + "__tmp"
+        target, tmp, bak = self.path(table), self.path(table) + "__tmp", self.path(table) + "__bak"
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(tmp)
         jvm = self.spark.sparkContext._jvm  # type: ignore[union-attr]
         conf = self.spark.sparkContext._jsc.hadoopConfiguration()  # type: ignore[union-attr]
-        fs = jvm.org.apache.hadoop.fs.Path(target).getFileSystem(conf)
-        tpath = jvm.org.apache.hadoop.fs.Path(target)
-        if fs.exists(tpath):
-            fs.delete(tpath, True)
-        fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), tpath)
+        P = jvm.org.apache.hadoop.fs.Path
+        fs = P(target).getFileSystem(conf)
+        # crash-safe swap: old data survives as __bak until the new data is
+        # in place (a crash mid-swap loses nothing; next run cleans up)
+        if fs.exists(P(bak)):
+            fs.delete(P(bak), True)
+        if fs.exists(P(target)):
+            fs.rename(P(target), P(bak))
+        fs.rename(P(tmp), P(target))
+        if fs.exists(P(bak)):
+            fs.delete(P(bak), True)
 
     def append(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> None:
         """Append, conforming to the existing table's column order.
@@ -76,6 +82,24 @@ class Warehouse:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(self.path(table))
+
+    def compact(self, table: str, target_partitions: int | None = None) -> None:
+        """Rewrite a table into ``target_partitions`` files (default: the
+        session's parallelism). Append-heavy tables (bronze logs, facts)
+        accumulate small part files batch over batch; periodic compaction
+        keeps scan task counts sane — the parquet-native stand-in for a
+        lakehouse OPTIMIZE."""
+        n = target_partitions or self.spark.sparkContext.defaultParallelism
+        compacted = self.read(table).repartition(n)
+        self.overwrite(compacted, table)
+
+    def analyze(self, table: str, name: str | None = None) -> None:
+        """Register in the catalog and compute table statistics so the
+        cost-based optimizer can size joins (broadcast decisions, join
+        reordering) from real row counts instead of file-size guesses."""
+        name = name or table
+        self.register_catalog(table, name)
+        self.spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
 
     def register_catalog(self, table: str, name: str | None = None) -> None:
         """Expose a warehouse table in the session catalog so users can

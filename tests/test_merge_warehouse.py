@@ -1,0 +1,81 @@
+"""merge_into emulation + warehouse compaction/analyze tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from batch_data_pipeline_exercise_spark.operators.merge import merge_into
+from batch_data_pipeline_exercise_spark.sources.warehouse import Warehouse
+
+
+@pytest.fixture()
+def tables(spark):
+    target = spark.createDataFrame(
+        [("a", 1, "keep"), ("b", 2, "update-me"), ("c", 3, "delete-me")],
+        "id string, version int, note string",
+    )
+    source = spark.createDataFrame(
+        [("b", 20, "updated"), ("c", 30, "DELETE"), ("d", 40, "new")],
+        "id string, version int, note string",
+    )
+    return target, source
+
+
+def test_merge_update_insert_delete(spark, tables):
+    target, source = tables
+    out = merge_into(
+        target,
+        source,
+        key="id",
+        update_set={"version": F.col("s.version"), "note": F.col("s.note")},
+        delete_condition=F.col("s.note") == "DELETE",
+    )
+    rows = {r["id"]: r for r in out.collect()}
+    assert set(rows) == {"a", "b", "d"}
+    assert rows["a"]["version"] == 1 and rows["a"]["note"] == "keep"  # untouched
+    assert rows["b"]["version"] == 20 and rows["b"]["note"] == "updated"  # matched+updated
+    assert rows["d"]["version"] == 40  # inserted
+    # 'c' matched the delete condition → gone
+
+
+def test_merge_conditional_update_no_insert(spark, tables):
+    target, source = tables
+    out = merge_into(
+        target,
+        source,
+        key="id",
+        update_set={"version": F.col("s.version")},
+        update_condition=F.col("s.note") != "DELETE",
+        insert_not_matched=False,
+    )
+    rows = {r["id"]: r["version"] for r in out.collect()}
+    # 'b' passes the condition and updates; 'c' fails it and keeps 3; no 'd' insert
+    assert rows == {"a": 1, "b": 20, "c": 3}
+
+
+def test_merge_is_idempotent_for_same_source(spark, tables):
+    target, source = tables
+    once = merge_into(target, source, key="id", update_set={"version": F.col("s.version"), "note": F.col("s.note")})
+    twice = merge_into(once, source, key="id", update_set={"version": F.col("s.version"), "note": F.col("s.note")})
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_warehouse_compact_and_analyze(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path))
+    df = spark.range(0, 1000).select(F.col("id"), (F.col("id") % 7).alias("g"))
+    # simulate many small appended files
+    for i in range(5):
+        wh.append(df.repartition(4), "t")
+    import glob
+
+    n_before = len(glob.glob(f"{tmp_path}/t/*.parquet"))
+    wh.compact("t", target_partitions=2)
+    n_after = len(glob.glob(f"{tmp_path}/t/*.parquet"))
+    assert n_after < n_before and n_after <= 2
+    assert wh.read("t").count() == 5000
+
+    wh.analyze("t", "t_stats")
+    stats = spark.sql("DESCRIBE TABLE EXTENDED t_stats").collect()
+    assert any("Statistics" in r["col_name"] for r in stats)
+    spark.sql("DROP TABLE t_stats")
