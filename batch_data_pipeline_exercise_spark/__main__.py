@@ -1,0 +1,143 @@
+"""CLI — the operational entry point replacing the reference's Airflow
+triggers (``airflow dags trigger`` / REST POST, reference
+``docs/cheat-sheets/airflow.md:8-15``).
+
+Usage:
+    python -m batch_data_pipeline_exercise_spark init --warehouse DIR
+    python -m batch_data_pipeline_exercise_spark run --feed products|orders|inventory \
+        --csv FILE --ts "YYYY-MM-DD HH:MM:SS" --warehouse DIR
+    python -m batch_data_pipeline_exercise_spark metric --name NAME \
+        --as-of "YYYY-MM-DD HH:MM:SS" --warehouse DIR
+
+Metrics print as JSON lines (one per row) — pipeable, diffable, and the
+same functions Metabase-style BI would call as a library.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import functions as F
+
+
+def _spark():
+    from batch_data_pipeline_exercise_spark.session import get_spark
+
+    spark = get_spark(app_name="bdpe-spark-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def _print_df(df) -> None:
+    for row in df.toJSON().collect():
+        print(row)
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="batch_data_pipeline_exercise_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p_init = sub.add_parser("init", help="create dim_dates (idempotent)")
+    p_init.add_argument("--warehouse", required=True)
+
+    p_run = sub.add_parser("run", help="process one daily feed drop")
+    p_run.add_argument("--feed", required=True, choices=["products", "orders", "inventory"])
+    p_run.add_argument("--csv", required=True)
+    p_run.add_argument("--ts", required=True, help="batch timestamp, YYYY-MM-DD HH:MM:SS")
+    p_run.add_argument("--warehouse", required=True)
+
+    p_met = sub.add_parser("metric", help="compute one analytics metric")
+    p_met.add_argument(
+        "--name",
+        required=True,
+        choices=[
+            "current_orders_by_status",
+            "orders_created_per_quarter",
+            "orders_created_per_quarter_category",
+            "retained_orders",
+            "monthly_created_not_completed",
+            "daily_stock_by_category",
+            "month_end_stock_by_category",
+        ],
+    )
+    p_met.add_argument("--as-of", dest="as_of", default=None)
+    p_met.add_argument("--date-from", dest="date_from", default=None)
+    p_met.add_argument("--date-to", dest="date_to", default=None)
+    p_met.add_argument("--warehouse", required=True)
+
+    args = ap.parse_args(argv)
+    from batch_data_pipeline_exercise_spark.plans import metrics
+    from batch_data_pipeline_exercise_spark.plans.inventory import forward_fill_daily
+    from batch_data_pipeline_exercise_spark.plans.pipeline import Pipeline
+
+    spark = _spark()
+    pipe = Pipeline(spark, args.warehouse)
+
+    if args.cmd == "init":
+        pipe.init_dates()
+        print(json.dumps({"ok": True, "dim_dates_rows": pipe.wh.read("dim_dates").count()}))
+        return 0
+
+    if args.cmd == "run":
+        if not pipe.wh.exists("dim_dates"):
+            pipe.init_dates()
+        getattr(pipe, f"run_{args.feed}")(args.csv, ts=args.ts)
+        print(json.dumps({"ok": True, "feed": args.feed, "ts": args.ts}))
+        return 0
+
+    if args.cmd == "metric":
+        wh = pipe.wh
+        name = args.name
+        needed = {
+            "current_orders_by_status": ["dim_orders"],
+            "orders_created_per_quarter": ["fact_orders_created", "dim_dates"],
+            "orders_created_per_quarter_category": ["fact_orders_created", "dim_products", "dim_dates"],
+            "retained_orders": ["fact_orders_created", "dim_orders"],
+            "monthly_created_not_completed": ["fact_orders_created", "dim_orders"],
+            "daily_stock_by_category": ["fact_inventory", "dim_products"],
+            "month_end_stock_by_category": ["fact_inventory", "dim_products", "dim_dates"],
+        }[name]
+        missing = [t for t in needed if not wh.exists(t)]
+        if missing:
+            print(
+                json.dumps(
+                    {"ok": False, "error": f"warehouse tables missing: {missing}; run the feeds first"}
+                ),
+                file=sys.stderr,
+            )
+            return 2
+        if name == "current_orders_by_status":
+            df = metrics.current_orders_by_status(wh.read("dim_orders"), args.as_of)
+        elif name == "orders_created_per_quarter":
+            df = metrics.orders_created_per_quarter(wh.read("fact_orders_created"), wh.read("dim_dates"))
+        elif name == "orders_created_per_quarter_category":
+            df = metrics.orders_created_per_quarter_category(
+                wh.read("fact_orders_created"), wh.read("dim_products"), wh.read("dim_dates")
+            )
+        elif name == "retained_orders":
+            df = metrics.retained_orders(wh.read("fact_orders_created"), wh.read("dim_orders"), args.as_of)
+        elif name == "monthly_created_not_completed":
+            df = metrics.monthly_created_not_completed(wh.read("fact_orders_created"), wh.read("dim_orders"))
+        else:
+            daily = forward_fill_daily(
+                wh.read("fact_inventory").select(
+                    "product_id", F.col("snapshot_date").alias("date"), "amount"
+                ),
+                horizon=args.date_to,
+            )
+            if name == "daily_stock_by_category":
+                df = metrics.daily_stock_by_category(daily, wh.read("dim_products"), args.date_from, args.date_to)
+            else:
+                df = metrics.month_end_stock_by_category(
+                    daily, wh.read("dim_products"), wh.read("dim_dates"), args.date_from, args.date_to
+                )
+        _print_df(df)
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
