@@ -15,8 +15,10 @@ sort — linear, skew-handled by AQE, no per-key blowup, no join-back.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def as_of_join(
@@ -76,3 +78,56 @@ def as_of_join(
         *[F.col("__last_r").getField(c).alias(f"{right_prefix}{c}") for c in rvals],
     )
     return out
+
+
+def as_of_join_pandas(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_prefix: str = "",
+    strict: bool = False,
+) -> DataFrame:
+    """Grouped-map alternative: ``pd.merge_asof`` per key via
+    ``applyInPandas`` (the pattern the Spark docs suggest for as-of).
+
+    Same semantics as ``as_of_join`` for unique right timestamps (ties
+    resolve by merge_asof's last-wins rule rather than an explicit
+    tie-break column). Kept as (a) a cross-check oracle for the
+    union+window implementation and (b) the template for per-group pandas
+    logic that SQL can't express. Scale: one shuffle on the key, then
+    per-group pandas — fine when single keys fit in memory; the
+    union+window form has no such per-key bound and stays the default.
+    """
+    lcols, rvals = left.columns, [c for c in right.columns if c != on]
+    out_fields = [left.schema[c] for c in lcols] + [
+        T.StructField(f"{right_prefix}{c}", right.schema[c].dataType) for c in rvals
+    ]
+    schema = T.StructType(out_fields)
+    tagged = left.select(F.lit(0).alias("__side"), *[F.col(c) for c in lcols]).unionByName(
+        right.select(
+            F.lit(1).alias("__side"),
+            *[F.col(on)] ,
+            *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c != on],
+            *[F.col(c) for c in rvals],
+        ),
+        allowMissingColumns=True,
+    )
+
+    def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
+        lpdf = pdf[pdf["__side"] == 0][lcols].sort_values(left_ts)
+        rpdf = pdf[pdf["__side"] == 1][[on, *rvals]].sort_values(right_ts)
+        if lpdf.empty:
+            return pd.DataFrame(columns=[f.name for f in out_fields])
+        merged = pd.merge_asof(
+            lpdf,
+            rpdf.drop(columns=[on]),
+            left_on=left_ts,
+            right_on=right_ts,
+            allow_exact_matches=not strict,
+        )
+        merged.columns = [f.name for f in out_fields]
+        return merged
+
+    return tagged.groupBy(on).applyInPandas(per_key, schema=schema)

@@ -180,6 +180,25 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+def char_shingles(
+    df: DataFrame, id_col: str, text_col: str = "text", n: int = 5, distinct: bool = True
+) -> DataFrame:
+    """Character n-gram shingles — the CJK-safe variant.
+
+    Word shingles assume whitespace tokenization, which CJK text (present
+    in the reference's sample data) doesn't have; character n-grams are
+    the standard fallback. Same output contract as ``word_shingles``, so
+    every downstream stage (minhash, LSH, Jaccard) composes unchanged.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), "\\s+", " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.length(norm) - n + 1, F.lit(1)))
+    shingles = F.transform(idx, lambda i: F.substring(norm, i, n))
+    out = df.select(F.col(id_col).alias("id"), F.explode(shingles).alias("shingle")).filter(
+        F.length("shingle") > 0
+    )
+    return out.distinct() if distinct else out
+
+
 def _hex_digit_val(hexstr: Column, pos: int) -> Column:
     """Value 0-15 of the pos-th (1-based) hex char — portable string op."""
     return (F.instr(F.lit("0123456789abcdef"), F.substring(hexstr, pos, 1)) - 1).cast("int")

@@ -95,3 +95,22 @@ def test_as_of_join_matches_naive_range_join(spark):
     )
     naive_map = {r["lid"]: r["rid"] for r in naive.collect()}
     assert fast_map == naive_map
+
+
+def test_as_of_join_pandas_matches_window_impl(spark):
+    """Cross-check the applyInPandas merge_asof variant against the
+    union+window implementation on a random batch (unique right ts)."""
+    import random
+
+    from batch_data_pipeline_exercise_spark.operators.asof import as_of_join_pandas
+
+    rng = random.Random(11)
+    lrows = [(f"k{rng.randint(0, 10)}", dt.datetime(2021, 1, 1) + dt.timedelta(minutes=rng.randint(0, 2000)), i) for i in range(200)]
+    rmins = rng.sample(range(4000), 200)  # unique timestamps
+    rrows = [(f"k{i % 11}", dt.datetime(2021, 1, 1) + dt.timedelta(minutes=rmins[i]), i) for i in range(200)]
+    left = spark.createDataFrame(lrows, "k string, lt timestamp, lid int")
+    right = spark.createDataFrame(rrows, "k string, rt timestamp, rid int")
+
+    fast = {r["lid"]: r["rid"] for r in as_of_join(left, right, on="k", left_ts="lt", right_ts="rt").collect()}
+    pdv = {r["lid"]: r["rid"] for r in as_of_join_pandas(left, right, on="k", left_ts="lt", right_ts="rt").collect()}
+    assert fast == pdv

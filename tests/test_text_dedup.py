@@ -91,3 +91,28 @@ def test_fingerprint(spark, docs):
     assert out[1]["fingerprint"] == out[2]["fingerprint"]
     assert out[1]["fingerprint"] != out[3]["fingerprint"]  # raw differs
     assert out[1]["fingerprint_norm"] == out[3]["fingerprint_norm"]  # normalized matches
+
+
+def test_char_shingles_cjk_near_dup(spark):
+    """CJK text has no whitespace — character shingles make minhash work
+    where word shingles see one giant token."""
+    zh = spark.createDataFrame(
+        [
+            (1, "数据管道每天处理批量订单事件并构建维度模型与事实表"),
+            (2, "数据管道每天处理批量订单事件并构建维度模型和事实表"),  # one char differs
+            (3, "完全不同的内容讲述机器学习训练样本的去重方法与策略"),
+        ],
+        "doc_id int, text string",
+    )
+    sh = dedup.char_shingles(zh, "doc_id", n=5)
+    sig = dedup.minhash_signatures(sh, k=32)
+    cand = dedup.lsh_candidate_pairs(dedup.lsh_band_keys(sig, bands=8, rows=4))
+    pairs = {(r["id1"], r["id2"]) for r in cand.collect()}
+    assert (1, 2) in pairs
+    jac = {(r["id1"], r["id2"]): r["jaccard"] for r in dedup.exact_jaccard(cand, sh).collect()}
+    assert jac[(1, 2)] > 0.6
+    assert not any(3 in p for p in pairs)
+
+    # word shingles would lump each doc into ONE shingle — no resolution
+    word_sh = dedup.word_shingles(zh, "doc_id")
+    assert word_sh.groupBy("id").count().agg(F.max("count")).first()[0] == 1
