@@ -81,18 +81,9 @@ class Pipeline:
         self.wh.overwrite(stg, "stg_orders")
         stg = self.wh.read("stg_orders")
 
-        # bronze event log: append only events not already present.
-        # NULL keys are rejected (NOT NULL contract; a NULL id/event_time
-        # could never anti-join-match and would re-append every run)
-        prev_log = self.wh.read("events_orders") if self.wh.exists("events_orders") else None
-        fresh = stg.filter(F.col("id").isNotNull() & F.col("event_time").isNotNull()).dropDuplicates(
-            ["id", "event_time"]
-        )
-        if prev_log is not None:
-            fresh = fresh.join(prev_log.select("id", "event_time"), ["id", "event_time"], "left_anti")
-            self.wh.append(fresh, "events_orders")
-        else:
-            self.wh.overwrite(fresh, "events_orders")
+        # bronze event log: append-once on (id, event_time) — the
+        # reference's uniqueness contract (README.md:41)
+        self.wh.append_once(stg, "events_orders", keys=["id", "event_time"])
 
         # dim_orders: deterministic rebuild from the full log (M2)
         log = self.wh.read("events_orders")
@@ -138,14 +129,6 @@ class Pipeline:
         stg = read_csv_feed(
             self.spark, csv_path, schemas.INVENTORY_FEED, ts, renames={"productId": "product_id"}
         ).withColumnRenamed("date", "snapshot_date")
-        existing = self.wh.read("fact_inventory") if self.wh.exists("fact_inventory") else None
-        fresh = stg.filter(F.col("product_id").isNotNull() & F.col("snapshot_date").isNotNull()).dropDuplicates(
-            ["product_id", "snapshot_date"]
+        self.wh.append_once(
+            stg, "fact_inventory", keys=["product_id", "snapshot_date"], partition_by=["snapshot_date"]
         )
-        if existing is not None:
-            fresh = fresh.join(
-                existing.select("product_id", "snapshot_date"), ["product_id", "snapshot_date"], "left_anti"
-            )
-            self.wh.append(fresh, "fact_inventory", partition_by=["snapshot_date"])
-        else:
-            self.wh.overwrite(fresh, "fact_inventory", partition_by=["snapshot_date"])

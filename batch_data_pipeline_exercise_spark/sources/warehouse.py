@@ -7,11 +7,10 @@ there are no constraints and no UPDATE, so the layer contract is:
 - staging: ``overwrite`` per batch (truncate-reload equivalent),
 - dimensions: deterministic rebuild + atomic overwrite (SCD2, see
   ``operators/scd2.py``),
-- facts: append with anti-join idempotency (``operators/facts.py``).
+- facts/bronze logs: ``append_once`` (NULL-key rejection + composite-key
+  dedup + anti-join idempotency).
 
-Writes go through a temp-dir + rename-free overwrite (Spark's dynamic
-overwrite handles atomicity at the partition level); fact tables are
-partitioned by date for pruning at scale.
+Fact tables are partitioned by date for pruning at scale.
 """
 
 from __future__ import annotations
@@ -19,6 +18,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class Warehouse:
@@ -31,35 +31,71 @@ class Warehouse:
     def path(self, table: str) -> str:
         return os.path.join(self.root, table)
 
+    def _fs(self, path: str):
+        jvm = self.spark.sparkContext._jvm  # type: ignore[union-attr]
+        conf = self.spark.sparkContext._jsc.hadoopConfiguration()  # type: ignore[union-attr]
+        P = jvm.org.apache.hadoop.fs.Path
+        return P, P(path).getFileSystem(conf)
+
+    def _recover(self, table: str) -> None:
+        """Finish an interrupted overwrite swap: if the table directory is
+        missing but ``__bak`` survives (crash between the two renames),
+        restore it before anything else looks at the table."""
+        target, bak = self.path(table), self.path(table) + "__bak"
+        P, fs = self._fs(target)
+        if not fs.exists(P(target)) and fs.exists(P(bak)):
+            fs.rename(P(bak), P(target))
+
     def exists(self, table: str) -> bool:
         from batch_data_pipeline_exercise_spark.sources.csv_feed import feed_exists
 
+        self._recover(table)
         return feed_exists(self.spark, os.path.join(self.path(table), "*.parquet")) or feed_exists(
             self.spark, os.path.join(self.path(table), "_SUCCESS")
         )
 
     def read(self, table: str) -> DataFrame:
+        self._recover(table)
         return self.spark.read.parquet(self.path(table))
 
+    def partition_columns(self, table: str) -> list[str]:
+        """Partition columns of an existing table, discovered from the
+        Hive-style ``col=value`` directory chain."""
+        cols: list[str] = []
+        path = self.path(table)
+        P, fs = self._fs(path)
+        while True:
+            if not fs.exists(P(path)):
+                break
+            subdirs = [
+                s.getPath().getName()
+                for s in fs.listStatus(P(path))
+                if s.isDirectory() and "=" in s.getPath().getName()
+            ]
+            if not subdirs:
+                break
+            col = subdirs[0].split("=", 1)[0]
+            cols.append(col)
+            path = os.path.join(path, subdirs[0])
+        return cols
+
     def overwrite(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> None:
-        """Overwrite via temp-dir + rename.
+        """Overwrite via temp-dir + crash-safe rename swap.
 
         SCD2 rebuilds read the current dim and replace it; writing straight
         back to the source path would fail ("cannot overwrite a path that
-        is also being read from") or corrupt it mid-job. Writing to
-        ``<path>__tmp`` and renaming makes the swap safe and near-atomic.
-        """
+        is also being read from"). Sequence: write ``__tmp`` → rename old
+        to ``__bak`` → rename ``__tmp`` in → drop ``__bak``. A crash at
+        any point leaves either the old or the new data recoverable;
+        ``_recover`` (run by every read/exists) restores ``__bak`` if the
+        swap died in the middle."""
+        self._recover(table)
         target, tmp, bak = self.path(table), self.path(table) + "__tmp", self.path(table) + "__bak"
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(tmp)
-        jvm = self.spark.sparkContext._jvm  # type: ignore[union-attr]
-        conf = self.spark.sparkContext._jsc.hadoopConfiguration()  # type: ignore[union-attr]
-        P = jvm.org.apache.hadoop.fs.Path
-        fs = P(target).getFileSystem(conf)
-        # crash-safe swap: old data survives as __bak until the new data is
-        # in place (a crash mid-swap loses nothing; next run cleans up)
+        P, fs = self._fs(target)
         if fs.exists(P(bak)):
             fs.delete(P(bak), True)
         if fs.exists(P(target)):
@@ -67,6 +103,9 @@ class Warehouse:
         fs.rename(P(tmp), P(target))
         if fs.exists(P(bak)):
             fs.delete(P(bak), True)
+        # registered catalog tables cache file listings; the swap just
+        # invalidated them
+        self.spark.catalog.refreshByPath(target)
 
     def append(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> None:
         """Append, conforming to the existing table's column order.
@@ -82,16 +121,53 @@ class Warehouse:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(self.path(table))
+        self.spark.catalog.refreshByPath(self.path(table))
+
+    def append_once(
+        self,
+        df: DataFrame,
+        table: str,
+        keys: list[str],
+        partition_by: list[str] | None = None,
+    ) -> None:
+        """Append-once discipline for fact/bronze tables (the engine's
+        UNIQUE + ON CONFLICT DO NOTHING, reference
+        ``process_orders_sqls.py:146``):
+
+        1. reject NULL-key rows (they could never anti-join-match and
+           would re-append forever — and the keys are NOT NULL by
+           contract);
+        2. dedup within the batch on the composite key;
+        3. anti-join away rows already present;
+        4. append (or create on first write).
+
+        Re-running with the same input is a no-op.
+        """
+        cond = F.lit(True)
+        for k in keys:
+            cond = cond & F.col(k).isNotNull()
+        fresh = df.filter(cond).dropDuplicates(keys)
+        if self.exists(table):
+            fresh = fresh.join(self.read(table).select(*keys), keys, "left_anti")
+            self.append(fresh, table, partition_by)
+        else:
+            self.overwrite(fresh, table, partition_by)
 
     def compact(self, table: str, target_partitions: int | None = None) -> None:
-        """Rewrite a table into ``target_partitions`` files (default: the
-        session's parallelism). Append-heavy tables (bronze logs, facts)
-        accumulate small part files batch over batch; periodic compaction
-        keeps scan task counts sane — the parquet-native stand-in for a
-        lakehouse OPTIMIZE."""
+        """Rewrite a table into ``target_partitions`` files per partition
+        directory (default: session parallelism for the whole table).
+        Append-heavy tables accumulate small part files batch over batch;
+        periodic compaction keeps scan task counts sane — the
+        parquet-native stand-in for a lakehouse OPTIMIZE. Hive-style
+        partitioning is detected and preserved."""
         n = target_partitions or self.spark.sparkContext.defaultParallelism
-        compacted = self.read(table).repartition(n)
-        self.overwrite(compacted, table)
+        parts = self.partition_columns(table)
+        df = self.read(table)
+        if parts:
+            compacted = df.repartition(*[F.col(c) for c in parts])
+            self.overwrite(compacted, table, partition_by=parts)
+        else:
+            self.overwrite(df.repartition(n), table)
 
     def analyze(self, table: str, name: str | None = None) -> None:
         """Register in the catalog and compute table statistics so the

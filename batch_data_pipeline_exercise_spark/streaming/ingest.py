@@ -23,10 +23,17 @@ from batch_data_pipeline_exercise_spark import schemas
 def stream_order_events(
     spark: SparkSession,
     raw_dir: str,
-    watermark: str = "30 days",
+    watermark: str | None = None,
 ) -> DataFrame:
     """Streaming read of order-event CSV drops (``orders_*.csv``) with
-    event-time watermark + duplicate-delivery suppression.
+    duplicate-delivery suppression.
+
+    ``watermark=None`` (default) matches BATCH semantics exactly: the
+    reference's events can arrive YEARS late (its 2020-05-23 sample holds
+    2018 timestamps), and any finite watermark would silently drop such
+    backfills that ``Pipeline.run_orders`` keeps. The cost is unbounded
+    dedup state — pass a watermark only when late arrivals are genuinely
+    bounded and state size matters.
 
     Returns an unbounded DataFrame; pair with ``write_bronze`` to land it.
     """
@@ -40,6 +47,8 @@ def stream_order_events(
         .withColumnRenamed("timestamp", "event_time")
         .withColumn("processed_time", F.current_timestamp())
     )
+    if watermark is None:
+        return stream.dropDuplicates(["id", "event_time"])
     return stream.withWatermark("event_time", watermark).dropDuplicatesWithinWatermark(["id", "event_time"])
 
 
@@ -73,7 +82,7 @@ def streaming_sessions(
     spark: SparkSession,
     raw_dir: str,
     gap: str = "30 minutes",
-    watermark: str = "30 days",
+    watermark: str | None = None,
 ) -> DataFrame:
     """Native event-time sessionization: ``session_window`` groups events
     into variable-length windows closed after ``gap`` of inactivity —
@@ -95,7 +104,7 @@ def streaming_sessions(
 def streaming_status_counts(
     spark: SparkSession,
     raw_dir: str,
-    watermark: str = "30 days",
+    watermark: str | None = None,
     window_duration: str = "1 day",
 ) -> DataFrame:
     """Windowed event-time aggregation over the order feed: per-day counts

@@ -79,3 +79,48 @@ def test_warehouse_compact_and_analyze(spark, tmp_path):
     stats = spark.sql("DESCRIBE TABLE EXTENDED t_stats").collect()
     assert any("Statistics" in r["col_name"] for r in stats)
     spark.sql("DROP TABLE t_stats")
+
+
+def test_warehouse_crash_recovery(spark, tmp_path):
+    """A crash between the swap renames leaves only __bak; the next access
+    must restore it, not treat the table as missing."""
+    import shutil
+
+    wh = Warehouse(spark, str(tmp_path))
+    wh.overwrite(spark.range(0, 100).toDF("id"), "t")
+    # simulate dying after rename(target -> bak), before rename(tmp -> target)
+    shutil.move(f"{tmp_path}/t", f"{tmp_path}/t__bak")
+    assert wh.exists("t")  # recovery kicked in
+    assert wh.read("t").count() == 100
+    import os
+
+    assert not os.path.exists(f"{tmp_path}/t__bak")
+
+
+def test_compact_preserves_partitioning(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path))
+    df = spark.range(0, 200).select(F.col("id"), (F.col("id") % 3).cast("string").alias("day"))
+    for _ in range(3):
+        wh.append(df, "t", partition_by=["day"])
+    assert wh.partition_columns("t") == ["day"]
+    wh.compact("t")
+    assert wh.partition_columns("t") == ["day"]  # layout preserved
+    assert wh.read("t").count() == 600
+    # and a further partitioned append still works
+    wh.append(df, "t", partition_by=["day"])
+    assert wh.read("t").count() == 800
+
+
+def test_append_once_composite_key(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path))
+    df = spark.createDataFrame(
+        [("a", 1, "x"), ("a", 1, "x-dup"), ("b", 2, "y"), (None, 3, "bad")],
+        "k1 string, k2 int, v string",
+    )
+    wh.append_once(df, "t", keys=["k1", "k2"])
+    assert wh.read("t").count() == 2  # dup collapsed, NULL key dropped
+    wh.append_once(df, "t", keys=["k1", "k2"])
+    assert wh.read("t").count() == 2  # rerun is a no-op
+    more = spark.createDataFrame([("c", 9, "z")], "k1 string, k2 int, v string")
+    wh.append_once(more, "t", keys=["k1", "k2"])
+    assert wh.read("t").count() == 3
