@@ -27,6 +27,10 @@ class Warehouse:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
+        # catalog names registered through this Warehouse, per table —
+        # overwrites must REFRESH TABLE them (refreshByPath alone does NOT
+        # invalidate a catalog table's cached relation)
+        self._catalog_names: dict[str, set[str]] = {}
 
     def path(self, table: str) -> str:
         return os.path.join(self.root, table)
@@ -103,9 +107,7 @@ class Warehouse:
         fs.rename(P(tmp), P(target))
         if fs.exists(P(bak)):
             fs.delete(P(bak), True)
-        # registered catalog tables cache file listings; the swap just
-        # invalidated them
-        self.spark.catalog.refreshByPath(target)
+        self._refresh(table)
 
     def append(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> None:
         """Append, conforming to the existing table's column order.
@@ -121,7 +123,7 @@ class Warehouse:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(self.path(table))
-        self.spark.catalog.refreshByPath(self.path(table))
+        self._refresh(table)
 
     def append_once(
         self,
@@ -187,3 +189,16 @@ class Warehouse:
         self.spark.sql(
             f"CREATE TABLE IF NOT EXISTS {name} USING parquet LOCATION '{self.path(table)}'"
         )
+        self._catalog_names.setdefault(table, set()).add(name)
+
+    def _refresh(self, table: str) -> None:
+        """Invalidate cached file listings after a write: the path cache
+        for DataFrame readers, plus REFRESH TABLE for every catalog name
+        registered over this table (a swapped directory otherwise serves
+        FAILED_READ_FILE from the stale relation cache)."""
+        self.spark.catalog.refreshByPath(self.path(table))
+        for name in self._catalog_names.get(table, ()):
+            try:
+                self.spark.catalog.refreshTable(name)
+            except Exception:
+                pass  # table was dropped externally — nothing to refresh

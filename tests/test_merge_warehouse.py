@@ -124,3 +124,15 @@ def test_append_once_composite_key(spark, tmp_path):
     more = spark.createDataFrame([("c", 9, "z")], "k1 string, k2 int, v string")
     wh.append_once(more, "t", keys=["k1", "k2"])
     assert wh.read("t").count() == 3
+
+
+def test_catalog_refresh_after_overwrite(spark, tmp_path):
+    """An overwrite swap must refresh registered catalog tables — the
+    relation cache otherwise serves FAILED_READ_FILE from deleted parts."""
+    wh = Warehouse(spark, str(tmp_path))
+    wh.overwrite(spark.range(0, 50).toDF("id"), "t")
+    wh.register_catalog("t", "t_refresh_cat")
+    assert spark.sql("SELECT COUNT(*) c FROM t_refresh_cat").first()["c"] == 50
+    wh.overwrite(spark.range(0, 75).toDF("id"), "t")
+    assert spark.sql("SELECT COUNT(*) c FROM t_refresh_cat").first()["c"] == 75
+    spark.sql("DROP TABLE t_refresh_cat")
