@@ -67,16 +67,24 @@ def word_shingles(
 def minhash_signatures(shingles: DataFrame, k: int = 32) -> DataFrame:
     """(id, sig: array<string>[k]).
 
-    The k hashes are computed once per DISTINCT shingle (the dictionary is
-    far smaller than the doc×shingle pair set — shingles repeat across
-    documents), then joined back and min-aggregated per doc. Same result
-    as hashing per pair, ~k× less md5 work; the join is equi on the
-    shingle and AQE broadcasts the dictionary when it is small.
+    Two cost levers, both result-identical to the naive form:
+
+    - hashes are computed once per DISTINCT shingle (the dictionary is
+      far smaller than the doc×shingle pair set — shingles repeat across
+      documents), then joined back and min-aggregated per doc; the join
+      is equi on the shingle and the dictionary broadcasts;
+    - each md5 yields FOUR signature components (8 hex chars = 32 bits
+      apiece — fixed-width lowercase hex, so lexicographic min ≡ numeric
+      min), quartering the md5 count. 32-bit minhash components are
+      standard (collision odds within a doc's shingle set are ~n²/2³²).
     """
+    assert k % 4 == 0
     sh_dict = shingles.select("shingle").distinct().select(
         "shingle",
         *[
-            F.substring(F.md5(F.concat_ws("§", F.lit(str(i)), F.col("shingle"))), 1, 16).alias(f"g{i}")
+            F.substring(
+                F.md5(F.concat_ws("§", F.lit(str(i // 4)), F.col("shingle"))), 1 + 8 * (i % 4), 8
+            ).alias(f"g{i}")
             for i in range(k)
         ],
     )

@@ -78,7 +78,7 @@ def doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     + ", "
     + _SHINGLES_CTE
     + ", sig AS (SELECT doc_id, "
-    + ", ".join(f"MIN(substr(md5('{i}§' || s), 1, 16)) AS h{i}" for i in range(32))
+    + ", ".join(f"MIN(substr(md5('{i // 4}§' || s), {1 + 8 * (i % 4)}, 8)) AS h{i}" for i in range(32))
     + " FROM sh GROUP BY doc_id) SELECT doc_id, h0 AS sig_first, h31 AS sig_last, md5("
     + " || ".join(f"h{i}" for i in range(32))
     + ") AS sig_hash FROM sig",
@@ -104,7 +104,7 @@ def doc_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     + ", "
     + _SHINGLES_CTE
     + ", sig AS (SELECT doc_id, "
-    + ", ".join(f"MIN(substr(md5('{i}§' || s), 1, 16)) AS h{i}" for i in range(32))
+    + ", ".join(f"MIN(substr(md5('{i // 4}§' || s), {1 + 8 * (i % 4)}, 8)) AS h{i}" for i in range(32))
     + " FROM sh GROUP BY doc_id), bands AS ("
     + " UNION ALL ".join(
         "SELECT doc_id, %d AS band, md5(%s) AS band_key FROM sig"
