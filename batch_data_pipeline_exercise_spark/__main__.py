@@ -99,6 +99,14 @@ def main(argv: list[str] | None = None) -> int:
             "daily_stock_by_category": ["fact_inventory", "dim_products"],
             "month_end_stock_by_category": ["fact_inventory", "dim_products", "dim_dates"],
         }[name]
+        if name in ("daily_stock_by_category", "month_end_stock_by_category") and not (
+            args.date_from and args.date_to
+        ):
+            print(
+                json.dumps({"ok": False, "error": f"{name} requires --date-from and --date-to"}),
+                file=sys.stderr,
+            )
+            return 2
         missing = [t for t in needed if not wh.exists(t)]
         if missing:
             print(

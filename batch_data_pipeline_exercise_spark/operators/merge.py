@@ -41,12 +41,16 @@ def merge_into(
     on matched rows only.
     """
     cols = target.columns
-    t, s = target.alias("t"), source.alias("s")
+    # explicit presence markers, NOT key-nullity: a NULL-key row on either
+    # side must be retained/inserted like any unmatched row, not silently
+    # classified out of existence
+    t = target.withColumn("__tp", F.lit(True)).alias("t")
+    s = source.withColumn("__sp", F.lit(True)).alias("s")
     j = t.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer")
 
-    matched = F.col(f"t.{key}").isNotNull() & F.col(f"s.{key}").isNotNull()
-    t_only = F.col(f"t.{key}").isNotNull() & F.col(f"s.{key}").isNull()
-    s_only = F.col(f"t.{key}").isNull() & F.col(f"s.{key}").isNotNull()
+    matched = F.col("t.__tp").isNotNull() & F.col("s.__sp").isNotNull()
+    t_only = F.col("t.__tp").isNotNull() & F.col("s.__sp").isNull()
+    s_only = F.col("t.__tp").isNull() & F.col("s.__sp").isNotNull()
 
     upd = update_condition if update_condition is not None else F.lit(True)
 
@@ -61,7 +65,11 @@ def merge_into(
             expr = F.when(s_only, src).otherwise(expr)
         out_cols.append(expr.alias(c))
 
-    delete = matched & delete_condition if delete_condition is not None else F.lit(False)
+    # NULL-evaluating conditions mean "not deleted" (MERGE semantics), so
+    # coalesce to FALSE — `keep & ~NULL` would otherwise drop the row
+    delete = (
+        matched & F.coalesce(delete_condition, F.lit(False)) if delete_condition is not None else F.lit(False)
+    )
     out = j.select(
         *out_cols,
         matched.alias("__m"),

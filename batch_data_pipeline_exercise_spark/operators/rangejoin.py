@@ -50,19 +50,14 @@ def range_join(
     if how == "inner":
         return p.join(iv, "__bucket").filter(pred).drop("__bucket")
     if how == "left":
-        matched = p.join(iv, "__bucket").filter(pred).drop("__bucket")
-        iv_cols = [c for c in intervals.columns]
-        # null-safe anti-join: plain column-list anti uses null-unsafe
-        # equality, so a matched point row containing a NULL would ALSO
-        # survive into the missing set and appear twice in the output
-        m = matched.select(*points.columns).dropDuplicates().alias("m")
-        pa = points.alias("p")
-        anti_cond = None
-        for c in points.columns:
-            eq = F.col(f"p.{c}").eqNullSafe(F.col(f"m.{c}"))
-            anti_cond = eq if anti_cond is None else (anti_cond & eq)
-        missing = pa.join(m, anti_cond, "left_anti").select(*[F.col(f"p.{c}").alias(c) for c in points.columns])
-        for c in iv_cols:
-            missing = missing.withColumn(c, F.lit(None).cast(dict(intervals.dtypes)[c]))
-        return matched.unionByName(missing)
+        # one left join with equi bucket + residual predicate: a matching
+        # (point, interval) pair coincides in exactly one bucket replica
+        # (the point's own), so no duplicates; unmatched points get a
+        # single NULL-padded row. Catalyst still extracts the equi key.
+        pa, ia = p.alias("p"), iv.alias("i")
+        cond = (F.col("p.__bucket") == F.col("i.__bucket")) & pred
+        return pa.join(ia, cond, "left").select(
+            *[F.col(f"p.{c}").alias(c) for c in points.columns],
+            *[F.col(f"i.{c}").alias(c) for c in intervals.columns],
+        )
     raise ValueError(f"unsupported how={how!r}")

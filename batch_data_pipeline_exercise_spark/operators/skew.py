@@ -52,7 +52,9 @@ def salted_agg(
     """
     mergers = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
     level1 = [
-        (F.count(F.lit(1)) if fn == "count" else getattr(F, fn)(col)).alias(f"__p_{name}")
+        # count('*') counts rows; count(col) must keep SQL semantics and
+        # skip NULLs of that column
+        (F.count(F.lit(1)) if (fn == "count" and col == "*") else getattr(F, fn)(col)).alias(f"__p_{name}")
         for name, (fn, col) in aggs.items()
     ]
     level2 = [
@@ -73,7 +75,12 @@ def salted_join(
     side salted deterministically, so a hot join key spreads over
     ``n_salts`` reduce tasks instead of one. Dim replication costs
     ``n_salts × |dim|`` — use when dim is too big to broadcast but far
-    smaller than the fact."""
+    smaller than the fact.
+
+    Only inner/left are supported: right/full would emit every unmatched
+    dim row once per salt replica."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports how in ('inner', 'left'), got {how!r}")
     dim_rep = dim.withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
     fact_salted = fact.withColumn("__salt", _salt(fact.columns, n_salts))
     return fact_salted.join(dim_rep, [on, "__salt"], how).drop("__salt")

@@ -100,11 +100,15 @@ class Warehouse:
             w = w.partitionBy(*partition_by)
         w.parquet(tmp)
         P, fs = self._fs(target)
+        # Hadoop rename signals failure by RETURNING FALSE, not raising —
+        # an unchecked failed swap would report success while reads serve
+        # the old data
         if fs.exists(P(bak)):
             fs.delete(P(bak), True)
-        if fs.exists(P(target)):
-            fs.rename(P(target), P(bak))
-        fs.rename(P(tmp), P(target))
+        if fs.exists(P(target)) and not fs.rename(P(target), P(bak)):
+            raise RuntimeError(f"overwrite swap failed: could not move {target} aside")
+        if not fs.rename(P(tmp), P(target)):
+            raise RuntimeError(f"overwrite swap failed: could not move new data into {target}")
         if fs.exists(P(bak)):
             fs.delete(P(bak), True)
         self._refresh(table)
@@ -166,7 +170,11 @@ class Warehouse:
         parts = self.partition_columns(table)
         df = self.read(table)
         if parts:
-            compacted = df.repartition(*[F.col(c) for c in parts])
+            # hash on (partition cols + a seeded split) so a skewed
+            # partition value spreads over several of the n shuffle tasks
+            # instead of rewriting single-threaded into one file
+            split = F.floor(F.rand(42) * F.lit(max(2, n // 4)))
+            compacted = df.repartition(n, *[F.col(c) for c in parts], split)
             self.overwrite(compacted, table, partition_by=parts)
         else:
             self.overwrite(df.repartition(n), table)

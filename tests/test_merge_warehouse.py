@@ -136,3 +136,22 @@ def test_catalog_refresh_after_overwrite(spark, tmp_path):
     wh.overwrite(spark.range(0, 75).toDF("id"), "t")
     assert spark.sql("SELECT COUNT(*) c FROM t_refresh_cat").first()["c"] == 75
     spark.sql("DROP TABLE t_refresh_cat")
+
+
+def test_merge_null_key_rows_retained(spark):
+    """NULL-key rows on either side are unmatched rows — kept / inserted,
+    never silently dropped (presence markers, not key-nullity)."""
+    target = spark.createDataFrame([(None, 1), ("a", 2)], "id string, v int")
+    source = spark.createDataFrame([(None, 10), ("b", 20)], "id string, v int")
+    out = merge_into(target, source, key="id", update_set={"v": F.col("s.v")})
+    vals = sorted([(r["id"], r["v"]) for r in out.collect()], key=repr)
+    assert (None, 1) in vals  # target NULL-key row survives
+    assert (None, 10) in vals  # source NULL-key row inserted
+    assert ("a", 2) in vals and ("b", 20) in vals
+
+
+def test_merge_null_delete_condition_keeps_row(spark):
+    target = spark.createDataFrame([("a", 1)], "id string, v int")
+    source = spark.createDataFrame([("a", None)], "id string, note string")
+    out = merge_into(target, source, key="id", delete_condition=F.col("s.note") == "DELETE")
+    assert out.count() == 1  # NULL condition = not deleted

@@ -71,3 +71,15 @@ def test_ivf_topk_recall(spark):
     assert len(exact_ids & approx_ids) >= 5
     # every returned neighbor's cosine is genuine (subset of full scoring)
     assert all(r["rank"] <= 10 for r in approx_rows)
+
+
+def test_salted_agg_count_column_skips_nulls(spark):
+    df = spark.createDataFrame([("k", 1.0), ("k", None), ("k", 3.0)], "k string, v double")
+    out = salted_agg(df, ["k"], {"rows": ("count", "*"), "vals": ("count", "v")}, n_salts=4).first()
+    assert out["rows"] == 3 and out["vals"] == 2
+
+
+def test_salted_join_rejects_full(spark, skewed):
+    dim = spark.createDataFrame([("h", "hot")], "k string, label string")
+    with pytest.raises(ValueError):
+        salted_join(skewed, dim, on="k", how="full")
