@@ -194,6 +194,23 @@ def lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "order_priority_cube",
+    oracle="""
+    SELECT o_orderstatus AS status, o_orderpriority AS priority, COUNT(*) AS order_count
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE: all 2^2 grouping combinations of status × priority with "
+    "NULL super-aggregate markers (completes rollup's A-family).",
+)
+def order_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.cube(
+        F.col("o_orderstatus").alias("status"), F.col("o_orderpriority").alias("priority")
+    ).agg(F.count(F.lit(1)).alias("order_count"))
+
+
 # ---------------------------------------------------------------------------
 # Set operations
 # ---------------------------------------------------------------------------
