@@ -313,6 +313,60 @@ def daily_event_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "order_value_quartiles",
+    oracle="""
+    SELECT o_orderkey,
+           NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile,
+           DENSE_RANK() OVER (ORDER BY o_orderpriority) AS priority_rank
+    FROM orders
+    """,
+    doc="Ranking windows beyond row_number: ntile quartiles over a global "
+    "ordering + dense_rank over priorities (W-family completion).",
+)
+def order_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w_val = Window.orderBy("o_totalprice", "o_orderkey")
+    w_pri = Window.orderBy("o_orderpriority")
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w_val).alias("quartile"),
+        F.dense_rank().over(w_pri).alias("priority_rank"),
+    )
+
+
+@register(
+    "user_event_gap_stats",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    SELECT user_id,
+           COUNT(gap_us) AS n_gaps,
+           CAST(SUM(gap_us) AS DOUBLE) / COUNT(gap_us) AS avg_gap_us,
+           MIN(gap_us) AS min_gap_us,
+           MAX(gap_us) AS max_gap_us
+    FROM gaps GROUP BY user_id
+    """,
+    doc="Inter-event gap statistics per user via lag over µs epochs — "
+    "integer arithmetic end-to-end, one double division at the surface.",
+)
+def user_event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select(
+        "user_id", (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us")
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count("gap_us").alias("n_gaps"),
+        (F.sum("gap_us").cast("double") / F.count("gap_us")).alias("avg_gap_us"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+    )
+
+
+@register(
     "top3_orders_per_customer",
     oracle="""
     SELECT o_custkey, o_orderkey, rnk FROM (
