@@ -283,6 +283,46 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "event_session_windows",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                       OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                          > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, new_session
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, sid
+    """,
+    doc="Native session_window in BATCH mode (30-min gap), oracle-checked "
+    "against the manual lag+cumsum session construction — proves the "
+    "built-in operator's [min_ts, max_ts+gap) semantics cross-engine.",
+)
+def event_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            fmt_ts(F.col("w.start")).alias("session_start"),
+            fmt_ts(F.col("w.end")).alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@register(
     "daily_event_running_value",
     oracle="""
     WITH daily AS (
