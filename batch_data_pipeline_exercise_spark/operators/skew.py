@@ -10,8 +10,8 @@ join skew at runtime, but two shapes still need explicit salting at
   combine; correct for any algebraic aggregate (sum/count/min/max).
 - **broadcast-impossible skewed join**: joining a huge skewed fact to a
   mid-size dim that exceeds the broadcast threshold. ``salted_join``
-  explodes the dim ``n_salts``× and salts the fact side randomly-but-
-  deterministically (hash-based, not rand(), so retries/re-runs stay
+  explodes the dim ``n_salts``× and salts the fact side with a seeded
+  ``rand`` (deterministic per partition layout, so task retries stay
   stable), spreading each hot key over ``n_salts`` tasks.
 """
 
