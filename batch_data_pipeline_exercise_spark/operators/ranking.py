@@ -1,0 +1,147 @@
+"""Scalable global ranking: row_number / ntile / dense_rank without an
+unpartitioned Window.
+
+``Window.orderBy(...)`` with no ``partitionBy`` funnels the entire table
+through ONE task — correct on a laptop, a scale-killer at 100 TB. These
+helpers produce identical results from a two-pass plan:
+
+1. split the ordering domain into ``num_partitions`` buckets —
+   approximate quantile boundaries on the leading order column, collected
+   ONCE and baked into the plan as literals (any monotonic bucketing
+   yields exact ranks; boundary quality only affects balance);
+2. count rows per bucket (one narrow agg; the collect is one row per
+   bucket — driver metadata, the same scheme as ``RDD.zipWithIndex``);
+3. stamp ``row_number`` per bucket (partitioned window) + the bucket's
+   cumulative offset (broadcast join).
+
+Rank correctness requires only that every row of bucket i sorts before
+every row of bucket i+1 — guaranteed because the bucket id is a
+monotonic function of the leading order column and equal values share a
+bucket. Callers should pass a TOTAL ordering (include a tiebreaker, e.g.
+the primary key) — same contract as any window ordering.
+
+Non-numeric leading columns fall back to ``repartitionByRange`` + a
+persist: range sampling is nondeterministic across jobs (observed: two
+actions over the same plan got different partition boundaries), so the
+partitioning must be materialized once and reused by both passes.
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_NUMERIC_PREFIXES = ("tinyint", "smallint", "int", "bigint", "float", "double", "decimal", "date", "timestamp")
+
+
+def _as_double(col: str, dtype: str) -> Column:
+    """Monotonic double image of an orderable column (rounding to double
+    can merge nearby values but never reorders them — merged values just
+    share a bucket)."""
+    if dtype.startswith("date"):
+        return F.col(col).cast("timestamp").cast("double")
+    return F.col(col).cast("double")
+
+
+def _ranged_with_offsets(
+    df: DataFrame, order_cols: list[str], num_partitions: int | None
+) -> tuple[DataFrame, DataFrame, int]:
+    """Attach a ``__pid`` bucket id consistent with the global ordering;
+    return (bucketed df, broadcastable (__pid → __off) offset table,
+    total row count)."""
+    spark = df.sparkSession
+    p = num_partitions or spark.sparkContext.defaultParallelism
+    lead, dtype = order_cols[0], dict(df.dtypes)[order_cols[0]]
+    if p > 1 and dtype.startswith(_NUMERIC_PREFIXES):
+        key = _as_double(lead, dtype)
+        probs = [i / p for i in range(1, p)]
+        row = df.select(F.percentile_approx(key, probs, 10_000).alias("b")).first()
+        bounds = sorted({x for x in (row["b"] or []) if x is not None})
+        pid: Column = F.lit(0)
+        for x in bounds:
+            pid = pid + F.when(key > F.lit(float(x)), 1).otherwise(0)
+        ranged = df.withColumn("__pid", F.when(F.col(lead).isNull(), F.lit(0)).otherwise(pid).cast("int"))
+    else:
+        # strings etc.: materialize ONE range partitioning for both passes
+        ranged = (
+            df.repartitionByRange(p, *[F.col(c) for c in order_cols])
+            .withColumn("__pid", F.spark_partition_id())
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+    counts = sorted(
+        (r["__pid"], r["n"])
+        for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    offsets, total = [], 0
+    for pid_val, n in counts:
+        offsets.append((pid_val, total))
+        total += n
+    off_df = spark.createDataFrame(offsets, "__pid int, __off long")
+    return ranged, off_df, total
+
+
+def _stamp(ranged: DataFrame, off_df: DataFrame, order_cols: list[str], expr_fn) -> DataFrame:
+    w = Window.partitionBy("__pid").orderBy(*[F.col(c) for c in order_cols])
+    rn = F.row_number().over(w) + F.col("__off")
+    return (
+        ranged.join(F.broadcast(off_df), "__pid")
+        .withColumn("__rank_out", expr_fn(rn))
+        .drop("__pid", "__off")
+    )
+
+
+def with_global_row_number(
+    df: DataFrame, order_cols: list[str], out_col: str = "rn", num_partitions: int | None = None
+) -> DataFrame:
+    """``row_number() OVER (ORDER BY order_cols)`` — global, bigint,
+    1-based — computed with per-bucket windows + offsets instead of a
+    single-partition global sort."""
+    ranged, off_df, _ = _ranged_with_offsets(df, order_cols, num_partitions)
+    return _stamp(ranged, off_df, order_cols, lambda rn: rn.cast("bigint")).withColumnRenamed(
+        "__rank_out", out_col
+    )
+
+
+def with_global_ntile(
+    df: DataFrame,
+    order_cols: list[str],
+    n_buckets: int,
+    out_col: str = "bucket",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``NTILE(n_buckets) OVER (ORDER BY order_cols)`` without the global
+    sort: the first ``total mod n`` tiles get ``total div n + 1`` rows,
+    the rest ``total div n`` — stamped from the scalable global row
+    number with pure arithmetic (exact NTILE semantics)."""
+    ranged, off_df, total = _ranged_with_offsets(df, order_cols, num_partitions)
+    base, rem = divmod(total, n_buckets)
+    big, small = base + 1, max(base, 1)
+    cut = rem * big
+
+    def tile(rn: Column) -> Column:
+        return (
+            F.when(rn <= cut, F.floor((rn + big - 1) / big))
+            .otherwise(F.lit(rem) + F.floor((rn - cut + small - 1) / small))
+            .cast("int")
+        )
+
+    return _stamp(ranged, off_df, order_cols, tile).withColumnRenamed("__rank_out", out_col)
+
+
+def dense_rank_map(
+    df: DataFrame, col: str, out_col: str = "rank", num_partitions: int | None = None
+) -> DataFrame:
+    """(value → dense rank) lookup table for ``col``: rank the DISTINCT
+    values with the scalable row number. Sized by distinct cardinality —
+    meant for enum-like columns where the map broadcasts."""
+    return with_global_row_number(df.select(col).distinct(), [col], out_col, num_partitions)
+
+
+def with_global_dense_rank(
+    df: DataFrame, col: str, out_col: str = "rank", num_partitions: int | None = None
+) -> DataFrame:
+    """``DENSE_RANK() OVER (ORDER BY col)`` via a broadcast join against
+    ``dense_rank_map`` — one narrow distinct + a map-side stamp, no
+    global sort of the full table."""
+    return df.join(F.broadcast(dense_rank_map(df, col, out_col, num_partitions)), col)

@@ -89,12 +89,17 @@ def cosine_topk_lsh(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates limited to the query's LSH bucket.
     Recall < 1 by design; expected bucket size is n/2^planes, so cost per
     query drops exponentially with n_planes. Same output schema as the
-    brute-force variant."""
-    dim = len(embeddings.select(vec_col).first()[0])
+    brute-force variant.
+
+    Pass ``dim`` explicitly in pipelines — the ``.first()`` fallback costs
+    one extra Spark action to probe the vector width."""
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
     planes = hyperplanes(dim, n_planes, seed)
     e = with_lsh_bucket(
         embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v")), planes, "__v", "eb"
@@ -120,22 +125,27 @@ def ivf_assign(
     n_cells: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """IVF-style cell assignment with deterministic centroids.
+    """IVF-style cell assignment.
 
-    Centroids are the ``n_cells`` lowest-id vectors (deterministic, no
-    iterative k-means — at 100 TB you'd train real centroids offline and
-    pass them in the same way). Each vector is assigned to its
-    highest-cosine centroid via a broadcast of the centroid table + one
-    ranking window. Returns (assigned, centroids): ``assigned`` adds a
-    ``cell`` column.
+    ``centroids`` (columns: cell, vector) can be passed in — at 100 TB
+    you'd train real centroids offline (k-means on a sample) and supply
+    them here. Default: the ``n_cells`` lowest-id vectors, selected with
+    ``orderBy().limit()`` — planned as TakeOrderedAndProject (per-partition
+    top-N + driver merge of N×P rows), never a single-partition global
+    sort. Each vector is assigned to its highest-cosine centroid via a
+    broadcast of the centroid table + one per-vector ranking window.
+    Returns (assigned, centroids): ``assigned`` adds a ``cell`` column.
     """
-    w_c = Window.orderBy(F.col(id_col))
-    centroids = (
-        embeddings.withColumn("__rn", F.row_number().over(w_c))
-        .filter(F.col("__rn") <= n_cells)
-        .select(F.col(id_col).alias("cell"), F.col(vec_col).cast("array<double>").alias("__c"))
-    )
+    if centroids is None:
+        centroids = (
+            embeddings.orderBy(F.col(id_col))
+            .limit(n_cells)
+            .select(F.col(id_col).alias("cell"), F.col(vec_col).cast("array<double>").alias("__c"))
+        )
+    elif "__c" not in centroids.columns:  # external (cell, vec_col) table
+        centroids = centroids.select("cell", F.col(vec_col).cast("array<double>").alias("__c"))
     scored = (
         embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v"))
         .join(F.broadcast(centroids))
@@ -160,12 +170,13 @@ def cosine_topk_ivf(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via inverted-file probing: each query scans only
     its ``n_probe`` nearest cells (≈ n_probe/n_cells of the corpus).
     Same output schema as the brute-force variant; recall grows with
-    n_probe."""
-    assigned, centroids = ivf_assign(embeddings, n_cells, id_col, vec_col)
+    n_probe. ``centroids`` as in ``ivf_assign``."""
+    assigned, centroids = ivf_assign(embeddings, n_cells, id_col, vec_col, centroids)
     q = queries.select(F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("__q"))
     q_cells = (
         q.join(F.broadcast(centroids))
@@ -196,11 +207,16 @@ def embedding_near_dup_pairs(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH bucket self-join (near
     duplicates almost surely share all sign bits), verified by exact
-    cosine ≥ threshold. Output (id1, id2, cosine)."""
-    dim = len(embeddings.select(vec_col).first()[0])
+    cosine ≥ threshold. Output (id1, id2, cosine).
+
+    Pass ``dim`` explicitly in pipelines — the ``.first()`` fallback costs
+    one extra Spark action to probe the vector width."""
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
     planes = hyperplanes(dim, n_planes, seed)
     b = with_lsh_bucket(embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v")), planes, "__v")
     a, c = b.alias("a"), b.alias("b")

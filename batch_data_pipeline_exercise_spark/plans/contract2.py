@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from batch_data_pipeline_exercise_spark.operators import ranking
 from batch_data_pipeline_exercise_spark.operators.scd2 import scd2_snapshot_merge
 from batch_data_pipeline_exercise_spark.plans.contract import dec, fmt_ts, load, register
 
@@ -98,7 +99,7 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "event_props_json",
     oracle="""
     SELECT event_type,
-           SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS k_sum,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum,
            MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS k_max,
            COUNT(*) AS n
     FROM events GROUP BY event_type
@@ -287,9 +288,13 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH flagged AS (
       SELECT user_id, ts,
+             -- >= not >: Spark's session_window is half-open
+             -- [start, last_ts + gap), so an event EXACTLY gap after its
+             -- predecessor starts a NEW session — the oracle must agree
+             -- at the boundary
              CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                        OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                          > INTERVAL 30 MINUTE
+                          >= INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_session
       FROM events
     ), sessions AS (
@@ -361,16 +366,18 @@ def daily_event_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     """,
     doc="Ranking windows beyond row_number: ntile quartiles over a global "
-    "ordering + dense_rank over priorities (W-family completion).",
+    "ordering + dense_rank over priorities (W-family completion). Computed "
+    "scale-safely: range-repartition + per-partition windows + offset "
+    "fix-up (operators/ranking.py) instead of a single-partition global "
+    "sort — identical NTILE/DENSE_RANK semantics, no task sees more than "
+    "one partition's rows.",
 )
 def order_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load(spark, sf_dir, "orders")
-    w_val = Window.orderBy("o_totalprice", "o_orderkey")
-    w_pri = Window.orderBy("o_orderpriority")
-    return o.select(
-        "o_orderkey",
-        F.ntile(4).over(w_val).alias("quartile"),
-        F.dense_rank().over(w_pri).alias("priority_rank"),
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice", "o_orderpriority")
+    q = ranking.with_global_ntile(o, ["o_totalprice", "o_orderkey"], 4, "quartile")
+    pri = ranking.dense_rank_map(o, "o_orderpriority", "priority_rank")
+    return q.join(F.broadcast(pri), "o_orderpriority").select(
+        "o_orderkey", "quartile", F.col("priority_rank").cast("int").alias("priority_rank")
     )
 
 

@@ -350,6 +350,58 @@ def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", "rank")
 
 
+# embeddings.parquet vector width (TESTDATA.md) — a plan-time constant so
+# no query pays a .first() probe action, and the oracle can embed the
+# identical seeded hyperplanes as SQL literals.
+EMB_DIM = 64
+_LSH_PLANES = similarity.hyperplanes(EMB_DIM, n_planes=8, seed=42)
+
+
+def _lsh_bucket_sql(vexpr: str, planes: list[list[float]]) -> str:
+    """DuckDB expression for the sign-bit LSH bucket — same plane order,
+    same fold (``list_dot_product`` ≡ sequential aggregate, verified
+    bit-identical in round 1), same ``>= 0`` sign rule as
+    ``similarity.with_lsh_bucket``."""
+    terms = []
+    for i, p in enumerate(planes):
+        lit = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+        terms.append(f"(CASE WHEN list_dot_product({vexpr}, {lit}) >= 0 THEN {2 ** i} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+@register(
+    "ann_cosine_topk_lsh",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS (SELECT vec_id, v, {_lsh_bucket_sql("v", _LSH_PLANES)} AS bkt FROM e),
+    q AS (SELECT vec_id AS query_id, v AS qv, bkt AS qb FROM b WHERE vec_id < 10),
+    scored AS (
+      SELECT query_id, b.vec_id AS neighbor_id,
+             list_dot_product(qv, v)
+             / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS c
+      FROM q JOIN b ON b.bkt = qb AND b.vec_id <> query_id
+    )
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+    doc="Sign-bit LSH approximate top-10 (8 seeded hyperplanes, 256 "
+    "buckets): candidates restricted to the query's bucket via an EQUI "
+    "join on the bucket key — the scale-path ANN variant, oracle-checked "
+    "because the hyperplanes are plan literals both engines share. "
+    "Rank-only output keeps the hash float-free.",
+)
+def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = similarity.cosine_topk_lsh(e, q, k=10, n_planes=8, seed=42, dim=EMB_DIM)
+    return out.select("query_id", "neighbor_id", "rank")
+
+
 @register(
     "embedding_near_dup_pairs",
     oracle="""

@@ -6,11 +6,15 @@ Checks, per query (at sf0.001 — plan shape, not data):
 - no CartesianProduct / BroadcastNestedLoopJoin unless the query is
   explicitly registered ``allow_quadratic`` (brute-force similarity
   baselines);
+- no unpartitioned Window (``Window.orderBy`` with empty partition spec)
+  in ANY query — a global window funnels the whole table through one
+  task; the scalable alternatives live in ``operators/ranking.py``;
 - parquet scans never read all columns when the query uses few (column
   pruning reached the scan).
 
 This is the regression net for the 100 TB design rules: an accidental
-non-equi join or lost pushdown fails CI, not the cluster.
+non-equi join, lost pushdown, or single-partition sort fails CI, not the
+cluster.
 """
 
 from __future__ import annotations
@@ -23,6 +27,32 @@ from batch_data_pipeline_exercise_spark.plans import contract2, contract_ext  # 
 QUADRATIC = {"CartesianProduct", "BroadcastNestedLoopJoin"}
 
 
+def unpartitioned_window_specs(plan: str) -> list[str]:
+    """``windowspecdefinition(...)`` occurrences whose FIRST top-level
+    argument is an ordering expression (carries ASC/DESC) — i.e. the
+    partition-column list is empty. Partitioned specs lead with plain
+    attribute arguments, which never carry a sort direction."""
+    found, i, needle = [], 0, "windowspecdefinition("
+    while (j := plan.find(needle, i)) >= 0:
+        k, depth, first, done = j + len(needle), 1, [], False
+        while k < len(plan) and depth > 0:
+            ch = plan[k]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 1:
+                done = True
+            if not done and depth > 0:
+                first.append(ch)
+            k += 1
+        arg = "".join(first)
+        if " ASC" in arg or " DESC" in arg:
+            found.append(plan[j:k])
+        i = k
+    return found
+
+
 @pytest.mark.parametrize("name", sorted(contract.REGISTRY))
 def test_plan_is_scale_safe(spark, sf_dir, name):
     q = contract.REGISTRY[name]
@@ -30,6 +60,8 @@ def test_plan_is_scale_safe(spark, sf_dir, name):
     if not q.allow_quadratic:
         for bad in QUADRATIC:
             assert bad not in plan, f"{name}: {bad} in physical plan\n{plan}"
+    unpart = unpartitioned_window_specs(plan)
+    assert not unpart, f"{name}: unpartitioned (global) window in physical plan:\n" + "\n".join(unpart)
 
 
 def test_quadratic_allowlist_is_small():
