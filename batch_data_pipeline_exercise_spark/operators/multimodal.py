@@ -48,9 +48,10 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 
 def attach_media_metadata(df: DataFrame, content_col: str = "content") -> DataFrame:
     """Cheap metadata derivable without decoding: byte length + content
-    hash (dedup key for media blobs) — JVM-side, no UDF."""
+    hash (dedup key for media blobs) — JVM-side, no UDF. sha256 rather
+    than sha1: same hex in every engine this repo oracles against."""
     return df.withColumn("n_bytes", F.length(F.col(content_col)).cast("int")).withColumn(
-        "content_sha1", F.sha1(F.col(content_col))
+        "content_sha256", F.sha2(F.col(content_col), 256)
     )
 
 

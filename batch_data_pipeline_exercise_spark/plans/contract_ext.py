@@ -4,9 +4,10 @@
 
 Oracle construction notes (on top of the rules in ``contract.py``):
 
-- all content hashing is md5 (identical hex in both engines); the MinHash
-  "min of fixed-width hex strings ≡ min of 64-bit ints" trick makes
-  signatures exactly reproducible in SQL;
+- all content hashing is md5 (identical hex in both engines); MinHash
+  components are Kirsch-Mitzenmacher combinations (w0 + i·w1 mod 2³²) of
+  the digest's first two 32-bit words, so signatures are exact integer
+  arithmetic in SQL;
 - double-valued scores are built with IDENTICAL operand order on both
   sides (the SQL is generated from the same Python lists as the Spark
   expressions), so results match bit-for-bit;
@@ -22,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from batch_data_pipeline_exercise_spark.operators import dedup, similarity, text
+from batch_data_pipeline_exercise_spark.operators import dedup, multimodal, similarity, text
 from batch_data_pipeline_exercise_spark.plans.contract import load, register
 
 # ---------------------------------------------------------------------------
@@ -71,19 +72,36 @@ def doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(d, "doc_id").select("doc_id", "dup_count")
 
 
+# Kirsch-Mitzenmacher minhash components in SQL: one md5 per distinct
+# shingle, first two 32-bit words, gᵢ = (w0 + i·w1) mod 2³².
+_MH_WORDS = (
+    "words AS (SELECT doc_id, s, "
+    "CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS w0, "
+    "CAST(('0x' || substr(md5(s), 9, 8)) AS BIGINT) AS w1 FROM sh)"
+)
+_MH_SIG = (
+    "sig AS (SELECT doc_id, "
+    + ", ".join(f"MIN((w0 + {i} * w1) % 4294967296) AS h{i}" for i in range(32))
+    + " FROM words GROUP BY doc_id)"
+)
+
+
 @register(
     "doc_minhash_signature",
     oracle="WITH "
     + _TOKS_CTE
     + ", "
     + _SHINGLES_CTE
-    + ", sig AS (SELECT doc_id, "
-    + ", ".join(f"MIN(substr(md5('{i // 4}§' || s), {1 + 8 * (i % 4)}, 8)) AS h{i}" for i in range(32))
-    + " FROM sh GROUP BY doc_id) SELECT doc_id, h0 AS sig_first, h31 AS sig_last, md5("
-    + " || ".join(f"h{i}" for i in range(32))
+    + ", "
+    + _MH_WORDS
+    + ", "
+    + _MH_SIG
+    + " SELECT doc_id, h0 AS sig_first, h31 AS sig_last, md5("
+    + " || ',' || ".join(f"h{i}" for i in range(32))
     + ") AS sig_hash FROM sig",
-    doc="MinHash signatures (k=32) over word 3-shingles — md5-hex min trick, "
-    "exactly reproducible cross-engine.",
+    doc="MinHash signatures (k=32) over word 3-shingles — one md5 per "
+    "distinct shingle, Kirsch-Mitzenmacher integer components, exactly "
+    "reproducible cross-engine.",
     bench=True,
 )
 def doc_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -93,7 +111,7 @@ def doc_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("doc_id"),
         F.col("sig").getItem(0).alias("sig_first"),
         F.col("sig").getItem(31).alias("sig_last"),
-        F.md5(F.array_join("sig", "")).alias("sig_hash"),
+        F.md5(F.array_join(F.transform("sig", lambda x: x.cast("string")), ",")).alias("sig_hash"),
     )
 
 
@@ -103,12 +121,14 @@ def doc_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     + _TOKS_CTE
     + ", "
     + _SHINGLES_CTE
-    + ", sig AS (SELECT doc_id, "
-    + ", ".join(f"MIN(substr(md5('{i // 4}§' || s), {1 + 8 * (i % 4)}, 8)) AS h{i}" for i in range(32))
-    + " FROM sh GROUP BY doc_id), bands AS ("
+    + ", "
+    + _MH_WORDS
+    + ", "
+    + _MH_SIG
+    + ", bands AS ("
     + " UNION ALL ".join(
         "SELECT doc_id, %d AS band, md5(%s) AS band_key FROM sig"
-        % (b, " || ".join(f"h{b * 4 + r}" for r in range(4)))
+        % (b, " || ',' || ".join(f"h{b * 4 + r}" for r in range(4)))
         for b in range(8)
     )
     + ") SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 FROM bands a JOIN bands b "
@@ -261,6 +281,92 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return text.with_fingerprint(d).select("doc_id", "fingerprint", "fingerprint_norm")
+
+
+# ---------------------------------------------------------------------------
+# multimodal columns (documents.text re-cast as opaque binary blobs — the
+# testdata ships no real media, so the blob IS the utf-8 byte stream; every
+# downstream op treats it as opaque bytes exactly as it would a JPEG)
+# ---------------------------------------------------------------------------
+
+
+def _sql_hex_byte(hexpr: str, i: int) -> str:
+    """DuckDB expression for byte ``i`` (0-based) of a lowercase hex digest."""
+    p = 1 + 2 * i
+    return (
+        f"((strpos('0123456789abcdef', substr({hexpr}, {p}, 1)) - 1) * 16"
+        f" + strpos('0123456789abcdef', substr({hexpr}, {p + 1}, 1)) - 1)"
+    )
+
+
+@register(
+    "media_metadata",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+           sha256(text) AS content_sha256
+    FROM documents
+    """,
+    doc="Decode-free media metadata (byte length + content sha256 dedup "
+    "key) over binary blobs — JVM-side column ops, no UDF; DuckDB hashes "
+    "the identical utf-8 bytes.",
+)
+def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    media = d.select(F.col("doc_id").alias("media_id"), F.col("text").cast("binary").alias("content"))
+    return multimodal.attach_media_metadata(media).select("media_id", "n_bytes", "content_sha256")
+
+
+@register(
+    "media_image_features",
+    oracle=f"""
+    WITH h AS (
+      SELECT CAST(doc_id AS VARCHAR) AS media_id, sha256(text) AS hx,
+             octet_length(encode(text)) AS n_bytes
+      FROM documents
+    )
+    SELECT media_id,
+           CAST(64 + ({_sql_hex_byte("hx", 0)}) % 192 AS INTEGER) AS width,
+           CAST(64 + ({_sql_hex_byte("hx", 1)}) % 192 AS INTEGER) AS height,
+           CAST(n_bytes AS INTEGER) AS n_bytes,
+           CAST({_sql_hex_byte("hx", 2)} AS DOUBLE) / 255.0 AS mean_luma,
+           substr(hx, 7, 16) AS phash
+    FROM h
+    """,
+    doc="Arrow-batched mapInPandas feature extraction, oracle-checked "
+    "end-to-end: the deterministic codec stub derives width/height/luma/"
+    "phash from the content's sha256 digest, which the oracle replicates "
+    "byte-for-byte in SQL — a hard correctness signal on the Python-batch "
+    "plumbing itself (schema, batch shape, value fidelity).",
+)
+def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_id"), F.col("text").cast("binary").alias("content")
+    )
+    return multimodal.extract_image_features(media)
+
+
+@register(
+    "media_frame_samples",
+    oracle="""
+    SELECT doc_id AS media_id, CAST(u.f AS BIGINT) AS frame_ts_ms
+    FROM (SELECT doc_id, octet_length(encode(text)) % 5000 AS duration_ms FROM documents),
+         UNNEST(range(0, duration_ms + 1, 1000)) AS u(f)
+    """,
+    doc="Video frame-sampling plumbing: one row per sampled timestamp, "
+    "generated JVM-side with sequence/explode (duration derived "
+    "deterministically from blob length; decode itself is the stubbed "
+    "step).",
+)
+def media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        (F.octet_length("text") % 5000).alias("duration_ms"),
+    )
+    out = multimodal.sample_video_frames(media, every_ms=1000)
+    return out.select("media_id", F.col("frame_ts_ms").cast("bigint").alias("frame_ts_ms"))
 
 
 # ---------------------------------------------------------------------------

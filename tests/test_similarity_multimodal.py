@@ -74,7 +74,7 @@ def test_multimodal_features_and_plumbing(spark):
 
     meta = multimodal.attach_media_metadata(df)
     m = {r["media_id"]: r for r in meta.collect()}
-    assert m["m0"]["n_bytes"] == 100 and len(m["m0"]["content_sha1"]) == 40
+    assert m["m0"]["n_bytes"] == 100 and len(m["m0"]["content_sha256"]) == 64
 
     feats = multimodal.extract_image_features(df)
     assert feats.schema == multimodal.IMAGE_FEATURES_SCHEMA
