@@ -18,8 +18,38 @@ from __future__ import annotations
 import argparse
 import json
 import sys
+from datetime import datetime
 
 from pyspark.sql import functions as F
+
+# metrics whose semantics need an explicit point-in-time
+AS_OF_METRICS = {"current_orders_by_status", "retained_orders"}
+
+
+def _err(msg: str) -> int:
+    print(json.dumps({"ok": False, "error": msg}), file=sys.stderr)
+    return 2
+
+
+def _valid_ts(val: str) -> bool:
+    """Strict up-front parse: with ANSI mode off, a malformed timestamp
+    would otherwise cast to NULL deep in the plan and silently produce
+    zero-row metrics or NULL processed_time/start_time warehouse rows."""
+    for fmt in ("%Y-%m-%d %H:%M:%S", "%Y-%m-%d %H:%M:%S.%f", "%Y-%m-%d"):
+        try:
+            datetime.strptime(val, fmt)
+            return True
+        except ValueError:
+            continue
+    return False
+
+
+def _valid_date(val: str) -> bool:
+    try:
+        datetime.strptime(val, "%Y-%m-%d")
+        return True
+    except ValueError:
+        return False
 
 
 def _spark():
@@ -68,6 +98,18 @@ def main(argv: list[str] | None = None) -> int:
     p_met.add_argument("--warehouse", required=True)
 
     args = ap.parse_args(argv)
+
+    if args.cmd == "run" and not _valid_ts(args.ts):
+        return _err(f"--ts must be 'YYYY-MM-DD [HH:MM:SS[.ffffff]]', got {args.ts!r}")
+    if args.cmd == "metric":
+        if args.name in AS_OF_METRICS and not args.as_of:
+            return _err(f"metric {args.name} requires --as-of")
+        if args.as_of and not _valid_ts(args.as_of):
+            return _err(f"--as-of must be 'YYYY-MM-DD [HH:MM:SS[.ffffff]]', got {args.as_of!r}")
+        for flag, val in (("--date-from", args.date_from), ("--date-to", args.date_to)):
+            if val and not _valid_date(val):
+                return _err(f"{flag} must be 'YYYY-MM-DD', got {val!r}")
+
     from batch_data_pipeline_exercise_spark.plans import metrics
     from batch_data_pipeline_exercise_spark.plans.inventory import forward_fill_daily
     from batch_data_pipeline_exercise_spark.plans.pipeline import Pipeline

@@ -32,6 +32,7 @@ def merge_into(
     update_condition: Column | None = None,
     insert_not_matched: bool = True,
     delete_condition: Column | None = None,
+    assert_unique_source_key: bool = False,
 ) -> DataFrame:
     """Emulated MERGE: returns the post-merge table.
 
@@ -39,7 +40,24 @@ def merge_into(
     as ``F.col("t.x")`` / ``F.col("s.y")``). Unlisted columns keep their
     target values. ``update_condition``/``delete_condition`` are evaluated
     on matched rows only.
+
+    A source with several rows per key fans the matched target row out
+    once per match (full-outer join semantics); real ``MERGE INTO``
+    raises instead. Pass ``assert_unique_source_key=True`` to get the
+    lakehouse behavior — it costs one eager aggregation over the source,
+    so it is opt-in; alternatively ``dropDuplicates`` the source on the
+    key before calling.
     """
+    if assert_unique_source_key:
+        dups = (
+            source.groupBy(key).agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") > 1).limit(5).collect()
+        )
+        if dups:
+            sample = [r[key] for r in dups]
+            raise ValueError(
+                f"merge_into: source has multiple rows per key {key!r} (e.g. {sample}); "
+                "dedup the source or drop assert_unique_source_key"
+            )
     cols = target.columns
     # explicit presence markers, NOT key-nullity: a NULL-key row on either
     # side must be retained/inserted like any unmatched row, not silently

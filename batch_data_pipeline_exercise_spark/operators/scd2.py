@@ -77,6 +77,66 @@ def scd2_from_events(
     return df
 
 
+def scd2_merge_events(
+    prior_dim: DataFrame | None,
+    new_events: DataFrame,
+    key: str,
+    attr_cols: list[str],
+    time_col: str,
+    sentinel: str = SCD2_SENTINEL,
+    extra_cols: list[str] | None = None,
+    collapse_consecutive: bool = True,
+) -> DataFrame:
+    """Incremental M2: merge one event batch into an existing SCD2
+    dimension, touching ONLY keys present in the batch.
+
+    The reference's cross-batch M2 (``process_orders_sqls.py:92-133``)
+    appends new intervals against the stored dim; at 100 TB of events the
+    full-history rebuild (``scd2_from_events``) re-reads everything each
+    batch, so this operator re-derives just the touched keys:
+
+    1. split ``prior_dim`` by membership of ``key`` in the batch — the
+       untouched majority passes through with NO shuffle of its rows
+       (anti/semi joins, broadcast when the batch key set is small);
+    2. reconstruct the touched keys' collapsed event sequence from their
+       intervals — lossless, because every interval row is exactly the
+       first event of a run at ``start_time``;
+    3. re-run the interval derivation on (reconstructed ∪ batch) for
+       those keys only, then union the untouched history back.
+
+    Late/out-of-order events for a touched key are therefore handled
+    EXACTLY (unlike the reference, whose blind append can emit
+    overlapping intervals — its documented cross-batch quirk): the
+    result is identical to ``scd2_from_events`` over the concatenated
+    full event history, and re-merging the same batch is a no-op
+    (idempotent under the (key, time) delivery contract).
+    """
+    if prior_dim is None:
+        return scd2_from_events(
+            new_events, key, attr_cols, time_col, sentinel, extra_cols, collapse_consecutive
+        )
+    base_cols = list(dict.fromkeys([key, *attr_cols, *(extra_cols or [])]))
+    event_cols = list(dict.fromkeys([*base_cols, time_col]))
+
+    keys = new_events.select(key).distinct()
+    untouched = prior_dim.join(keys, key, "left_anti")
+    touched = prior_dim.join(keys, key, "left_semi")
+    if time_col in base_cols:
+        replay = touched.select(*event_cols)
+    else:
+        replay = touched.select(*base_cols, F.col("start_time").alias(time_col))
+    rederived = scd2_from_events(
+        replay.unionByName(new_events.select(*event_cols)),
+        key,
+        attr_cols,
+        time_col,
+        sentinel,
+        extra_cols,
+        collapse_consecutive,
+    )
+    return untouched.unionByName(rederived)
+
+
 def scd2_snapshot_merge(
     dim: DataFrame | None,
     snapshot: DataFrame,
@@ -116,24 +176,32 @@ def scd2_snapshot_merge(
     closed = dim.filter(F.col("end_time") != sent)
     open_rows = dim.filter(F.col("end_time") == sent)
 
-    j = open_rows.alias("d").join(snapshot.alias("s"), on=F.col(f"d.{key}") == F.col(f"s.{key}"), how="full_outer")
+    # explicit presence markers, NOT key-nullity (same pattern as
+    # merge_into): a NULL-key open dim row joins nothing, and key-nullity
+    # classification would silently drop it from the rebuilt dimension —
+    # with markers it is retained as a dim-only row, and a NULL-key
+    # snapshot row is inserted with its actual values instead of
+    # injecting an all-NULL row
+    d_side = open_rows.withColumn("__dp", F.lit(True)).alias("d")
+    s_side = snapshot.withColumn("__sp", F.lit(True)).alias("s")
+    j = d_side.join(s_side, on=F.col(f"d.{key}") == F.col(f"s.{key}"), how="full_outer")
+    dim_present = F.col("d.__dp").isNotNull()
+    snap_present = F.col("s.__sp").isNotNull()
 
     changed_pred = F.lit(False)
     for c in attr_cols:
         changed_pred = changed_pred | ~F.col(f"d.{c}").eqNullSafe(F.col(f"s.{c}"))
 
     dim_cols = dim.columns
-    # d.key must exist: a snapshot row with a NULL key would otherwise
-    # satisfy `s.key IS NULL` and inject an all-NULL dim row
-    keep_open = j.filter(
-        F.col(f"d.{key}").isNotNull() & (F.col(f"s.{key}").isNull() | ~changed_pred)
-    ).select(*[F.col(f"d.{c}").alias(c) for c in dim_cols])
-    close_old = j.filter(F.col(f"d.{key}").isNotNull() & F.col(f"s.{key}").isNotNull() & changed_pred).select(
+    keep_open = j.filter(dim_present & (~snap_present | ~changed_pred)).select(
+        *[F.col(f"d.{c}").alias(c) for c in dim_cols]
+    )
+    close_old = j.filter(dim_present & snap_present & changed_pred).select(
         *[F.col(f"d.{c}").alias(c) for c in dim_cols if c != "end_time"],
         t.alias("end_time"),
     ).select(*dim_cols)
     open_new = new_rows_from(
-        j.filter(F.col(f"s.{key}").isNotNull() & (F.col(f"d.{key}").isNull() | changed_pred)).select(
+        j.filter(snap_present & (~dim_present | changed_pred)).select(
             *[F.col(f"s.{c}").alias(c) for c in snap_cols]
         ).alias("s")
     )

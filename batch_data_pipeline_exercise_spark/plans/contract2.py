@@ -14,8 +14,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from batch_data_pipeline_exercise_spark.operators import ranking
-from batch_data_pipeline_exercise_spark.operators.scd2 import scd2_snapshot_merge
-from batch_data_pipeline_exercise_spark.plans.contract import dec, fmt_ts, load, register
+from batch_data_pipeline_exercise_spark.operators.scd2 import scd2_from_events, scd2_merge_events, scd2_snapshot_merge
+from batch_data_pipeline_exercise_spark.plans.contract import SENTINEL, dec, fmt_ts, load, register
 
 # ---------------------------------------------------------------------------
 # Aggregation variants
@@ -324,6 +324,42 @@ def event_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             fmt_ts(F.col("w.end")).alias("session_end"),
             "n_events",
         )
+    )
+
+
+@register(
+    "scd2_incremental_intervals",
+    oracle=f"""
+    WITH runs AS (
+      SELECT user_id, event_type, ts,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      FROM events
+    ), chg AS (
+      SELECT user_id, event_type, ts FROM runs
+      WHERE prev IS NULL OR prev IS DISTINCT FROM event_type
+    )
+    SELECT user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS start_time,
+           strftime(COALESCE(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts),
+                    TIMESTAMP '{SENTINEL}'), '%Y-%m-%d %H:%M:%S.%f') AS end_time
+    FROM chg
+    """,
+    doc="Incremental M2: the event log split into a prior batch "
+    "(ts < 2024-01-15) and a new batch, prior intervals built first, then "
+    "scd2_merge_events folds the new batch in touching only its keys. The "
+    "oracle is the FULL-history rebuild — proving incremental ≡ rebuild "
+    "(the reference's cross-batch append without its overlap quirk).",
+    bench=True,
+)
+def scd2_incremental_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    prior = scd2_from_events(e.filter(F.col("ts") < cut), key="user_id", attr_cols=["event_type"], time_col="ts")
+    out = scd2_merge_events(
+        prior, e.filter(F.col("ts") >= cut), key="user_id", attr_cols=["event_type"], time_col="ts"
+    )
+    return out.select(
+        "user_id", "event_type", fmt_ts("start_time").alias("start_time"), fmt_ts("end_time").alias("end_time")
     )
 
 

@@ -136,6 +136,7 @@ def doc_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="MinHash-LSH candidate pairs (8 bands × 4 rows) — docs sharing any "
     "signature band. Empty on this corpus unless true near-dups exist, and "
     "the oracle must agree it is empty.",
+    bench=True,
 )
 def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
@@ -519,6 +520,7 @@ def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Exact embedding-cosine near-dup pairs at threshold 0.4 (id-only "
     "output; nearest pair is 1.3e-4 from the cut, so no boundary risk).",
+    bench=True,
     allow_quadratic=True,
 )
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

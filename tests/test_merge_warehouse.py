@@ -61,6 +61,19 @@ def test_merge_is_idempotent_for_same_source(spark, tables):
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
 
 
+def test_merge_rejects_duplicate_source_keys_when_asked(spark, tables):
+    target, _ = tables
+    dup_source = spark.createDataFrame(
+        [("b", 20, "x"), ("b", 21, "y"), ("d", 40, "new")], "id string, version int, note string"
+    )
+    with pytest.raises(ValueError, match="multiple rows per key"):
+        merge_into(target, dup_source, key="id", update_set={"version": F.col("s.version")},
+                   assert_unique_source_key=True)
+    # default stays permissive (documented full-outer fan-out)
+    out = merge_into(target, dup_source, key="id", update_set={"version": F.col("s.version")})
+    assert out.filter(F.col("id") == "b").count() == 2
+
+
 def test_warehouse_compact_and_analyze(spark, tmp_path):
     wh = Warehouse(spark, str(tmp_path))
     df = spark.range(0, 1000).select(F.col("id"), (F.col("id") % 7).alias("g"))

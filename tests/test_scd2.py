@@ -20,6 +20,7 @@ from pyspark.sql.window import Window
 from batch_data_pipeline_exercise_spark.operators.scd2 import (
     current_slice,
     scd2_from_events,
+    scd2_merge_events,
     scd2_snapshot_merge,
 )
 from batch_data_pipeline_exercise_spark.schemas import PRODUCTS_FEED, SCD2_SENTINEL
@@ -153,6 +154,93 @@ def test_scd2_from_events_golden(spark):
 
     assert_scd2_invariants(dim, "id")
     dim.unpersist()
+
+
+def _random_events(rng, n_keys=120):
+    statuses = ["created", "paid", "shipped", "completed", "deleted"]
+    rows = []
+    for k in range(n_keys):
+        t = dt.datetime(2021, 1, 1) + dt.timedelta(minutes=rng.randint(0, 10000))
+        for _ in range(rng.randint(1, 12)):
+            rows.append((f"k{k}", rng.choice(statuses), t))
+            t += dt.timedelta(minutes=rng.randint(1, 500))
+    return rows
+
+
+def _rowset(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_scd2_merge_events_equals_full_rebuild(spark):
+    """Incremental merge over a time-split batch ≡ full-history rebuild,
+    including keys that exist only in one batch and keys spanning both."""
+    rng = random.Random(7)
+    rows = _random_events(rng)
+    cut = dt.datetime(2021, 1, 4)
+    df = spark.createDataFrame(rows, "id string, status string, event_time timestamp")
+    prior = scd2_merge_events(None, df.filter(F.col("event_time") < cut), "id", ["status"], "event_time")
+    merged = scd2_merge_events(prior, df.filter(F.col("event_time") >= cut), "id", ["status"], "event_time")
+    full = scd2_from_events(df, key="id", attr_cols=["status"], time_col="event_time")
+    assert _rowset(merged) == _rowset(full)
+    assert_scd2_invariants(merged, "id")
+
+
+def test_scd2_merge_events_idempotent_and_late(spark):
+    rng = random.Random(11)
+    rows = _random_events(rng, n_keys=40)
+    cut = dt.datetime(2021, 1, 4)
+    df = spark.createDataFrame(rows, "id string, status string, event_time timestamp")
+    batch1, batch2 = df.filter(F.col("event_time") < cut), df.filter(F.col("event_time") >= cut)
+    dim = scd2_merge_events(scd2_merge_events(None, batch1, "id", ["status"], "event_time"),
+                            batch2, "id", ["status"], "event_time")
+    # re-delivering the same batch is a no-op
+    again = scd2_merge_events(dim, batch2, "id", ["status"], "event_time")
+    assert _rowset(again) == _rowset(dim)
+    # LATE batch: feed batch2 first, then the earlier batch1 — out-of-order
+    # events re-derive their keys exactly (reference's overlap quirk absent)
+    late = scd2_merge_events(scd2_merge_events(None, batch2, "id", ["status"], "event_time"),
+                             batch1, "id", ["status"], "event_time")
+    full = scd2_from_events(df, key="id", attr_cols=["status"], time_col="event_time")
+    assert _rowset(late) == _rowset(full)
+
+
+def test_scd2_merge_events_untouched_keys_pass_through(spark):
+    """A batch touching one key leaves every other key's rows byte-identical
+    and only re-derives the touched key."""
+    base = spark.createDataFrame(
+        [("a", "created", dt.datetime(2021, 1, 1)), ("a", "paid", dt.datetime(2021, 1, 2)),
+         ("b", "created", dt.datetime(2021, 1, 1))],
+        "id string, status string, event_time timestamp",
+    )
+    dim = scd2_merge_events(None, base, "id", ["status"], "event_time")
+    batch = spark.createDataFrame([("b", "completed", dt.datetime(2021, 1, 5))],
+                                  "id string, status string, event_time timestamp")
+    out = scd2_merge_events(dim, batch, "id", ["status"], "event_time")
+    assert _rowset(out.filter(F.col("id") == "a")) == _rowset(dim.filter(F.col("id") == "a"))
+    b_rows = sorted(out.filter(F.col("id") == "b").collect(), key=lambda r: r["start_time"])
+    assert [r["status"] for r in b_rows] == ["created", "completed"]
+    assert b_rows[0]["end_time"] == b_rows[1]["start_time"] == dt.datetime(2021, 1, 5)
+    assert b_rows[1]["end_time"] == SENT
+
+
+def test_snapshot_merge_null_key_rows_are_retained(spark):
+    """A NULL-key open dim row must survive the next merge (presence-marker
+    classification), and a NULL-key snapshot row inserts with its values."""
+    dim = spark.createDataFrame(
+        [(None, "ghost", "t", Decimal("1.00"), dt.datetime(2021, 3, 1, 1), SENT),
+         ("p1", "widget", "tools", Decimal("2.00"), dt.datetime(2021, 3, 1, 1), SENT)],
+        "id string, title string, category string, price decimal(10,2), start_time timestamp, end_time timestamp",
+    )
+    snap = spark.createDataFrame(
+        [("p1", "widget", "tools", Decimal("2.00")), (None, "new-ghost", "t2", Decimal("3.00"))],
+        "id string, title string, category string, price decimal(10,2)",
+    )
+    out = scd2_snapshot_merge(dim, snap, key="id", attr_cols=ATTRS, ts="2021-03-02 01:00:00")
+    rows = [r.asDict() for r in out.collect()]
+    null_rows = sorted([r for r in rows if r["id"] is None], key=lambda r: r["start_time"])
+    assert [r["title"] for r in null_rows] == ["ghost", "new-ghost"]  # retained + inserted
+    assert all(r["end_time"] == SENT for r in null_rows)
+    assert len([r for r in rows if r["id"] == "p1"]) == 1  # unchanged
 
 
 def test_scd2_from_events_randomized_invariants(spark):
