@@ -1,0 +1,116 @@
+"""Deterministic sampling / splitting / packing for training-data pipelines.
+
+Every operator here is content-addressed — sampling decisions derive from
+a hash of a stable key column, never from ``rand()`` — so results are
+reproducible across runs, clusters, retries, AND engines (md5 + integer
+arithmetic, replicated exactly by the SQL oracles). That determinism is
+the property a 100 TB training-data pipeline actually needs: re-running a
+split after adding documents never reshuffles the old ones between train
+and validation.
+
+All ops are narrow column expressions or single partitioned windows — no
+global sorts, no driver-side data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash_uniform(key: Column, seed: str = "") -> Column:
+    """Deterministic uniform double in [0, 1) from a key: the md5 digest's
+    first 32-bit word divided by 2³². Seed changes produce an independent
+    assignment (the seed is mixed into the hashed bytes)."""
+    h = F.md5(F.concat_ws("§", F.lit(seed), key.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") / F.lit(2 ** 32)
+
+
+def with_hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    seed: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split (e.g. train/val/test) by its
+    key's hash — stable under data growth: a row's split never changes
+    when other rows appear or the table is re-partitioned.
+
+    ``weights`` are relative (normalized internally); assignment walks the
+    cumulative distribution in dict order.
+    """
+    total = float(sum(weights.values()))
+    u = hash_uniform(F.col(key_col), seed)
+    expr: Column | None = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        expr = F.when(u < acc, name) if expr is None else expr.when(u < acc, name)
+    last = F.lit(names[-1])
+    return df.withColumn(out_col, last if expr is None else expr.otherwise(last))
+
+
+def deterministic_sample(df: DataFrame, key_col: str, fraction: float, seed: str = "") -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by key hash — the reproducible
+    replacement for ``df.sample`` (whose output depends on partition
+    layout). A row is kept or dropped identically in every run and
+    engine."""
+    return df.filter(hash_uniform(F.col(key_col), seed) < fraction)
+
+
+def stratified_sample_topk(
+    df: DataFrame,
+    strata_cols: list[str],
+    key_col: str,
+    k: int,
+    seed: str = "",
+) -> DataFrame:
+    """EXACTLY ``k`` rows per stratum (fewer when the stratum is smaller):
+    the k smallest key-hashes win. Unlike fraction-based stratified
+    sampling this gives fixed per-group quotas — the class-balancing
+    shape — while staying deterministic. One partitioned window, ordered
+    by the hash with the key as tiebreaker."""
+    u = hash_uniform(F.col(key_col), seed).alias("__u")
+    w = Window.partitionBy(*strata_cols).orderBy(F.col("__u"), F.col(key_col))
+    return (
+        df.withColumn("__u", u)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__u", "__rn")
+    )
+
+
+def assign_packing_bins(
+    df: DataFrame,
+    size_col: str,
+    budget: int,
+    order_cols: list[str],
+    partition_cols: list[str] | None = None,
+    out_col: str = "bin",
+) -> DataFrame:
+    """Concat-then-chunk sequence packing (the LM-training shape): lay the
+    rows out in ``order_cols`` order, accumulate ``size_col`` (token
+    counts), and cut a new bin every ``budget`` units —
+    ``bin = (running_sum - size) div budget``. A document longer than the
+    budget still gets one bin (it would be internally chunked by the
+    tokenizer downstream).
+
+    ``partition_cols`` scopes the packing (e.g. per language-shard), which
+    also keeps the window partitioned — global packing of a 100 TB corpus
+    should shard first; an unpartitioned call raises.
+    """
+    if not partition_cols:
+        raise ValueError(
+            "assign_packing_bins needs partition_cols: unpartitioned packing is a "
+            "single-task global sort at scale — shard the corpus first (e.g. by "
+            "hash prefix or language)"
+        )
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = F.sum(size_col).over(w)
+    return df.withColumn(out_col, F.floor((run - F.col(size_col)) / F.lit(budget)).cast("bigint"))

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from batch_data_pipeline_exercise_spark.operators import dedup, multimodal, similarity, text
+from batch_data_pipeline_exercise_spark.operators import dedup, multimodal, sampling, similarity, text
 from batch_data_pipeline_exercise_spark.plans.contract import load, register
 
 # ---------------------------------------------------------------------------
@@ -282,6 +282,104 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return text.with_fingerprint(d).select("doc_id", "fingerprint", "fingerprint_norm")
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling / splitting / packing (training-data pipeline ops)
+# ---------------------------------------------------------------------------
+
+# DuckDB replica of sampling.hash_uniform(key, seed)
+def _sql_hash_uniform(key_expr: str, seed: str = "") -> str:
+    return (
+        f"(CAST(('0x' || substr(md5('{seed}§' || CAST({key_expr} AS VARCHAR)), 1, 8)) AS BIGINT)"
+        " / 4294967296)"
+    )
+
+
+def _split_case_sql(u_expr: str, weights: dict[str, float]) -> str:
+    """CASE chain generated from the SAME cumulative floats as
+    ``with_hash_split`` (repr round-trips, so 0.8+0.1 =
+    0.9000000000000001 lands identically in both engines)."""
+    total = float(sum(weights.values()))
+    names, acc, whens = list(weights), 0.0, []
+    for name in names[:-1]:
+        acc += weights[name] / total
+        whens.append(f"WHEN {u_expr} < CAST({acc!r} AS DOUBLE) THEN '{name}'")
+    return "CASE " + " ".join(whens) + f" ELSE '{names[-1]}' END"
+
+
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+@register(
+    "doc_hash_split",
+    oracle=f"""
+    SELECT doc_id,
+           {_split_case_sql(_sql_hash_uniform("doc_id", "r2"), _SPLIT_WEIGHTS)} AS split
+    FROM documents
+    """,
+    doc="Content-addressed train/val/test split (80/10/10): a document's "
+    "assignment depends only on md5(seed, doc_id) — stable when the "
+    "corpus grows, identical across runs/engines/retries. The "
+    "reproducible replacement for rand()-based splitting.",
+)
+def doc_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return sampling.with_hash_split(d, "doc_id", _SPLIT_WEIGHTS, seed="r2").select("doc_id", "split")
+
+
+@register(
+    "doc_deterministic_sample",
+    oracle=f"""
+    SELECT doc_id FROM documents
+    WHERE {_sql_hash_uniform("doc_id")} < 0.1
+    """,
+    doc="Hash-gated ~10% sample — unlike df.sample, membership is a pure "
+    "function of the key (partition-layout- and retry-independent).",
+)
+def doc_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return sampling.deterministic_sample(d, "doc_id", 0.1).select("doc_id")
+
+
+@register(
+    "doc_stratified_sample",
+    oracle=f"""
+    SELECT lang, doc_id FROM (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY {_sql_hash_uniform("doc_id")}, doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 25
+    """,
+    doc="Stratified exact-k sample: the 25 smallest key-hashes win per "
+    "language — fixed per-class quotas (class balancing), one partitioned "
+    "window, deterministic.",
+)
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return sampling.stratified_sample_topk(d, ["lang"], "doc_id", k=25).select("lang", "doc_id")
+
+
+@register(
+    "doc_pack_bins",
+    oracle="""
+    SELECT doc_id, lang,
+           CAST(FLOOR((SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n_chars) / 10000) AS BIGINT) AS bin
+    FROM documents
+    """,
+    doc="Concat-then-chunk sequence packing per language shard: running "
+    "n_chars cut into 10k-unit bins (the LM-training packing shape; "
+    "sharded windows keep it partitioned at any corpus size).",
+)
+def doc_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    out = sampling.assign_packing_bins(
+        d, size_col="n_chars", budget=10_000, order_cols=["doc_id"], partition_cols=["lang"]
+    )
+    return out.select("doc_id", "lang", "bin")
 
 
 # ---------------------------------------------------------------------------
