@@ -35,7 +35,13 @@ def _valid_ts(val: str) -> bool:
     """Strict up-front parse: with ANSI mode off, a malformed timestamp
     would otherwise cast to NULL deep in the plan and silently produce
     zero-row metrics or NULL processed_time/start_time warehouse rows."""
-    for fmt in ("%Y-%m-%d %H:%M:%S", "%Y-%m-%d %H:%M:%S.%f", "%Y-%m-%d"):
+    for fmt in (
+        "%Y-%m-%d %H:%M:%S",
+        "%Y-%m-%d %H:%M:%S.%f",
+        "%Y-%m-%dT%H:%M:%S",  # ISO 'T' forms Spark's cast also accepts
+        "%Y-%m-%dT%H:%M:%S.%f",
+        "%Y-%m-%d",
+    ):
         try:
             datetime.strptime(val, fmt)
             return True

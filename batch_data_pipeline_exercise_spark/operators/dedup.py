@@ -7,10 +7,11 @@ The LLM-training-data surface (BASELINE.json north star). Design rules:
 - hashes that feed ORACLE-checked outputs are md5-derived (identical hex
   across engines); Spark-private xxhash64 is reserved for
   engine-internal fast paths;
-- MinHash trick: ONE md5 per distinct shingle seeds a Kirsch-Mitzenmacher
-  double-hash family gᵢ = (w0 + i·w1) mod 2³² (w0/w1 = the digest's first
-  two 32-bit words) — k numeric components from one hash call, exactly
-  reproducible in any engine with md5 + hex→int.
+- MinHash trick: ONE md5 per (doc, shingle) pair seeds a
+  Kirsch-Mitzenmacher double-hash family gᵢ = (w0 + i·w1) mod 2³²
+  (w0/w1 = the digest's first two 32-bit words) — k numeric components
+  from one hash call, exactly reproducible in any engine with
+  md5 + hex→int.
 
 Pipeline shape (minhash_near_dups):
   shingle explode → per-doc k mins (ONE groupBy) → band keys → bucket

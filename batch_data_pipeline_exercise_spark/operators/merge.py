@@ -49,8 +49,12 @@ def merge_into(
     key before calling.
     """
     if assert_unique_source_key:
+        # NULL keys are exempt: they never match a target row, so several
+        # NULL-key source rows are unambiguous (each just inserts) — real
+        # MERGE only errors when multiple source rows hit the SAME target
         dups = (
-            source.groupBy(key).agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") > 1).limit(5).collect()
+            source.filter(F.col(key).isNotNull())
+            .groupBy(key).agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") > 1).limit(5).collect()
         )
         if dups:
             sample = [r[key] for r in dups]

@@ -28,7 +28,6 @@ partitioning must be materialized once and reused by both passes.
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -63,11 +62,16 @@ def _ranged_with_offsets(
             pid = pid + F.when(key > F.lit(float(x)), 1).otherwise(0)
         ranged = df.withColumn("__pid", F.when(F.col(lead).isNull(), F.lit(0)).otherwise(pid).cast("int"))
     else:
-        # strings etc.: materialize ONE range partitioning for both passes
+        # strings etc.: materialize ONE range partitioning for both
+        # passes. localCheckpoint (not persist): it TRUNCATES lineage, so
+        # the nondeterministic range sampling can never be replayed — a
+        # lost block fails the job loudly instead of recomputing with
+        # fresh boundaries and silently mis-ranking; blocks are freed
+        # when the DataFrame is garbage-collected
         ranged = (
             df.repartitionByRange(p, *[F.col(c) for c in order_cols])
             .withColumn("__pid", F.spark_partition_id())
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint(eager=True)
         )
     counts = sorted(
         (r["__pid"], r["n"])
@@ -143,5 +147,8 @@ def with_global_dense_rank(
 ) -> DataFrame:
     """``DENSE_RANK() OVER (ORDER BY col)`` via a broadcast join against
     ``dense_rank_map`` — one narrow distinct + a map-side stamp, no
-    global sort of the full table."""
-    return df.join(F.broadcast(dense_rank_map(df, col, out_col, num_partitions)), col)
+    global sort of the full table. The join is null-safe, so NULL values
+    rank like Spark's DENSE_RANK (nulls first) instead of being silently
+    dropped by a plain equi join."""
+    m = dense_rank_map(df, col, out_col, num_partitions).withColumnRenamed(col, "__drk")
+    return df.join(F.broadcast(m), F.col(col).eqNullSafe(F.col("__drk"))).drop("__drk")

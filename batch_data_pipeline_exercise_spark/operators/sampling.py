@@ -21,9 +21,16 @@ from pyspark.sql import functions as F
 def hash_uniform(key: Column, seed: str = "") -> Column:
     """Deterministic uniform double in [0, 1) from a key: the md5 digest's
     first 32-bit word divided by 2³². Seed changes produce an independent
-    assignment (the seed is mixed into the hashed bytes)."""
+    assignment (the seed is mixed into the hashed bytes).
+
+    A NULL key yields NULL (not some shared hash of the seed) — so NULL
+    keys are dropped by ``deterministic_sample``, take the last split in
+    ``with_hash_split``, and sort last in ``stratified_sample_topk``,
+    identically in Spark and the SQL oracles (SQL ``||`` propagates NULL;
+    ``concat_ws`` alone would silently skip it)."""
     h = F.md5(F.concat_ws("§", F.lit(seed), key.cast("string")))
-    return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") / F.lit(2 ** 32)
+    u = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") / F.lit(2 ** 32)
+    return F.when(key.isNull(), F.lit(None).cast("double")).otherwise(u)
 
 
 def with_hash_split(
@@ -73,7 +80,11 @@ def stratified_sample_topk(
     shape — while staying deterministic. One partitioned window, ordered
     by the hash with the key as tiebreaker."""
     u = hash_uniform(F.col(key_col), seed).alias("__u")
-    w = Window.partitionBy(*strata_cols).orderBy(F.col("__u"), F.col(key_col))
+    # nulls LAST to agree with SQL engines' default ORDER BY (Spark's
+    # default is nulls-first) — NULL-key rows only win quota leftovers
+    w = Window.partitionBy(*strata_cols).orderBy(
+        F.col("__u").asc_nulls_last(), F.col(key_col).asc_nulls_last()
+    )
     return (
         df.withColumn("__u", u)
         .withColumn("__rn", F.row_number().over(w))

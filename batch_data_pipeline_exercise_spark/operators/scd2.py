@@ -104,12 +104,21 @@ def scd2_merge_events(
     3. re-run the interval derivation on (reconstructed ∪ batch) for
        those keys only, then union the untouched history back.
 
-    Late/out-of-order events for a touched key are therefore handled
-    EXACTLY (unlike the reference, whose blind append can emit
-    overlapping intervals — its documented cross-batch quirk): the
-    result is identical to ``scd2_from_events`` over the concatenated
-    full event history, and re-merging the same batch is a no-op
-    (idempotent under the (key, time) delivery contract).
+    Exactness contract (vs ``scd2_from_events`` over the concatenated
+    full history): the result is identical whenever, per key, no batch
+    event falls strictly INSIDE a collapsed run — i.e. between a run's
+    first event and a later same-value event that collapse absorbed.
+    Appending batches (the common case), prepending/late batches, and
+    events landing between runs are all exact — including re-merging the
+    same batch (idempotent under the (key, time) delivery contract), and
+    without the reference's overlapping-interval append quirk. The one
+    approximate case: with ``collapse_consecutive=True`` the dim no
+    longer records a run's absorbed repeats, so an event splitting that
+    run cannot restore the repeat-driven reversion a full-log rebuild
+    would emit (pinned by a regression test). Store the dim with
+    ``collapse_consecutive=False`` (and collapse at read time) to make
+    every merge exact, or rebuild from the event log when interior
+    lateness matters.
     """
     if prior_dim is None:
         return scd2_from_events(

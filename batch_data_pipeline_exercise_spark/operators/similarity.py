@@ -129,7 +129,9 @@ def ivf_assign(
 ) -> tuple[DataFrame, DataFrame]:
     """IVF-style cell assignment.
 
-    ``centroids`` (columns: cell, vector) can be passed in — at 100 TB
+    ``centroids`` (columns: ``cell`` + a vector column named ``vec_col``,
+    i.e. the same name as the embeddings' vector column) can be passed
+    in — at 100 TB
     you'd train real centroids offline (k-means on a sample) and supply
     them here. Default: the ``n_cells`` lowest-id vectors, selected with
     ``orderBy().limit()`` — planned as TakeOrderedAndProject (per-partition

@@ -287,7 +287,7 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "event_session_windows",
     oracle="""
     WITH flagged AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              -- >= not >: Spark's session_window is half-open
              -- [start, last_ts + gap), so an event EXACTLY gap after its
              -- predecessor starts a NEW session — the oracle must agree
@@ -299,7 +299,11 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ), sessions AS (
       SELECT user_id, ts,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, new_session
+             -- cumsum ordered by the SAME (ts, event_id) as the lag pass:
+             -- ordering by (ts, new_session) would attach a tied flag=0
+             -- row to the OLD session while session_window puts both
+             -- tied events in the new one
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
       FROM flagged
     )

@@ -72,8 +72,8 @@ def doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(d, "doc_id").select("doc_id", "dup_count")
 
 
-# Kirsch-Mitzenmacher minhash components in SQL: one md5 per distinct
-# shingle, first two 32-bit words, gᵢ = (w0 + i·w1) mod 2³².
+# Kirsch-Mitzenmacher minhash components in SQL: one md5 per (doc,
+# shingle) pair, first two 32-bit words, gᵢ = (w0 + i·w1) mod 2³².
 _MH_WORDS = (
     "words AS (SELECT doc_id, s, "
     "CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS w0, "

@@ -55,6 +55,32 @@ def test_stratified_topk_exact_quota(spark, docs):
     assert sampling.stratified_sample_topk(tiny, ["grp"], "doc_id", k=10).count() == 4
 
 
+def test_null_keys_cross_engine_consistent(spark):
+    """NULL keys: dropped by deterministic_sample, last split in
+    with_hash_split, quota leftovers in stratified — mirroring the SQL
+    oracles where '||' propagates NULL (concat_ws alone would not)."""
+    df = spark.createDataFrame([(None, "g0"), (1, "g0"), (2, "g0")], "doc_id bigint, grp string")
+    kept = sampling.deterministic_sample(df, "doc_id", 0.9999).select("doc_id").collect()
+    assert None not in {r["doc_id"] for r in kept}
+    split = dict(
+        sampling.with_hash_split(df, "doc_id", {"train": 0.5, "test": 0.5}).select("doc_id", "split").collect()
+    )
+    assert split[None] == "test"  # last split, deterministically
+    top = sampling.stratified_sample_topk(df, ["grp"], "doc_id", k=2).select("doc_id").collect()
+    assert None not in {r["doc_id"] for r in top}  # non-null rows win the quota
+
+
+def test_global_dense_rank_keeps_null_values(spark):
+    from batch_data_pipeline_exercise_spark.operators import ranking
+
+    df = spark.createDataFrame([("b",), (None,), ("a",), ("b",)], "v string")
+    out = ranking.with_global_dense_rank(df, "v", "rk")
+    got = sorted(((r["v"], r["rk"]) for r in out.collect()),
+                 key=lambda t: (t[0] is not None, t[0] or "", t[1]))
+    # NULL ranks first (Spark DENSE_RANK semantics), nothing dropped
+    assert got == [(None, 1), ("a", 2), ("b", 3), ("b", 3)]
+
+
 def test_packing_bins_respect_budget(spark, docs):
     out = sampling.assign_packing_bins(
         docs, size_col="n_tokens", budget=5000, order_cols=["doc_id"], partition_cols=["grp"]

@@ -223,6 +223,34 @@ def test_scd2_merge_events_untouched_keys_pass_through(spark):
     assert b_rows[1]["end_time"] == SENT
 
 
+def test_scd2_merge_events_interior_late_event_contract(spark):
+    """Documented approximation: an event landing strictly INSIDE a
+    collapsed run re-splits it but cannot restore the absorbed repeat —
+    while collapse_consecutive=False storage makes the same merge exact."""
+    t1, t2, t3 = dt.datetime(2021, 1, 1), dt.datetime(2021, 1, 2), dt.datetime(2021, 1, 3)
+    schema = "id string, status string, event_time timestamp"
+    prior_events = spark.createDataFrame([("k", "X", t1), ("k", "X", t3)], schema)
+    late = spark.createDataFrame([("k", "Y", t2)], schema)
+    full = spark.createDataFrame([("k", "X", t1), ("k", "X", t3), ("k", "Y", t2)], schema)
+
+    # collapsed dim: (X,t1),(X,t3) stored as one row — the interior Y@t2
+    # splits it to X,Y but the X@t3 reversion is unrecoverable
+    dim_c = scd2_merge_events(None, prior_events, "id", ["status"], "event_time")
+    merged_c = scd2_merge_events(dim_c, late, "id", ["status"], "event_time")
+    assert [r["status"] for r in sorted(merged_c.collect(), key=lambda r: r["start_time"])] == ["X", "Y"]
+    rebuild = scd2_from_events(full, key="id", attr_cols=["status"], time_col="event_time")
+    assert [r["status"] for r in sorted(rebuild.collect(), key=lambda r: r["start_time"])] == ["X", "Y", "X"]
+
+    # uncollapsed storage keeps every event → merge ≡ rebuild exactly
+    dim_u = scd2_merge_events(None, prior_events, "id", ["status"], "event_time",
+                              collapse_consecutive=False)
+    merged_u = scd2_merge_events(dim_u, late, "id", ["status"], "event_time",
+                                 collapse_consecutive=False)
+    rebuild_u = scd2_from_events(full, key="id", attr_cols=["status"], time_col="event_time",
+                                 collapse_consecutive=False)
+    assert _rowset(merged_u) == _rowset(rebuild_u)
+
+
 def test_snapshot_merge_null_key_rows_are_retained(spark):
     """A NULL-key open dim row must survive the next merge (presence-marker
     classification), and a NULL-key snapshot row inserts with its values."""
