@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from batch_data_pipeline_exercise_spark.operators import dedup, multimodal, sampling, similarity, text
+from batch_data_pipeline_exercise_spark.operators import dedup, graph, multimodal, sampling, similarity, text
 from batch_data_pipeline_exercise_spark.plans.contract import load, register
 
 # ---------------------------------------------------------------------------
@@ -143,6 +143,92 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = dedup.minhash_signatures(dedup.word_shingles(d, "doc_id", distinct=False), k=32)
     cand = dedup.lsh_candidate_pairs(dedup.lsh_band_keys(sig, bands=8, rows=4))
     return cand
+
+
+_CAND_CTE = (
+    "bands AS ("
+    + " UNION ALL ".join(
+        "SELECT doc_id, %d AS band, md5(%s) AS band_key FROM sig"
+        % (b, " || ',' || ".join(f"h{b * 4 + r}" for r in range(4)))
+        for b in range(8)
+    )
+    + "), cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 FROM bands a JOIN bands b "
+    + "ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)"
+)
+
+
+@register(
+    "doc_near_dup_verified",
+    oracle="WITH "
+    + _TOKS_CTE
+    + ", "
+    + _SHINGLES_CTE
+    + ", "
+    + _MH_WORDS
+    + ", "
+    + _MH_SIG
+    + ", "
+    + _CAND_CTE
+    + """,
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.id1, c.id2, COUNT(*) AS ni
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id1
+      JOIN sh b ON b.doc_id = c.id2 AND b.s = a.s
+      GROUP BY c.id1, c.id2
+    )
+    SELECT i.id1, i.id2, i.ni / (c1.n + c2.n - i.ni) AS jaccard
+    FROM inter i
+    JOIN counts c1 ON c1.doc_id = i.id1
+    JOIN counts c2 ON c2.doc_id = i.id2
+    WHERE i.ni / (c1.n + c2.n - i.ni) >= 0.7
+    """,
+    doc="The complete minhash_near_dups pipeline, oracle-checked: LSH "
+    "candidates verified by exact shingle-set Jaccard >= 0.7 — the "
+    "jaccard double is one division of identical integer counts, so the "
+    "threshold decision agrees bit-for-bit cross-engine.",
+)
+def doc_near_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return dedup.minhash_near_dups(d, "doc_id", threshold=0.7).select("id1", "id2", "jaccard")
+
+
+@register(
+    "doc_dup_clusters",
+    oracle="WITH RECURSIVE "
+    + _TOKS_CTE
+    + ", "
+    + _SHINGLES_CTE
+    + ", "
+    + _MH_WORDS
+    + ", "
+    + _MH_SIG
+    + ", "
+    + _CAND_CTE
+    + """,
+    sym AS (SELECT id1 AS a, id2 AS b FROM cand UNION SELECT id2, id1 FROM cand),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    )
+    SELECT d.doc_id,
+           LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS cluster
+    FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+    GROUP BY d.doc_id
+    """,
+    doc="Transitive dedup clustering: connected components over the LSH "
+    "candidate-pair graph (min-label propagation; operators/graph.py) — "
+    "cluster = smallest reachable doc_id, the canonical document to keep. "
+    "Oracle: recursive-CTE transitive closure. The one iterative "
+    "(non-single-SQL) algorithm in the engine, still oracle-checked.",
+)
+def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(dedup.word_shingles(d, "doc_id", distinct=False), k=32)
+    cand = dedup.lsh_candidate_pairs(dedup.lsh_band_keys(sig, bands=8, rows=4))
+    return graph.dedup_clusters(cand, d.select("doc_id")).select("doc_id", "cluster")
 
 
 @register(
