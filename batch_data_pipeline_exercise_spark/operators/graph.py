@@ -8,19 +8,28 @@ components over the pair graph.
 
 Algorithm: min-label propagation (the Pregel/GraphX form) — every vertex
 repeatedly adopts the smallest component id among itself and its
-neighbors, converging in O(cluster diameter) rounds. Dedup graphs are
-piles of near-cliques (diameter ≲ 3), so a handful of rounds suffices;
-for adversarial long-chain graphs at 100 TB the published
-large-star/small-star alternation (Kiveris et al., "Connected Components
-in MapReduce and Beyond") halves path lengths per round and drops in
-here unchanged — same (id, comp) contract.
+neighbors — with ADAPTIVE path halving: once the round counter passes
+``accelerate_after``, each vertex additionally adopts its LABEL'S label
+(the pointer-jumping step of parallel union-find), letting labels travel
+2^k hops per k extra rounds. Dedup graphs are piles of near-cliques
+(diameter ≲ 3) that converge in 2-3 plain rounds and never pay the extra
+label-lookup join; an adversarial long-chain graph converges in
+O(log chain) accelerated rounds — the same bound the published
+large-star/small-star MapReduce algorithm achieves (Kiveris et al.,
+"Connected Components in MapReduce and Beyond").
 
-Each round is two shuffles (join + groupBy-min). The per-round
-``localCheckpoint`` truncates the otherwise exponentially-growing lineage
-and pins convergence checks to materialized state; the convergence count
-is one scalar action per round — the standard shape for iterative graph
-processing on Spark, NOT a driver-side data loop (no row ever reaches
-the driver).
+Only edge-incident vertices flow through the loop; isolated vertices
+(the overwhelming majority of a real corpus — most documents have no
+near-dup candidate at all) are attached as singleton components with one
+final left join, never paying per-round shuffles.
+
+Each round is two bounded shuffles (neighbor join + groupBy-min; plus
+the label-lookup join once accelerating). The per-round
+``localCheckpoint`` truncates the otherwise exponentially-growing
+lineage and pins convergence checks to materialized state; the
+convergence count is one scalar action per round on already-materialized
+rows — the standard shape for iterative graph processing on Spark, NOT a
+driver-side data loop (no row ever reaches the driver).
 """
 
 from __future__ import annotations
@@ -36,6 +45,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    accelerate_after: int = 3,
 ) -> DataFrame:
     """(id, comp) with ``comp`` = the smallest vertex id reachable from
     ``id`` — deterministic, engine-independent labels.
@@ -43,37 +53,57 @@ def connected_components(
     ``vertices`` (one ``id_col`` column) adds isolated vertices, which
     come back as their own singleton components; omitted, only vertices
     incident to an edge are labeled. Raises if ``max_iter`` rounds don't
-    converge (pass a larger bound for long-chain graphs)."""
+    converge — with path halving active past ``accelerate_after`` even a
+    path graph of ~2^(max_iter - accelerate_after) vertices converges,
+    so the default bound is effectively unreachable."""
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     sym = sym.localCheckpoint(eager=False)  # reused every round — pin it
-    if vertices is None:
-        nodes = sym.select(F.col("a").alias(id_col)).distinct()
-    else:
-        nodes = vertices.select(id_col).distinct()
+    nodes = sym.select(F.col("a").alias(id_col)).distinct()
     labels = nodes.select(id_col, F.col(id_col).alias("comp")).localCheckpoint()
 
-    for _ in range(max_iter):
+    converged = False
+    for rnd in range(max_iter):
+        # smallest label among my neighbors
         nbr_min = (
             sym.join(labels.select(F.col(id_col).alias("b"), F.col("comp").alias("__nc")), "b")
             .groupBy("a")
             .agg(F.min("__nc").alias("__nmin"))
+            .withColumnRenamed("a", id_col)
         )
-        new_labels = (
-            labels.join(nbr_min.withColumnRenamed("a", id_col), id_col, "left")
-            .select(id_col, F.least("comp", F.coalesce("__nmin", "comp")).alias("comp"))
-            .localCheckpoint()
-        )
-        changed = (
-            labels.select(id_col, F.col("comp").alias("__old"))
-            .join(new_labels, id_col)
-            .filter(F.col("__old") != F.col("comp"))
-            .count()
-        )
-        labels = new_labels
+        cand = labels.join(nbr_min, id_col, "left")
+        best = F.least("comp", F.coalesce("__nmin", "comp"))
+        if rnd >= accelerate_after:
+            # path halving: for each distinct label value c, look up
+            # comp(c) — the label of the vertex whose id is c (every
+            # label value IS a vertex id, so the lookup always hits)
+            hop = (
+                labels.select(F.col("comp").alias("__hc"))
+                .distinct()
+                .join(labels.select(F.col(id_col).alias("__hc"), F.col("comp").alias("__cc")), "__hc")
+                .withColumnRenamed("__hc", "comp")
+            )
+            cand = cand.join(hop, "comp", "left")
+            best = F.least("comp", F.coalesce("__nmin", "comp"), F.coalesce("__cc", "comp"))
+        new_labels = cand.select(
+            id_col, best.alias("comp"), (F.col("comp") != best).alias("__changed")
+        ).localCheckpoint()
+        changed = new_labels.filter("__changed").count()
+        labels = new_labels.drop("__changed")
         if changed == 0:
-            return labels
-    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+    if vertices is not None:
+        labels = (
+            vertices.select(id_col)
+            .distinct()
+            .join(labels, id_col, "left")
+            .select(id_col, F.coalesce("comp", F.col(id_col)).alias("comp"))
+        )
+    return labels
 
 
 def dedup_clusters(

@@ -31,7 +31,15 @@ from batch_data_pipeline_exercise_spark.plans.contract import load, register
 # ---------------------------------------------------------------------------
 
 _NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
-_TOKS_CTE = f"toks AS (SELECT doc_id, text, string_split({_NORM}, ' ') AS tk FROM documents)"
+
+
+def _toks_cte(src: str = "documents") -> str:
+    """The tokenisation CTE over any (doc_id, text) relation — the corpus
+    prep pipeline re-runs it on the post-filter survivor set."""
+    return f"toks AS (SELECT doc_id, text, string_split({_NORM}, ' ') AS tk FROM {src})"
+
+
+_TOKS_CTE = _toks_cte()
 _SHINGLES_CTE = (
     "sh AS (SELECT DISTINCT doc_id, s FROM toks, "
     "UNNEST(list_transform(range(0, greatest(len(tk)-3, 0)+1), "
@@ -294,22 +302,10 @@ def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "doc_quality_score",
-    oracle=f"""
-    WITH base AS (
-      SELECT doc_id, text, ' ' || lower(text) || ' ' AS pad,
-             len(string_split_regex(trim(text), '\\s+')) AS n_words,
-             len(regexp_extract_all(text, {_PUNCT_SQL})) AS n_punct
-      FROM documents
-    ), stats AS (
-      SELECT doc_id,
-             length(text) AS n_chars,
-             n_punct / greatest(length(text), 1) AS punct_ratio,
-             ({_sql_marker_score([f" {w} " for w in text.ENGLISH_STOPWORDS])}) / greatest(n_words, 1) AS stopword_ratio,
-             length(regexp_replace(text, '\\s', '', 'g')) / greatest(n_words, 1) AS avg_word_len
-      FROM base
-    )
+def _quality_sql(src: str = "documents") -> str:
+    """Full (doc_id, quality_score) SELECT replicating
+    ``text.with_quality_score`` — identical operand order, bit-exact."""
+    return f"""
     SELECT doc_id,
            least(n_chars / 200.0, 1.0) * 0.3
            + least(stopword_ratio * 4.0, 1.0) * 0.3
@@ -317,8 +313,25 @@ def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ELSE greatest(0.0, 1.0 - (punct_ratio - 0.1) * 5.0) END) * 0.2
            + (CASE WHEN avg_word_len >= 2 AND avg_word_len <= 12 THEN 1.0 ELSE 0.3 END) * 0.2
            AS quality_score
-    FROM stats
-    """,
+    FROM (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             n_punct / greatest(length(text), 1) AS punct_ratio,
+             ({_sql_marker_score([f" {w} " for w in text.ENGLISH_STOPWORDS])}) / greatest(n_words, 1) AS stopword_ratio,
+             length(regexp_replace(text, '\\s', '', 'g')) / greatest(n_words, 1) AS avg_word_len
+      FROM (
+        SELECT doc_id, text, ' ' || lower(text) || ' ' AS pad,
+               len(string_split_regex(trim(text), '\\s+')) AS n_words,
+               len(regexp_extract_all(text, {_PUNCT_SQL})) AS n_punct
+        FROM {src}
+      )
+    )
+    """
+
+
+@register(
+    "doc_quality_score",
+    oracle=_quality_sql(),
     doc="Composite [0,1] quality heuristic (length/stopword/punct/word-length).",
 )
 def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -326,12 +339,12 @@ def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.with_quality_score(d).select("doc_id", "quality_score")
 
 
-def _langid_oracle() -> str:
+def _langid_oracle(src: str = "documents") -> str:
     scores = {lang: _sql_marker_score(ms) for lang, ms in text.LANG_MARKERS.items()}
     cjk = "len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]'))"
     return f"""
     WITH base AS (
-      SELECT doc_id, text, ' ' || lower(text) || ' ' AS pad FROM documents
+      SELECT doc_id, text, ' ' || lower(text) || ' ' AS pad FROM {src}
     ), scored AS (
       SELECT doc_id, {cjk} AS cjk, length(text) AS n,
              ({scores["en"]}) AS s_en, ({scores["fr"]}) AS s_fr,
@@ -358,6 +371,91 @@ def _langid_oracle() -> str:
 def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return text.with_lang_id(d).select("doc_id", "lang_pred")
+
+
+@register(
+    "corpus_prep_pipeline",
+    oracle="WITH RECURSIVE "
+    + """
+    quality AS (%s),
+    langs AS (%s),
+    kept0 AS (
+      SELECT d.doc_id, d.text
+      FROM documents d
+      JOIN quality q ON q.doc_id = d.doc_id
+      JOIN langs l ON l.doc_id = d.doc_id
+      WHERE l.lang_pred = 'en' AND q.quality_score >= 0.6
+    ),
+    ex AS (SELECT doc_id, text, md5(%s) AS k FROM kept0),
+    kept1 AS (
+      SELECT e.doc_id, e.text FROM ex e
+      JOIN (SELECT k, MIN(doc_id) AS m FROM ex GROUP BY k) x
+        ON x.k = e.k AND x.m = e.doc_id
+    ),
+    """
+    % (_quality_sql(), _langid_oracle(), _NORM)
+    + _toks_cte("kept1")
+    + ", "
+    + _SHINGLES_CTE
+    + ", "
+    + _MH_WORDS
+    + ", "
+    + _MH_SIG
+    + ", "
+    + _CAND_CTE
+    + f""",
+    sym AS (SELECT id1 AS a, id2 AS b FROM cand UNION SELECT id2, id1 FROM cand),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    clusters AS (
+      SELECT k.doc_id, LEAST(k.doc_id, COALESCE(MIN(r.b), k.doc_id)) AS cluster
+      FROM kept1 k LEFT JOIN reach r ON r.a = k.doc_id
+      GROUP BY k.doc_id
+    )
+    SELECT c.doc_id,
+           q.quality_score,
+           CAST(len(regexp_extract_all(k.text, {_TOKEN_SQL})) AS BIGINT) AS n_tokens
+    FROM clusters c
+    JOIN kept1 k ON k.doc_id = c.doc_id
+    JOIN quality q ON q.doc_id = c.doc_id
+    WHERE c.doc_id = c.cluster
+    """,
+    doc="The flagship end-to-end training-corpus preparation pipeline: "
+    "language filter (en) -> quality filter (>= 0.6) -> exact dedup "
+    "(lowest-id per normalized-content md5) -> transitive near-dup "
+    "clustering (MinHash-LSH candidates -> connected components) keeping "
+    "only canonical documents -> token accounting. Every stage is the "
+    "already-oracle-checked operator; this query proves the COMPOSITION "
+    "matches end-to-end. Filters run before dedup (cheapest first), dedup "
+    "runs only on survivors — the stage order a 100 TB corpus needs.",
+    bench=True,
+)
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = text.with_lang_id(text.with_quality_score(d))
+    kept0 = scored.filter((F.col("lang_pred") == "en") & (F.col("quality_score") >= 0.6))
+    kept0 = text.with_fingerprint(kept0)
+    w = Window.partitionBy("fingerprint_norm")
+    kept1 = kept0.withColumn("__m", F.min("doc_id").over(w)).filter(F.col("doc_id") == F.col("__m"))
+    # Stage boundary: the survivor set feeds three consumers (minhash
+    # signatures, the cluster vertex list, the final join) — materialize
+    # once instead of re-running the text-stats/lang-id expression tree
+    # per branch. At cluster scale this is the persist-or-write point
+    # between the filter stage and the dedup stage of the pipeline.
+    kept1 = kept1.localCheckpoint()
+    sig = dedup.minhash_signatures(
+        dedup.word_shingles(kept1.select("doc_id", "text"), "doc_id", distinct=False), k=32
+    )
+    cand = dedup.lsh_candidate_pairs(dedup.lsh_band_keys(sig, bands=8, rows=4))
+    clusters = graph.dedup_clusters(cand, kept1.select("doc_id"))
+    return (
+        kept1.join(clusters, "doc_id")
+        .filter(F.col("doc_id") == F.col("cluster"))
+        .select("doc_id", "quality_score", "n_tokens")
+    )
 
 
 @register(
