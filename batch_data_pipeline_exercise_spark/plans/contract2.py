@@ -765,3 +765,148 @@ def scd2_snapshot_part_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         fmt_ts("start_time").substr(1, 19).alias("start_time"),
         fmt_ts("end_time").substr(1, 19).alias("end_time"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped multi-join depth (J-family at scale): fact-fact-dim chains
+# where the same dimension enters twice, top-k over exact decimal revenue,
+# and a conditional-aggregate ratio over a fact-dim join.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "nation_pair_shipping_volume",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS INTEGER) AS l_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS volume,
+           COUNT(*) AS line_count
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    WHERE n1.n_name <> n2.n_name
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q7 shape: cross-border shipping volume by (supplier nation, "
+    "customer nation, ship year). The nation dim enters the join tree TWICE "
+    "under different roles — both sides broadcast; lineitem-orders-customer "
+    "remain shuffle hash joins on their keys.",
+)
+def nation_pair_shipping_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("__n1k"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("__n2k"), F.col("n_name").alias("cust_nation"))
+    one = F.lit(1).cast("decimal(4,2)")
+    revenue = dec("l_extendedprice") * (one - dec("l_discount", 4, 2))
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("__n1k"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("__n2k"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(revenue).cast("double").alias("volume"), F.count(F.lit(1)).alias("line_count"))
+    )
+
+
+@register(
+    "returned_item_top_customers",
+    oracle="""
+    SELECT c_custkey, c_name, nation, CAST(rev AS DOUBLE) AS revenue
+    FROM (
+      SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS rev
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      WHERE l.l_returnflag = 'R'
+      GROUP BY 1, 2, 3
+      ORDER BY rev DESC, c.c_custkey
+      LIMIT 20
+    )
+    """,
+    doc="TPC-H Q10 shape: top-20 customers by revenue lost to returns. The "
+    "top-k ORDER is taken on the EXACT decimal sum (ties broken by key), so "
+    "the cut is engine-independent; only the output column is a double. "
+    "Spark plans the limit as TakeOrderedAndProject — no global sort.",
+)
+def returned_item_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    one = F.lit(1).cast("decimal(4,2)")
+    revenue = dec("l_extendedprice") * (one - dec("l_discount", 4, 2))
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(F.sum(revenue).alias("__rev"))
+        .orderBy(F.col("__rev").desc(), "c_custkey")
+        .limit(20)
+        .select("c_custkey", "c_name", "nation", F.col("__rev").cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "promo_revenue_share",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM l.l_shipdate) AS INTEGER) AS year,
+           CAST(EXTRACT(month FROM l.l_shipdate) AS INTEGER) AS month,
+           CAST(COALESCE(SUM(CASE WHEN p.p_type = 'PROMO'
+                 THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2))) END),
+                 0) AS DOUBLE) AS promo_revenue,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS total_revenue,
+           100.0 * (CAST(COALESCE(SUM(CASE WHEN p.p_type = 'PROMO'
+                 THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2))) END),
+                 0) AS DOUBLE)
+             / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)) AS promo_share
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1, 2
+    """,
+    doc="TPC-H Q14 shape: monthly promo revenue share. Conditional decimal "
+    "aggregation (SUM ignores the non-promo NULL branch), one double "
+    "division of two exact sums — deterministic cross-engine. part joins "
+    "lineitem on p_partkey; AQE broadcasts it while it fits and falls back "
+    "to a shuffle hash join at scale.",
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    one = F.lit(1).cast("decimal(4,2)")
+    revenue = dec("l_extendedprice") * (one - dec("l_discount", 4, 2))
+    promo = F.when(F.col("p_type") == "PROMO", revenue)
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(F.year("l_shipdate").alias("year"), F.month("l_shipdate").alias("month"))
+        .agg(
+            F.coalesce(F.sum(promo), zero).cast("double").alias("promo_revenue"),
+            F.sum(revenue).cast("double").alias("total_revenue"),
+        )
+        .select(
+            "year",
+            "month",
+            "promo_revenue",
+            "total_revenue",
+            (F.lit(100.0) * (F.col("promo_revenue") / F.col("total_revenue"))).alias("promo_share"),
+        )
+    )
