@@ -910,3 +910,95 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(100.0) * (F.col("promo_revenue") / F.col("total_revenue"))).alias("promo_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-range window frames + moment-based statistics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rolling_7day_customer_revenue",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS rolling_revenue,
+           COUNT(*) OVER w AS rolling_orders
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+    """,
+    doc="Time-RANGE window frame (W-family): per-customer trailing-7-day "
+    "revenue and order count at every order. Spark expresses the interval "
+    "frame as rangeBetween(-6, 0) over the epoch-day number (order "
+    "timestamps are midnight-aligned, so day-int peers == timestamp-interval "
+    "peers); the window partitions by customer — bounded per-key state, no "
+    "global sort, scales with the key count.",
+)
+def rolling_7day_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    day = F.unix_date(F.to_date("o_orderdate"))
+    w = Window.partitionBy("o_custkey").orderBy(day.alias("__day")).rangeBetween(-6, 0)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias("rolling_revenue"),
+        F.count(F.lit(1)).over(w).alias("rolling_orders"),
+    )
+
+
+@register(
+    "lineitem_moment_stats",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             -- power sums exceed 2^53 in scaled-int form; DuckDB's direct
+             -- decimal->double cast rounds twice (int128->double, then
+             -- /10^scale) while Spark's BigDecimal->double rounds once —
+             -- the VARCHAR bridge forces the correctly-rounded path
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS syy,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           sx / n AS mean_qty,
+           sqrt((n * sxx - sx * sx) / (n * (n - 1.0))) AS stddev_qty,
+           sqrt((n * syy - sy * sy) / (n * (n - 1.0))) AS stddev_price,
+           (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price,
+           (n * sxy - sx * sy) / (n * (n - 1.0)) AS covar_qty_price
+    FROM s
+    """,
+    doc="Sample stddev / correlation / covariance per return flag, computed "
+    "from EXACT decimal power sums (count, Sx, Sy, Sxx, Syy, Sxy) with one "
+    "identical double formula on both engines — deterministic where native "
+    "single-pass corr()/stddev() accumulation order would drift in the last "
+    "ulp. The shape is one hash aggregate (map-side partial sums), the same "
+    "cost as any other agg at 100 TB.",
+)
+def lineitem_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    q, p = dec("l_quantity"), dec("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).cast("double").alias("sx"),
+        F.sum(p).cast("double").alias("sy"),
+        F.sum(q * q).cast("double").alias("sxx"),
+        F.sum(p * p).cast("double").alias("syy"),
+        F.sum(q * p).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return s.select(
+        "l_returnflag",
+        "n",
+        (sx / n).alias("mean_qty"),
+        F.sqrt((n * sxx - sx * sx) / (n * (n - F.lit(1.0)))).alias("stddev_qty"),
+        F.sqrt((n * syy - sy * sy) / (n * (n - F.lit(1.0)))).alias("stddev_price"),
+        ((n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))).alias("corr_qty_price"),
+        ((n * sxy - sx * sy) / (n * (n - F.lit(1.0)))).alias("covar_qty_price"),
+    )
