@@ -162,6 +162,62 @@ def ivf_assign(
     return assigned, centroids
 
 
+def kmeans_centroids(
+    embeddings: DataFrame,
+    k: int = 16,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Spherical k-means (Lloyd's) centroid training for IVF.
+
+    Init: the ``k`` lowest-id vectors (deterministic seed choice, planned
+    as TakeOrderedAndProject). Each round: assign every vector to its
+    highest-cosine centroid (broadcast centroids + ranking window — the
+    same bounded n×k cross ``ivf_assign`` uses), then recompute each
+    cell's mean element-wise via ``posexplode`` → (cell, pos) hash
+    aggregate → re-assemble. The shuffle is n×dim rows per round — linear
+    in the data, no collect, no per-cell array materialization (a cell
+    with 10^9 members never builds a 10^9-element list). Cells that lose
+    all members keep their previous centroid. Fixed ``n_iter`` rounds
+    (k-means objective is monotone; a handful of rounds is standard for
+    IVF coarse quantizers).
+
+    Note: per-cell mean sums doubles in shuffle order, so trained
+    centroids are deterministic only up to float accumulation order —
+    inherent to distributed k-means everywhere (Spark MLlib included).
+    Queries built on trained centroids are therefore rows-only checks,
+    never value-hash oracles.
+
+    Output: (cell, __c) — directly accepted by ``ivf_assign`` /
+    ``cosine_topk_ivf`` as the ``centroids`` parameter."""
+    cent = (
+        embeddings.orderBy(F.col(id_col))
+        .limit(k)
+        .select(F.col(id_col).alias("cell"), F.col(vec_col).cast("array<double>").alias("__c"))
+        .localCheckpoint()
+    )
+    for _ in range(n_iter):
+        assigned, _ = ivf_assign(embeddings, id_col=id_col, vec_col=vec_col, centroids=cent)
+        means = (
+            assigned.select("cell", F.posexplode(F.col("__v").cast("array<double>")).alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg((F.sum("x") / F.count("x")).alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda t: t.getField("m")
+                ).alias("__new")
+            )
+        )
+        cent = (
+            cent.join(means, "cell", "left")
+            .select("cell", F.coalesce("__new", "__c").alias("__c"))
+            .localCheckpoint()
+        )
+    return cent
+
+
 def cosine_topk_ivf(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -739,6 +739,28 @@ def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", "rank")
 
 
+@register(
+    "ann_cosine_topk_ivf_kmeans",
+    oracle=None,
+    doc="IVF probing over TRAINED centroids: 3 rounds of distributed "
+    "spherical k-means (operators/similarity.py kmeans_centroids) replace "
+    "the lowest-id seed cells, then the same probe-4-of-16 search. "
+    "Rows-only check BY DESIGN: per-cell means sum doubles in shuffle "
+    "order, so centroid bits (and hence approximate ranks) are not "
+    "engine-reproducible — the documented boundary for any distributed "
+    "k-means. Output shape is stable: 10 queries x top-10.",
+    allow_quadratic=True,
+)
+def ann_cosine_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    cent = similarity.kmeans_centroids(e, k=16, n_iter=3)
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = similarity.cosine_topk_ivf(e, q, k=10, n_cells=16, n_probe=4, centroids=cent)
+    return out.select("query_id", "neighbor_id", "rank")
+
+
 # embeddings.parquet vector width (TESTDATA.md) — a plan-time constant so
 # no query pays a .first() probe action, and the oracle can embed the
 # identical seeded hyperplanes as SQL literals.

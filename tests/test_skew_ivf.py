@@ -83,3 +83,40 @@ def test_salted_join_rejects_full(spark, skewed):
     dim = spark.createDataFrame([("h", "hot")], "k string, label string")
     with pytest.raises(ValueError):
         salted_join(skewed, dim, on="k", how="full")
+
+
+def test_kmeans_centroids_shape_and_carryover(spark):
+    # 5 identical vectors, k=3: every vector lands in the lowest cell
+    # (cosine ties break by cell id), so cells 2 and 3 lose all members
+    # and must carry their previous centroid forward — never vanish.
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(5)]
+    vecs = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    cent = similarity.kmeans_centroids(vecs, k=3, n_iter=2)
+    out = cent.collect()
+    assert len(out) == 3
+    assert {r["cell"] for r in out} == {0, 1, 2}
+    assert all(len(r["__c"]) == 4 for r in out)
+
+
+def test_kmeans_ivf_recall_at_least_seeded(spark):
+    rng = random.Random(9)
+    # three well-separated gaussian blobs + noise
+    centers = [[5.0 if j == c else 0.0 for j in range(16)] for c in (0, 5, 11)]
+    rows = []
+    for i in range(300):
+        c = centers[i % 3]
+        rows.append((i, [x + rng.gauss(0, 0.5) for x in c]))
+    vecs = spark.createDataFrame(rows, "vec_id int, embedding array<double>").cache()
+    queries = vecs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = similarity.cosine_topk_bruteforce(vecs, queries, k=10)
+    exact_ids = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+
+    trained = similarity.kmeans_centroids(vecs, k=6, n_iter=3)
+    approx = similarity.cosine_topk_ivf(vecs, queries, k=10, n_cells=6, n_probe=2, centroids=trained)
+    got = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(exact_ids & got) / len(exact_ids)
+    # blob data: trained cells align with blobs; probing 2/6 cells must
+    # recover the home blob, i.e. near-total recall
+    assert recall >= 0.9, recall
