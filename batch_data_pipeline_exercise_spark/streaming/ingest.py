@@ -117,3 +117,76 @@ def streaming_status_counts(
         .agg(F.count(F.lit(1)).alias("event_count"))
         .select(F.col("w.start").cast("date").alias("day"), "status", "event_count")
     )
+
+
+def stream_enriched_orders(
+    spark: SparkSession,
+    raw_dir: str,
+    dim: DataFrame,
+    on: str = "product_id",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Stream-static join: the order-event stream enriched against a
+    batch dimension table. Spark re-plans the static side per micro-batch
+    (so a dim refreshed between batches is picked up) and broadcasts it —
+    the canonical fact-stream x dim shape; no state, no watermark
+    required. Left join keeps events whose dim row is missing (late dim
+    arrival), mirroring the batch pipeline's tolerance."""
+    ev = stream_order_events(spark, raw_dir, watermark)
+    return ev.join(F.broadcast(dim), on, "left")
+
+
+def upsert_order_state(
+    spark: SparkSession,
+    raw_dir: str,
+    warehouse,
+    checkpoint_path: str,
+    table: str = "silver_orders",
+    watermark: str | None = None,
+):
+    """Streaming upsert into the warehouse via ``foreachBatch``: each
+    micro-batch reduces to its latest event per order id (event_time,
+    then status as tie-break), then MERGEs into the silver table —
+    newer-event-wins update, insert when absent.
+
+    Exactly-once effect from at-least-once machinery: the checkpoint
+    skips fully-committed batches, and the MERGE itself is idempotent
+    (replaying a batch converges to the same table), so a crash between
+    sink commit and checkpoint write cannot duplicate or regress state —
+    the streaming generalization of the reference's UPDATE-then-INSERT
+    upsert (process_orders_sqls.py:29-50). Returns the started query.
+    """
+    from batch_data_pipeline_exercise_spark.operators.merge import merge_into
+
+    ev = stream_order_events(spark, raw_dir, watermark)
+    data_cols = ["product_id", "amount", "total_price", "status", "event_time"]
+
+    def _upsert(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("id").orderBy(F.col("event_time").desc(), F.col("status").desc())
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("id", *data_cols)
+        )
+        if warehouse.exists(table):
+            merged = merge_into(
+                warehouse.read(table),
+                latest,
+                key="id",
+                update_set={c: F.col(f"s.{c}") for c in data_cols},
+                update_condition=F.col("s.event_time") >= F.col("t.event_time"),
+                assert_unique_source_key=True,
+            )
+            warehouse.overwrite(merged, table)
+        else:
+            warehouse.overwrite(latest, table)
+
+    return (
+        ev.writeStream.foreachBatch(_upsert)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

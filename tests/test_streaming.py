@@ -102,3 +102,61 @@ def test_streaming_session_window(spark, stream_dirs):
     assert len(by_id["o1"]) == 2
     # o4: three events within 10 minutes -> one session of 3
     assert len(by_id["o4"]) == 1 and by_id["o4"][0]["n_events"] == 3
+
+
+def test_stream_static_join_enrichment(spark, stream_dirs, tmp_path):
+    raw, _, _ = stream_dirs
+    dim = spark.createDataFrame(
+        [("p1", "widget"), ("p2", "gadget"), ("p3", "gizmo"), ("p4", "doohickey")],
+        "product_id string, product_name string",
+    )
+    out_dir, ckpt = str(tmp_path / "enr"), str(tmp_path / "enr_ckpt")
+    q = (
+        ingest.stream_enriched_orders(spark, raw, dim)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(out_dir)
+    assert out.count() == 8
+    named = {r["product_id"]: r["product_name"] for r in out.collect()}
+    assert named["p1"] == "widget" and named["p4"] == "doohickey"
+    assert named["p9"] is None  # left join keeps dim-less events
+
+
+def test_stream_foreachbatch_upsert(spark, stream_dirs, tmp_path):
+    from batch_data_pipeline_exercise_spark.sources.warehouse import Warehouse
+
+    raw, _, _ = stream_dirs
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "up_ckpt")
+
+    q = ingest.upsert_order_state(spark, raw, wh, ckpt)
+    q.awaitTermination(120)
+    state = {r["id"]: r["status"] for r in wh.read("silver_orders").collect()}
+    assert state == {"o1": "completed", "o2": "created", "o3": "completed", "o4": "deleted", "o5": "created"}
+
+    # re-run same checkpoint: committed batch skipped, state unchanged
+    q2 = ingest.upsert_order_state(spark, raw, wh, ckpt)
+    q2.awaitTermination(120)
+    assert wh.read("silver_orders").count() == 5
+
+    # new drop updates o5 and inserts o9 — upsert, not append
+    with open(f"{raw}/orders_2021-03-03.csv", "w") as f:
+        f.write("id,productId,amount,totalPrice,status,timestamp\n")
+        f.write("o5,p4,1,42.00,completed,2021-03-03 09:00:00\n")
+        f.write("o9,p1,1,19.99,created,2021-03-03 09:00:00\n")
+    q3 = ingest.upsert_order_state(spark, raw, wh, ckpt)
+    q3.awaitTermination(120)
+    after = {r["id"]: r["status"] for r in wh.read("silver_orders").collect()}
+    assert after["o5"] == "completed" and after["o9"] == "created" and len(after) == 6
+
+    # replaying everything from a FRESH checkpoint converges (merge idempotency)
+    q4 = ingest.upsert_order_state(spark, raw, wh, str(tmp_path / "up_ckpt2"))
+    q4.awaitTermination(120)
+    replay = {r["id"]: r["status"] for r in wh.read("silver_orders").collect()}
+    assert replay == after
