@@ -30,6 +30,7 @@ def as_of_join(
     right_prefix: str = "",
     tie_break: str | None = None,
     strict: bool = False,
+    tolerance: str | None = None,
 ) -> DataFrame:
     """Left as-of-backward join.
 
@@ -40,6 +41,12 @@ def as_of_join(
 
     ``tie_break``: orders right rows with equal timestamps — the greatest
     value wins — keeping results deterministic under duplicate timestamps.
+
+    ``tolerance`` (e.g. ``"1 hour"``) bounds match staleness: a right row
+    older than ``left_ts - tolerance`` is treated as no match (NULLs) —
+    ``pd.merge_asof(tolerance=...)`` semantics. Implemented as a mask on
+    the carried-forward row, so the plan is unchanged: still one shuffle,
+    one window, no range join.
     """
     keys = [on] if isinstance(on, str) else list(on)
     lcols = left.columns
@@ -72,6 +79,14 @@ def as_of_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     unioned = rtagged.unionByName(ltagged).withColumn("__last_r", F.last("__r", ignorenulls=True).over(w))
+    if tolerance is not None:
+        unioned = unioned.withColumn(
+            "__last_ts",
+            F.last(F.when(F.col("__r").isNotNull(), F.col("__ts")), ignorenulls=True).over(w),
+        ).withColumn(
+            "__last_r",
+            F.when(F.col("__last_ts") >= F.col("__ts") - F.expr(f"INTERVAL {tolerance}"), F.col("__last_r")),
+        )
 
     out = unioned.filter(F.col("__l").isNotNull()).select(
         *[F.col("__l").getField(c).alias(c) for c in lcols],

@@ -1002,3 +1002,97 @@ def lineitem_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))).alias("corr_qty_price"),
         ((n * sxy - sx * sy) / (n * (n - F.lit(1.0)))).alias("covar_qty_price"),
     )
+
+
+@register(
+    "incremental_monthly_revenue",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS year,
+           CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS month,
+           COUNT(*) AS order_count,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_order
+    FROM orders GROUP BY 1, 2
+    """,
+    doc="Algebraic incremental aggregate maintenance: history (< 1999) and "
+    "the new batch (>= 1999) are aggregated SEPARATELY, then folded with "
+    "operators/incremental.py merge_partial_aggs — the daily-refresh "
+    "pattern that never re-scans history. The oracle is the full-scan "
+    "aggregate, proving merge(agg(old), agg(new)) == agg(all) exactly "
+    "(decimal sums are associative).",
+)
+def incremental_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from batch_data_pipeline_exercise_spark.operators.incremental import merge_partial_aggs
+
+    o = load(spark, sf_dir, "orders")
+    cutoff = F.lit("1999-01-01").cast("timestamp")
+
+    def monthly(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.year("o_orderdate").alias("year"), F.month("o_orderdate").alias("month")
+        ).agg(
+            F.count(F.lit(1)).alias("order_count"),
+            F.sum(dec("o_totalprice")).alias("revenue"),
+            F.max(dec("o_totalprice")).alias("max_order"),
+        )
+
+    prior = monthly(o.filter(F.col("o_orderdate") < cutoff))
+    delta = monthly(o.filter(F.col("o_orderdate") >= cutoff))
+    merged = merge_partial_aggs(
+        [prior, delta],
+        keys=["year", "month"],
+        merge_ops={"order_count": "sum", "revenue": "sum", "max_order": "max"},
+    )
+    return merged.select(
+        "year",
+        "month",
+        "order_count",
+        F.col("revenue").cast("double").alias("revenue"),
+        F.col("max_order").cast("double").alias("max_order"),
+    )
+
+
+@register(
+    "purchase_after_click_1h",
+    oracle="""
+    WITH cand AS (
+      SELECT p.event_id AS purchase_id, p.user_id, p.ts AS p_ts,
+             c.event_id AS click_id, c.ts AS c_ts,
+             ROW_NUMBER() OVER (PARTITION BY p.event_id ORDER BY c.ts DESC, c.event_id DESC) AS rn
+      FROM events p
+      JOIN events c ON c.user_id = p.user_id AND c.ts < p.ts
+                   AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.event_type = 'click'
+      WHERE p.event_type = 'purchase'
+    )
+    SELECT purchase_id, user_id,
+           strftime(p_ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+           click_id AS last_click_id,
+           strftime(c_ts, '%Y-%m-%d %H:%M:%S.%f') AS last_click_ts
+    FROM cand WHERE rn = 1
+    """,
+    doc="As-of join with TOLERANCE (pd.merge_asof semantics): latest prior "
+    "click per purchase, but only within the trailing hour — stale matches "
+    "null out and the purchase row drops. Same union+window linear plan as "
+    "the unbounded as-of; the bound is a mask, not a range join.",
+)
+def purchase_after_click_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from batch_data_pipeline_exercise_spark.operators.asof import as_of_join
+
+    e = load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    joined = as_of_join(
+        purchases, clicks, on="user_id", left_ts="p_ts", right_ts="c_ts",
+        tie_break="click_id", strict=True, tolerance="1 hour",
+    )
+    return joined.filter(F.col("click_id").isNotNull()).select(
+        "purchase_id",
+        "user_id",
+        fmt_ts("p_ts").alias("purchase_ts"),
+        F.col("click_id").alias("last_click_id"),
+        fmt_ts("c_ts").alias("last_click_ts"),
+    )

@@ -114,3 +114,34 @@ def test_as_of_join_pandas_matches_window_impl(spark):
     fast = {r["lid"]: r["rid"] for r in as_of_join(left, right, on="k", left_ts="lt", right_ts="rt").collect()}
     pdv = {r["lid"]: r["rid"] for r in as_of_join_pandas(left, right, on="k", left_ts="lt", right_ts="rt").collect()}
     assert fast == pdv
+
+
+def test_as_of_join_tolerance_masks_stale_matches(spark):
+    left = spark.createDataFrame(
+        [("k", dt.datetime(2021, 1, 1, 12, 0), 1), ("k", dt.datetime(2021, 1, 1, 18, 0), 2)],
+        "k string, lt timestamp, lid int",
+    )
+    right = spark.createDataFrame(
+        [("k", dt.datetime(2021, 1, 1, 11, 30), 10)], "k string, rt timestamp, rid int"
+    )
+    # unbounded: both left rows match the 11:30 right row
+    unbounded = {r["lid"]: r["rid"] for r in as_of_join(left, right, on="k", left_ts="lt", right_ts="rt").collect()}
+    assert unbounded == {1: 10, 2: 10}
+    # 1-hour tolerance: the 18:00 row's match is 6.5h stale -> NULL
+    bounded = {
+        r["lid"]: r["rid"]
+        for r in as_of_join(left, right, on="k", left_ts="lt", right_ts="rt", tolerance="1 hour").collect()
+    }
+    assert bounded == {1: 10, 2: None}
+
+
+def test_merge_partial_aggs_rejects_non_distributive(spark):
+    import pytest
+
+    from batch_data_pipeline_exercise_spark.operators.incremental import merge_partial_aggs
+
+    df = spark.createDataFrame([("a", 1)], "k string, v long")
+    with pytest.raises(ValueError, match="non-distributive"):
+        merge_partial_aggs([df, df], ["k"], {"v": "avg"})
+    out = merge_partial_aggs([df, df], ["k"], {"v": "sum"}).collect()
+    assert out[0]["v"] == 2
