@@ -97,11 +97,13 @@ def connected_components(
         raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
     if vertices is not None:
-        labels = (
-            vertices.select(id_col)
-            .distinct()
-            .join(labels, id_col, "left")
-            .select(id_col, F.coalesce("comp", F.col(id_col)).alias("comp"))
+        # union, not a vertices-driven left join: an edge-incident vertex
+        # missing from a stale/partial vertex list must still come back
+        # labeled (the docstring promises vertices only ADDS isolated
+        # ids, never filters)
+        all_ids = vertices.select(id_col).distinct().unionByName(labels.select(id_col)).distinct()
+        labels = all_ids.join(labels, id_col, "left").select(
+            id_col, F.coalesce("comp", F.col(id_col)).alias("comp")
         )
     return labels
 

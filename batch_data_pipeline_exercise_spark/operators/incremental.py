@@ -33,6 +33,8 @@ def merge_partial_aggs(
     ``max``; counts merge via ``sum``). One union + one hash aggregate —
     map-side combine does most of the work since parts are already
     small."""
+    if not parts:
+        raise ValueError("merge_partial_aggs: parts must be non-empty")
     bad = {op for op in merge_ops.values() if op not in _MERGE_FNS}
     if bad:
         raise ValueError(f"merge_partial_aggs: non-distributive merge ops {sorted(bad)}")

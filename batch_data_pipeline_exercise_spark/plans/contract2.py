@@ -1014,8 +1014,10 @@ def lineitem_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_order
     FROM orders GROUP BY 1, 2
     """,
-    doc="Algebraic incremental aggregate maintenance: history (< 1999) and "
-    "the new batch (>= 1999) are aggregated SEPARATELY, then folded with "
+    doc="Algebraic incremental aggregate maintenance: history (before "
+    "1998-06-15 — deliberately MID-month, so the June-1998 group has rows "
+    "in BOTH parts and the fold genuinely combines two partial rows) and "
+    "the new batch are aggregated SEPARATELY, then folded with "
     "operators/incremental.py merge_partial_aggs — the daily-refresh "
     "pattern that never re-scans history. The oracle is the full-scan "
     "aggregate, proving merge(agg(old), agg(new)) == agg(all) exactly "
@@ -1025,7 +1027,7 @@ def incremental_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from batch_data_pipeline_exercise_spark.operators.incremental import merge_partial_aggs
 
     o = load(spark, sf_dir, "orders")
-    cutoff = F.lit("1999-01-01").cast("timestamp")
+    cutoff = F.lit("1998-06-15").cast("timestamp")
 
     def monthly(df: DataFrame) -> DataFrame:
         return df.groupBy(

@@ -123,36 +123,11 @@ def doc_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "doc_minhash_lsh_pairs",
-    oracle="WITH "
-    + _TOKS_CTE
-    + ", "
-    + _SHINGLES_CTE
-    + ", "
-    + _MH_WORDS
-    + ", "
-    + _MH_SIG
-    + ", bands AS ("
-    + " UNION ALL ".join(
-        "SELECT doc_id, %d AS band, md5(%s) AS band_key FROM sig"
-        % (b, " || ',' || ".join(f"h{b * 4 + r}" for r in range(4)))
-        for b in range(8)
-    )
-    + ") SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 FROM bands a JOIN bands b "
-    + "ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id",
-    doc="MinHash-LSH candidate pairs (8 bands × 4 rows) — docs sharing any "
-    "signature band. Empty on this corpus unless true near-dups exist, and "
-    "the oracle must agree it is empty.",
-    bench=True,
-)
-def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
-    sig = dedup.minhash_signatures(dedup.word_shingles(d, "doc_id", distinct=False), k=32)
-    cand = dedup.lsh_candidate_pairs(dedup.lsh_band_keys(sig, bands=8, rows=4))
-    return cand
-
-
+# The single source of truth for the oracle's 8-band × 4-row LSH
+# candidate construction — every oracle that needs candidate pairs
+# (doc_minhash_lsh_pairs, doc_near_dup_verified, doc_dup_clusters,
+# corpus_prep_pipeline) composes THIS fragment, so banding parameters
+# can never silently drift between them.
 _CAND_CTE = (
     "bands AS ("
     + " UNION ALL ".join(
@@ -163,6 +138,31 @@ _CAND_CTE = (
     + "), cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 FROM bands a JOIN bands b "
     + "ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)"
 )
+
+
+@register(
+    "doc_minhash_lsh_pairs",
+    oracle="WITH "
+    + _TOKS_CTE
+    + ", "
+    + _SHINGLES_CTE
+    + ", "
+    + _MH_WORDS
+    + ", "
+    + _MH_SIG
+    + ", "
+    + _CAND_CTE
+    + " SELECT id1, id2 FROM cand",
+    doc="MinHash-LSH candidate pairs (8 bands × 4 rows) — docs sharing any "
+    "signature band. Empty on this corpus unless true near-dups exist, and "
+    "the oracle must agree it is empty.",
+    bench=True,
+)
+def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(dedup.word_shingles(d, "doc_id", distinct=False), k=32)
+    cand = dedup.lsh_candidate_pairs(dedup.lsh_band_keys(sig, bands=8, rows=4))
+    return cand
 
 
 @register(
@@ -230,7 +230,11 @@ def doc_near_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     "candidate-pair graph (min-label propagation; operators/graph.py) — "
     "cluster = smallest reachable doc_id, the canonical document to keep. "
     "Oracle: recursive-CTE transitive closure. The one iterative "
-    "(non-single-SQL) algorithm in the engine, still oracle-checked.",
+    "(non-single-SQL) algorithm in the engine, still oracle-checked. "
+    "Deliberately clusters the RAW candidate graph to exercise the graph "
+    "operator against the closure oracle in isolation; a production "
+    "pipeline verifies candidates first — corpus_prep_pipeline shows "
+    "that composition.",
 )
 def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
@@ -404,7 +408,22 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     + ", "
     + _CAND_CTE
     + f""",
-    sym AS (SELECT id1 AS a, id2 AS b FROM cand UNION SELECT id2, id1 FROM cand),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.id1, c.id2, COUNT(*) AS ni
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id1
+      JOIN sh b ON b.doc_id = c.id2 AND b.s = a.s
+      GROUP BY c.id1, c.id2
+    ),
+    ver AS (
+      SELECT i.id1, i.id2
+      FROM inter i
+      JOIN counts c1 ON c1.doc_id = i.id1
+      JOIN counts c2 ON c2.doc_id = i.id2
+      WHERE i.ni / (c1.n + c2.n - i.ni) >= 0.7
+    ),
+    sym AS (SELECT id1 AS a, id2 AS b FROM ver UNION SELECT id2, id1 FROM ver),
     reach(a, b) AS (
       SELECT a, b FROM sym
       UNION
@@ -426,11 +445,16 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="The flagship end-to-end training-corpus preparation pipeline: "
     "language filter (en) -> quality filter (>= 0.6) -> exact dedup "
     "(lowest-id per normalized-content md5) -> transitive near-dup "
-    "clustering (MinHash-LSH candidates -> connected components) keeping "
-    "only canonical documents -> token accounting. Every stage is the "
-    "already-oracle-checked operator; this query proves the COMPOSITION "
-    "matches end-to-end. Filters run before dedup (cheapest first), dedup "
-    "runs only on survivors — the stage order a 100 TB corpus needs.",
+    "clustering over VERIFIED pairs (MinHash-LSH candidates, exact-"
+    "Jaccard >= 0.7 verification, connected components) keeping only "
+    "canonical documents -> token accounting. Clustering raw candidates "
+    "would let LSH banding false positives (a ~0.4-Jaccard pair collides "
+    "on one band with ~19% probability) silently drop non-duplicate "
+    "documents; the verify stage is load-bearing, not optional. Every "
+    "stage is the already-oracle-checked operator; this query proves the "
+    "COMPOSITION matches end-to-end. Filters run before dedup (cheapest "
+    "first), dedup runs only on survivors — the stage order a 100 TB "
+    "corpus needs.",
     bench=True,
 )
 def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -440,17 +464,15 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept0 = text.with_fingerprint(kept0)
     w = Window.partitionBy("fingerprint_norm")
     kept1 = kept0.withColumn("__m", F.min("doc_id").over(w)).filter(F.col("doc_id") == F.col("__m"))
-    # Stage boundary: the survivor set feeds three consumers (minhash
-    # signatures, the cluster vertex list, the final join) — materialize
-    # once instead of re-running the text-stats/lang-id expression tree
-    # per branch. At cluster scale this is the persist-or-write point
-    # between the filter stage and the dedup stage of the pipeline.
+    # Stage boundary: the survivor set feeds three consumers (near-dup
+    # pair generation, the cluster vertex list, the final join) —
+    # materialize once instead of re-running the text-stats/lang-id
+    # expression tree per branch. At cluster scale this is the
+    # persist-or-write point between the filter stage and the dedup
+    # stage of the pipeline.
     kept1 = kept1.localCheckpoint()
-    sig = dedup.minhash_signatures(
-        dedup.word_shingles(kept1.select("doc_id", "text"), "doc_id", distinct=False), k=32
-    )
-    cand = dedup.lsh_candidate_pairs(dedup.lsh_band_keys(sig, bands=8, rows=4))
-    clusters = graph.dedup_clusters(cand, kept1.select("doc_id"))
+    ver = dedup.minhash_near_dups(kept1.select("doc_id", "text"), "doc_id", threshold=0.7)
+    clusters = graph.dedup_clusters(ver.select("id1", "id2"), kept1.select("doc_id"))
     return (
         kept1.join(clusters, "doc_id")
         .filter(F.col("doc_id") == F.col("cluster"))

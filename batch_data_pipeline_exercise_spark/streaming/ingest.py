@@ -145,9 +145,18 @@ def upsert_order_state(
     watermark: str | None = None,
 ):
     """Streaming upsert into the warehouse via ``foreachBatch``: each
-    micro-batch reduces to its latest event per order id (event_time,
-    then status as tie-break), then MERGEs into the silver table —
-    newer-event-wins update, insert when absent.
+    micro-batch reduces to its latest event per order id, then MERGEs
+    into the silver table — newer-event-wins update, insert when absent.
+
+    "Latest" is the MAX of ``(event_time, status)`` under lexicographic
+    order — the same total order applied both within a batch (window
+    rank) and across batches (the merge's update condition), so the
+    final state is independent of how events were sliced into
+    micro-batches: an incremental run and a fresh-checkpoint replay
+    converge to the identical table. (event_time alone would leave
+    equal-timestamp events across different batches to last-processed-
+    wins nondeterminism; the upstream (id, event_time) dedup only guards
+    within the stream, not against the stored table.)
 
     Exactly-once effect from at-least-once machinery: the checkpoint
     skips fully-committed batches, and the MERGE itself is idempotent
@@ -176,7 +185,13 @@ def upsert_order_state(
                 latest,
                 key="id",
                 update_set={c: F.col(f"s.{c}") for c in data_cols},
-                update_condition=F.col("s.event_time") >= F.col("t.event_time"),
+                update_condition=(
+                    (F.col("s.event_time") > F.col("t.event_time"))
+                    | (
+                        (F.col("s.event_time") == F.col("t.event_time"))
+                        & (F.col("s.status") >= F.col("t.status"))
+                    )
+                ),
                 assert_unique_source_key=True,
             )
             warehouse.overwrite(merged, table)

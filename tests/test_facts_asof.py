@@ -145,3 +145,12 @@ def test_merge_partial_aggs_rejects_non_distributive(spark):
         merge_partial_aggs([df, df], ["k"], {"v": "avg"})
     out = merge_partial_aggs([df, df], ["k"], {"v": "sum"}).collect()
     assert out[0]["v"] == 2
+
+
+def test_merge_partial_aggs_rejects_empty_parts(spark):
+    import pytest
+
+    from batch_data_pipeline_exercise_spark.operators.incremental import merge_partial_aggs
+
+    with pytest.raises(ValueError, match="non-empty"):
+        merge_partial_aggs([], ["k"], {"v": "sum"})

@@ -47,3 +47,12 @@ def test_dedup_clusters_canonical_keep(spark):
     assert out == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 30: 30}
     keep = {k for k, v in out.items() if k == v}
     assert keep == {10, 20, 30}  # one canonical per cluster + singleton
+
+
+def test_partial_vertex_list_does_not_filter_edge_vertices(spark):
+    # an id present in pairs but missing from the (stale) vertex list must
+    # still come back labeled — vertices only ADDS isolated ids
+    edges = spark.createDataFrame([(1, 2)], "src int, dst int")
+    verts = spark.createDataFrame([(1,), (5,)], "id int")
+    out = comp_map(graph.connected_components(edges, verts))
+    assert out == {1: 1, 2: 1, 5: 5}

@@ -160,3 +160,23 @@ def test_stream_foreachbatch_upsert(spark, stream_dirs, tmp_path):
     q4.awaitTermination(120)
     replay = {r["id"]: r["status"] for r in wh.read("silver_orders").collect()}
     assert replay == after
+
+
+def test_upsert_cross_batch_equal_timestamp_converges(spark, tmp_path):
+    """Same-timestamp events split across DIFFERENT micro-batches must
+    resolve by the (event_time, status) total order, not arrival order:
+    the incremental result has to equal a fresh-checkpoint replay."""
+    from batch_data_pipeline_exercise_spark.sources.warehouse import Warehouse
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    hdr = "id,productId,amount,totalPrice,status,timestamp\n"
+    # batch 1: the LATER-sorting status arrives first
+    (raw / "orders_b1.csv").write_text(hdr + "oX,p1,1,10.00,deleted,2021-03-01 10:00:00\n")
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    ingest.upsert_order_state(spark, str(raw), wh, str(tmp_path / "c1")).awaitTermination(120)
+    # batch 2: equal timestamp, smaller status — must NOT overwrite
+    (raw / "orders_b2.csv").write_text(hdr + "oX,p1,1,10.00,created,2021-03-01 10:00:00\n")
+    ingest.upsert_order_state(spark, str(raw), wh, str(tmp_path / "c1")).awaitTermination(120)
+    incremental = {r["id"]: r["status"] for r in wh.read("silver_orders").collect()}
+    assert incremental == {"oX": "deleted"}
