@@ -1098,3 +1098,104 @@ def purchase_after_click_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("click_id").alias("last_click_id"),
         fmt_ts("c_ts").alias("last_click_ts"),
     )
+
+
+@register(
+    "salted_event_value_sum",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+    """,
+    doc="Skew-safe two-level aggregation (operators/skew.py salted_agg): "
+    "level 1 groups (event_type, salt) spreading any hot key over 16 "
+    "tasks, level 2 merges the partials. The salt derives from the unique "
+    "event_id (retry-safe, no rand()); decimal sums make the two-level "
+    "result bit-identical to the oracle's one-level aggregate.",
+)
+def salted_event_value_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from batch_data_pipeline_exercise_spark.operators.skew import salted_agg
+
+    e = load(spark, sf_dir, "events").withColumn("__v", dec("value"))
+    out = salted_agg(
+        e,
+        ["event_type"],
+        {"n_events": ("count", "*"), "total_value": ("sum", "__v")},
+        n_salts=16,
+        salt_col="event_id",
+    )
+    return out.select("event_type", "n_events", F.col("total_value").cast("double").alias("total_value"))
+
+
+@register(
+    "part_snapshot_cdc",
+    oracle="""
+    WITH day1 AS (
+      SELECT CAST(p_partkey AS VARCHAR) AS id, p_brand AS category,
+             CAST(p_retailprice AS DECIMAL(18,2)) AS price
+      FROM part
+    ), day2 AS (
+      SELECT id,
+             CASE WHEN id LIKE '%3' THEN 'BrandX' ELSE category END AS category,
+             CAST(CASE WHEN id LIKE '%7' THEN price + 1 ELSE price END AS DECIMAL(18,2)) AS price
+      FROM day1 WHERE id NOT LIKE '%9'
+      UNION ALL
+      SELECT 'NEW1', 'BrandNew', CAST(9.99 AS DECIMAL(18,2))
+    )
+    SELECT COALESCE(o.id, n.id) AS id,
+           CASE WHEN o.id IS NULL THEN 'insert'
+                WHEN n.id IS NULL THEN 'delete'
+                WHEN o.category IS DISTINCT FROM n.category
+                  OR o.price IS DISTINCT FROM n.price THEN 'update' END AS change_type,
+           o.category AS old_category, n.category AS new_category,
+           CAST(o.price AS DOUBLE) AS old_price, CAST(n.price AS DOUBLE) AS new_price
+    FROM day1 o FULL OUTER JOIN day2 n ON o.id = n.id
+    WHERE (CASE WHEN o.id IS NULL THEN 'insert'
+                WHEN n.id IS NULL THEN 'delete'
+                WHEN o.category IS DISTINCT FROM n.category
+                  OR o.price IS DISTINCT FROM n.price THEN 'update' END) IS NOT NULL
+    """,
+    doc="Snapshot-diff CDC (operators/cdc.py): two derived daily part "
+    "snapshots (day 2 rebrands ids ending in 3, reprices ids ending in 7, "
+    "drops ids ending in 9, adds one new id) -> the change set "
+    "(insert/delete/update with old/new values), sized by churn, not by "
+    "table. The inverse primitive of snapshot ingestion — what feeds an "
+    "SCD2 merge or an incremental downstream refresh without reshipping "
+    "the snapshot.",
+)
+def part_snapshot_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from batch_data_pipeline_exercise_spark.operators.cdc import snapshot_diff
+
+    p = load(spark, sf_dir, "part")
+    day1 = p.select(
+        F.col("p_partkey").cast("string").alias("id"),
+        F.col("p_brand").alias("category"),
+        dec("p_retailprice").alias("price"),
+    )
+    last = F.substring(F.col("id"), -1, 1)
+    day2 = (
+        day1.filter(last != "9")
+        .select(
+            "id",
+            F.when(last == "3", F.lit("BrandX")).otherwise(F.col("category")).alias("category"),
+            F.when(last == "7", (F.col("price") + 1).cast("decimal(18,2)"))
+            .otherwise(F.col("price"))
+            .alias("price"),
+        )
+        .unionByName(
+            spark.range(1).select(
+                F.lit("NEW1").alias("id"),
+                F.lit("BrandNew").alias("category"),
+                F.lit(9.99).cast("decimal(18,2)").alias("price"),
+            )
+        )
+    )
+    out = snapshot_diff(day1, day2, "id", ["category", "price"])
+    return out.select(
+        "id",
+        "change_type",
+        "old_category",
+        "new_category",
+        F.col("old_price").cast("double").alias("old_price"),
+        F.col("new_price").cast("double").alias("new_price"),
+    )
