@@ -141,7 +141,19 @@ def lsh_candidate_pairs(band_keys: DataFrame) -> DataFrame:
 
 def exact_jaccard(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
     """True Jaccard for given pairs via two equi joins on (id, shingle) —
-    computed ONLY for candidates, not all pairs."""
+    computed ONLY for candidates, not all pairs. ``shingles`` must be
+    distinct per doc (set semantics).
+
+    The shingle table is semi-filtered to candidate docs up front:
+    candidates are a vanishing fraction of a real corpus, so the heavy
+    (shingle == shingle) intersection join and the per-doc counts touch
+    only candidate docs' shingles, never the full table."""
+    ids = (
+        pairs.select(F.col("id1").alias("id"))
+        .unionByName(pairs.select(F.col("id2").alias("id")))
+        .distinct()
+    )
+    shingles = shingles.join(ids, "id", "leftsemi")
     counts = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = shingles.alias("a"), shingles.alias("b")
     inter = (
@@ -173,12 +185,17 @@ def minhash_near_dups(
     threshold: float = 0.7,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: returns (id1, id2, jaccard)
-    pairs with verified ``jaccard >= threshold``. k = bands × rows."""
+    pairs with verified ``jaccard >= threshold``. k = bands × rows.
+
+    The multiset shingle stream feeds signatures directly (min over a
+    multiset equals min over its support — no distinct shuffle); the
+    distinct SET view needed for Jaccard is built only for candidate
+    docs, inside ``exact_jaccard``'s semi-filter."""
     assert k % bands == 0
-    sh = word_shingles(df, id_col, text_col, n)
+    sh = word_shingles(df, id_col, text_col, n, distinct=False)
     sig = minhash_signatures(sh, k)
     cand = lsh_candidate_pairs(lsh_band_keys(sig, bands, k // bands))
-    return exact_jaccard(cand, sh).filter(F.col("jaccard") >= threshold)
+    return exact_jaccard(cand, sh.distinct()).filter(F.col("jaccard") >= threshold)
 
 
 def ngram_jaccard_pairs(

@@ -469,8 +469,12 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize once instead of re-running the text-stats/lang-id
     # expression tree per branch. At cluster scale this is the
     # persist-or-write point between the filter stage and the dedup
-    # stage of the pipeline.
-    kept1 = kept1.localCheckpoint()
+    # stage of the pipeline. The explicit repartition matters: AQE
+    # coalesces the tiny-BYTES window shuffle to one partition, but the
+    # downstream work is compute-dense per row (shingling, 32-way
+    # hashing) — checkpointing single-partition would serialize it all
+    # onto one core.
+    kept1 = kept1.repartition(spark.sparkContext.defaultParallelism).localCheckpoint()
     ver = dedup.minhash_near_dups(kept1.select("doc_id", "text"), "doc_id", threshold=0.7)
     clusters = graph.dedup_clusters(ver.select("id1", "id2"), kept1.select("doc_id"))
     return (
