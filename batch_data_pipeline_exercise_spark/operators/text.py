@@ -122,3 +122,61 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
 def tokenize(text_col: str = "text") -> Column:
     """Whitespace word tokens, lowercased — the substrate for shingling."""
     return F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), "\\s+", " "), " ")
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    context-window preparation step of an LLM training pipeline.
+
+    Chunks start every ``chunk_tokens - overlap`` tokens and span
+    ``chunk_tokens`` (the final chunk is shorter). Pure column ops:
+    tokenize once, explode a generated start-offset sequence, slice the
+    token array per chunk — no UDF, embarrassingly parallel, output size
+    ~ input x (1 + overlap ratio).
+
+    Output: (id_col, chunk_id, chunk_text, chunk_n_tokens), chunk_id
+    numbering chunks 0.. within each document."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("chunk_documents: need 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(F.col("__tk")) - F.lit(overlap) - 1, F.lit(0)), F.lit(step)
+    )
+    return (
+        df.select(F.col(id_col), tokenize(text_col).alias("__tk"))
+        .select(id_col, F.size("__tk").alias("__n"), F.explode(starts).alias("__start"), F.col("__tk"))
+        .select(
+            id_col,
+            (F.col("__start") / step).cast("int").alias("chunk_id"),
+            F.concat_ws(" ", F.slice("__tk", F.col("__start") + 1, chunk_tokens)).alias("chunk_text"),
+            F.least(F.col("__n") - F.col("__start"), F.lit(chunk_tokens)).alias("chunk_n_tokens"),
+        )
+    )
+
+
+def top_tokens(
+    df: DataFrame,
+    by: list[str],
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary head: the ``k`` most frequent whitespace tokens per
+    group (ties broken lexically — deterministic). One explode + one hash
+    aggregate + one partitioned window; the group-by keys shard the
+    window, so no global sort at any corpus size."""
+    from pyspark.sql.window import Window
+
+    counts = (
+        df.select(*by, F.explode(tokenize(text_col)).alias("token"))
+        .filter(F.length("token") > 0)
+        .groupBy(*by, "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy(*by).orderBy(F.col("n").desc(), "token")
+    return counts.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -485,6 +485,53 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_chunks",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS tk FROM documents),
+    c AS (
+      SELECT doc_id, len(tk) AS n, u.s AS start, tk
+      FROM toks, UNNEST(range(0, greatest(len(tk) - 32 - 1, 0) + 1, 96)) AS u(s)
+    )
+    SELECT doc_id,
+           CAST(start / 96 AS INTEGER) AS chunk_id,
+           array_to_string(list_slice(tk, start + 1, start + 128), ' ') AS chunk_text,
+           CAST(LEAST(n - start, 128) AS INTEGER) AS chunk_n_tokens
+    FROM c
+    """,
+    doc="Context-window chunking (operators/text.py chunk_documents): "
+    "128-token chunks every 96 tokens (32-token overlap) — the LLM "
+    "training prep step between cleaning and packing. Pure explode+slice "
+    "column ops, one pass, no UDF.",
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    out = text.chunk_documents(d, "doc_id", chunk_tokens=128, overlap=32)
+    return out.select("doc_id", "chunk_id", "chunk_text", F.col("chunk_n_tokens").cast("int").alias("chunk_n_tokens"))
+
+
+@register(
+    "corpus_vocab_by_lang",
+    oracle=f"""
+    WITH toks AS (SELECT lang, string_split({_NORM}, ' ') AS tk FROM documents),
+    tok AS (SELECT lang, u.t AS token FROM toks, UNNEST(tk) AS u(t) WHERE length(t) > 0),
+    c AS (SELECT lang, token, COUNT(*) AS n FROM tok GROUP BY 1, 2)
+    SELECT lang, token, n, rank FROM (
+      SELECT lang, token, n,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rank
+      FROM c
+    ) WHERE rank <= 20
+    """,
+    doc="Vocabulary head (operators/text.py top_tokens): the 20 most "
+    "frequent tokens per language shard — the vocab-building scan of a "
+    "tokenizer pipeline. Explode -> hash aggregate -> lang-partitioned "
+    "window; ties break lexically so the cut is deterministic.",
+)
+def corpus_vocab_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return text.top_tokens(d, ["lang"], k=20).select("lang", "token", "n", "rank")
+
+
+@register(
     "doc_fingerprints",
     oracle=f"SELECT doc_id, md5(text) AS fingerprint, md5({_NORM}) AS fingerprint_norm FROM documents",
     doc="Content + normalized-content md5 fingerprints.",

@@ -116,3 +116,39 @@ def test_char_shingles_cjk_near_dup(spark):
     # word shingles would lump each doc into ONE shingle — no resolution
     word_sh = dedup.word_shingles(zh, "doc_id")
     assert word_sh.groupBy("id").count().agg(F.max("count")).first()[0] == 1
+
+
+def test_chunk_documents_windows_and_edges(spark):
+    from batch_data_pipeline_exercise_spark.operators import text as T
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))), (2, "a b"), (3, "solo")],
+        "doc_id int, text string",
+    )
+    out = {(r["doc_id"], r["chunk_id"]): r for r in T.chunk_documents(docs, chunk_tokens=4, overlap=2).collect()}
+    # doc1: 10 tokens, step 2 -> starts 0,2,4,6 (last start <= n-overlap-1=7)
+    d1 = [out[(1, i)] for i in range(4)]
+    assert d1[0]["chunk_text"] == "w0 w1 w2 w3"
+    assert d1[1]["chunk_text"] == "w2 w3 w4 w5"
+    assert d1[3]["chunk_text"] == "w6 w7 w8 w9"
+    assert all(r["chunk_n_tokens"] == 4 for r in d1)
+    # short docs: one chunk, correct length
+    assert out[(2, 0)]["chunk_text"] == "a b" and out[(2, 0)]["chunk_n_tokens"] == 2
+    assert out[(3, 0)]["chunk_text"] == "solo" and out[(3, 0)]["chunk_n_tokens"] == 1
+    with pytest.raises(ValueError, match="overlap"):
+        T.chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_top_tokens_rank_and_ties(spark):
+    from batch_data_pipeline_exercise_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(1, "en", "x x y z"), (2, "en", "y x"), (3, "fr", "a b b")],
+        "doc_id int, lang string, text string",
+    )
+    rows = {(r["lang"], r["rank"]): (r["token"], r["n"]) for r in T.top_tokens(docs, ["lang"], k=2).collect()}
+    assert rows[("en", 1)] == ("x", 3)
+    assert rows[("en", 2)] == ("y", 2)
+    assert rows[("fr", 1)] == ("b", 2)
+    assert rows[("fr", 2)] == ("a", 1)
