@@ -132,3 +132,27 @@ class Pipeline:
         self.wh.append_once(
             stg, "fact_inventory", keys=["product_id", "snapshot_date"], partition_by=["snapshot_date"]
         )
+
+    # -- periodic maintenance ----------------------------------------------
+
+    #: append-heavy tables that accumulate small files batch over batch
+    MAINTAINED_TABLES = ("fact_orders_created", "fact_inventory", "dim_products", "dim_orders")
+
+    def maintain(self, small_file_threshold: int = 64) -> list[str]:
+        """Nightly-cadence table maintenance — the parquet-native
+        OPTIMIZE + ANALYZE. For each maintained table: compact when the
+        data-file count crosses ``small_file_threshold`` (rewriting
+        preserves Hive partition layout; see ``Warehouse.compact``), then
+        refresh catalog statistics so the cost-based optimizer sizes
+        joins from real row counts. Cheap when nothing qualifies — one
+        driver-side file listing per table — so callers can run it after
+        every daily load. Returns the tables that were compacted."""
+        compacted: list[str] = []
+        for table in self.MAINTAINED_TABLES:
+            if not self.wh.exists(table):
+                continue
+            if self.wh.file_count(table) > small_file_threshold:
+                self.wh.compact(table)
+                compacted.append(table)
+            self.wh.analyze(table)
+        return compacted

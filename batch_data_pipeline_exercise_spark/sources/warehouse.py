@@ -179,6 +179,23 @@ class Warehouse:
         else:
             self.overwrite(df.repartition(n), table)
 
+    def file_count(self, table: str) -> int:
+        """Number of data files under the table directory tree — the
+        cheap driver-side signal for compaction cadence (append-heavy
+        tables accumulate a few files per batch; compact when the count
+        crosses the caller's threshold, not on every run)."""
+        path = self.path(table)
+        P, fs = self._fs(path)
+        if not fs.exists(P(path)):
+            return 0
+        it = fs.listFiles(P(path), True)
+        n = 0
+        while it.hasNext():
+            f = it.next()
+            if not f.getPath().getName().startswith("_"):
+                n += 1
+        return n
+
     def analyze(self, table: str, name: str | None = None) -> None:
         """Register in the catalog and compute table statistics so the
         cost-based optimizer can size joins (broadcast decisions, join

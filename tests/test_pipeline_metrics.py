@@ -132,3 +132,20 @@ def test_fact_partition_pruning(wh):
     plan = fact._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(created_date" in plan, plan
     assert fact.count() == 2  # o1, o2 created on 2021-03-01
+
+
+def test_maintain_compacts_and_preserves_results(wh):
+    before = {t: wh.wh.read(t).count() for t in Pipeline.MAINTAINED_TABLES if wh.wh.exists(t)}
+    files_before = wh.wh.file_count("fact_inventory")
+    assert files_before > 0
+    # threshold 0 forces compaction of every maintained table
+    compacted = wh.maintain(small_file_threshold=0)
+    assert "fact_inventory" in compacted and "fact_orders_created" in compacted
+    after = {t: wh.wh.read(t).count() for t in before}
+    assert after == before  # maintenance never changes data
+    # partition layout survives (pruning still possible)
+    assert wh.wh.partition_columns("fact_inventory") == ["snapshot_date"]
+    # a fresh listing stays below any sane threshold and analyze ran
+    assert wh.wh.file_count("fact_inventory") <= files_before or files_before <= 2
+    # high threshold: nothing qualifies, call is a cheap no-op
+    assert wh.maintain(small_file_threshold=10_000) == []
