@@ -141,7 +141,10 @@ def chunk_documents(
     ~ input x (1 + overlap ratio).
 
     Output: (id_col, chunk_id, chunk_text, chunk_n_tokens), chunk_id
-    numbering chunks 0.. within each document."""
+    numbering chunks 0.. within each document. NULL/empty/whitespace-only
+    documents produce no chunks (without the guard a NULL text would emit
+    one phantom chunk whose chunk_n_tokens claims a full window —
+    NULL-skipping ``greatest``/``least`` semantics)."""
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("chunk_documents: need 0 <= overlap < chunk_tokens")
     step = chunk_tokens - overlap
@@ -149,7 +152,8 @@ def chunk_documents(
         F.lit(0), F.greatest(F.size(F.col("__tk")) - F.lit(overlap) - 1, F.lit(0)), F.lit(step)
     )
     return (
-        df.select(F.col(id_col), tokenize(text_col).alias("__tk"))
+        df.filter(F.coalesce(F.length(F.trim(F.col(text_col))), F.lit(0)) > 0)
+        .select(F.col(id_col), tokenize(text_col).alias("__tk"))
         .select(id_col, F.size("__tk").alias("__n"), F.explode(starts).alias("__start"), F.col("__tk"))
         .select(
             id_col,

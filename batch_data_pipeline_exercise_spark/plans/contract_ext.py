@@ -487,7 +487,8 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "doc_chunks",
     oracle=f"""
-    WITH toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS tk FROM documents),
+    WITH toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS tk FROM documents
+                  WHERE COALESCE(length(trim(text)), 0) > 0),
     c AS (
       SELECT doc_id, len(tk) AS n, u.s AS start, tk
       FROM toks, UNNEST(range(0, greatest(len(tk) - 32 - 1, 0) + 1, 96)) AS u(s)

@@ -138,21 +138,27 @@ class Pipeline:
     #: append-heavy tables that accumulate small files batch over batch
     MAINTAINED_TABLES = ("fact_orders_created", "fact_inventory", "dim_products", "dim_orders")
 
-    def maintain(self, small_file_threshold: int = 64) -> list[str]:
+    def maintain(self, max_files_per_partition: int = 8) -> list[str]:
         """Nightly-cadence table maintenance — the parquet-native
-        OPTIMIZE + ANALYZE. For each maintained table: compact when the
-        data-file count crosses ``small_file_threshold`` (rewriting
-        preserves Hive partition layout; see ``Warehouse.compact``), then
-        refresh catalog statistics so the cost-based optimizer sizes
-        joins from real row counts. Cheap when nothing qualifies — one
-        driver-side file listing per table — so callers can run it after
-        every daily load. Returns the tables that were compacted."""
+        OPTIMIZE + ANALYZE. A table qualifies for compaction when its
+        data-file count exceeds ``max_files_per_partition`` x its leaf
+        partition-directory count (total files for an unpartitioned
+        table) — per-partition, because a partitioned table's TOTAL file
+        count grows with history forever and a total-count gate would
+        rewrite the whole table every night once enough partitions
+        exist. Compaction preserves Hive partition layout
+        (``Warehouse.compact``); the catalog-statistics refresh (ANALYZE,
+        a full scan) runs only for tables that were actually rewritten,
+        so a call where nothing qualifies costs two driver-side file
+        listings per table and touches no data. Returns the compacted
+        tables."""
         compacted: list[str] = []
         for table in self.MAINTAINED_TABLES:
             if not self.wh.exists(table):
                 continue
-            if self.wh.file_count(table) > small_file_threshold:
+            budget = max_files_per_partition * self.wh.partition_dir_count(table)
+            if self.wh.file_count(table) > budget:
                 self.wh.compact(table)
+                self.wh.analyze(table)
                 compacted.append(table)
-            self.wh.analyze(table)
         return compacted

@@ -83,6 +83,29 @@ class Warehouse:
             path = os.path.join(path, subdirs[0])
         return cols
 
+    def partition_dir_count(self, table: str) -> int:
+        """Number of leaf partition directories (1 for an unpartitioned
+        table) — the denominator for files-per-partition maintenance
+        gates: a healthy partitioned table holds a bounded number of
+        files per partition, while its TOTAL file count grows with
+        history forever."""
+        parts = self.partition_columns(table)
+        if not parts:
+            return 1
+        path = self.path(table)
+        P, fs = self._fs(path)
+        dirs = [path]
+        for _ in parts:
+            nxt = []
+            for d in dirs:
+                nxt += [
+                    str(s.getPath().toUri().getPath())
+                    for s in fs.listStatus(P(d))
+                    if s.isDirectory() and "=" in s.getPath().getName()
+                ]
+            dirs = nxt
+        return max(len(dirs), 1)
+
     def overwrite(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> None:
         """Overwrite via temp-dir + crash-safe rename swap.
 
@@ -184,6 +207,7 @@ class Warehouse:
         cheap driver-side signal for compaction cadence (append-heavy
         tables accumulate a few files per batch; compact when the count
         crosses the caller's threshold, not on every run)."""
+        self._recover(table)
         path = self.path(table)
         P, fs = self._fs(path)
         if not fs.exists(P(path)):
@@ -214,6 +238,12 @@ class Warehouse:
         self.spark.sql(
             f"CREATE TABLE IF NOT EXISTS {name} USING parquet LOCATION '{self.path(table)}'"
         )
+        # Hive-partitioned directories register with ZERO partitions —
+        # the catalog name would silently read 0 rows (and ANALYZE would
+        # store 0-row stats, worse than none) until partitions are
+        # discovered from the directory layout.
+        if self.partition_columns(table):
+            self.spark.sql(f"ALTER TABLE {name} RECOVER PARTITIONS")
         self._catalog_names.setdefault(table, set()).add(name)
 
     def _refresh(self, table: str) -> None:
@@ -222,8 +252,13 @@ class Warehouse:
         registered over this table (a swapped directory otherwise serves
         FAILED_READ_FILE from the stale relation cache)."""
         self.spark.catalog.refreshByPath(self.path(table))
+        partitioned = bool(self._catalog_names.get(table)) and bool(self.partition_columns(table))
         for name in self._catalog_names.get(table, ()):
             try:
                 self.spark.catalog.refreshTable(name)
+                if partitioned:
+                    # a write may add/remove partition directories; the
+                    # catalog's partition list must follow the disk layout
+                    self.spark.sql(f"ALTER TABLE {name} RECOVER PARTITIONS")
             except Exception:
                 pass  # table was dropped externally — nothing to refresh

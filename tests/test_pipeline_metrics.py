@@ -136,16 +136,25 @@ def test_fact_partition_pruning(wh):
 
 def test_maintain_compacts_and_preserves_results(wh):
     before = {t: wh.wh.read(t).count() for t in Pipeline.MAINTAINED_TABLES if wh.wh.exists(t)}
-    files_before = wh.wh.file_count("fact_inventory")
-    assert files_before > 0
+    # per-partition gate: budget scales with partition count, so a healthy
+    # compacted table never re-qualifies just because history grew
+    n_parts = wh.wh.partition_dir_count("fact_inventory")
+    assert n_parts >= 2  # two snapshot dates ingested by the fixture
     # threshold 0 forces compaction of every maintained table
-    compacted = wh.maintain(small_file_threshold=0)
+    compacted = wh.maintain(max_files_per_partition=0)
     assert "fact_inventory" in compacted and "fact_orders_created" in compacted
     after = {t: wh.wh.read(t).count() for t in before}
     assert after == before  # maintenance never changes data
     # partition layout survives (pruning still possible)
     assert wh.wh.partition_columns("fact_inventory") == ["snapshot_date"]
-    # a fresh listing stays below any sane threshold and analyze ran
-    assert wh.wh.file_count("fact_inventory") <= files_before or files_before <= 2
-    # high threshold: nothing qualifies, call is a cheap no-op
-    assert wh.maintain(small_file_threshold=10_000) == []
+    # ANALYZE ran only for compacted tables, and the catalog's partition
+    # discovery means the registered name sees ALL rows (a plain
+    # LOCATION registration of a partitioned dir would read 0)
+    assert wh.spark.sql("SELECT COUNT(*) FROM fact_inventory").first()[0] == before["fact_inventory"]
+    # generous budget: nothing qualifies, call is a cheap no-op
+    assert wh.maintain(max_files_per_partition=10_000) == []
+
+
+def test_catalog_partitioned_registration_sees_all_rows(wh, spark):
+    wh.wh.register_catalog("fact_orders_created", "foc_cat")
+    assert spark.sql("SELECT COUNT(*) FROM foc_cat").first()[0] == wh.wh.read("fact_orders_created").count()
