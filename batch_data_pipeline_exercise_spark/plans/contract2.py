@@ -1199,3 +1199,76 @@ def part_snapshot_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("old_price").cast("double").alias("old_price"),
         F.col("new_price").cast("double").alias("new_price"),
     )
+
+
+@register(
+    "order_priority_checking",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o.o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: orders in a date window having at least one line "
+    "shipped after the order date — EXISTS as a LEFT SEMI hash join (the "
+    "date filter prunes the orders scan first; the semi join never "
+    "duplicates order rows the way a plain join + distinct would).",
+)
+def order_priority_checking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    windowed = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    matched = windowed.join(
+        li,
+        (windowed.o_orderkey == li.l_orderkey) & (li.l_shipdate > windowed.o_orderdate),
+        "left_semi",
+    )
+    return matched.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@register(
+    "large_volume_customers",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+           CAST(q.total_qty AS DOUBLE) AS total_qty
+    FROM (
+      SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250
+    ) q
+    JOIN orders o   ON o.o_orderkey = q.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+    doc="TPC-H Q18 shape: customers whose single orders exceed 250 units — "
+    "grouped-HAVING subquery driving the join (aggregate FIRST, then join "
+    "only qualifying orderkeys: the aggregation shrinks the fact before it "
+    "touches the dimension chain). The HAVING cut compares exact decimal "
+    "sums, so membership is engine-independent.",
+)
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    q = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("__tq"))
+        .filter(F.col("__tq") > F.lit(250).cast("decimal(18,2)"))
+    )
+    return (
+        q.join(o, q.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.col("__tq").cast("double").alias("total_qty"),
+        )
+    )
