@@ -193,10 +193,17 @@ class Warehouse:
         parts = self.partition_columns(table)
         df = self.read(table)
         if parts:
-            # hash on (partition cols + a seeded split) so a skewed
+            # hash on (partition cols + a row-content split) so a skewed
             # partition value spreads over several of the n shuffle tasks
-            # instead of rewriting single-threaded into one file
-            split = F.floor(F.rand(42) * F.lit(max(2, n // 4)))
+            # instead of rewriting single-threaded into one file. The
+            # split is a DETERMINISTIC row hash, not rand(): a seeded
+            # rand survives a shuffle-fetch retry only if the recomputed
+            # input partition replays identical row order — the
+            # SPARK-23207 silent row-loss class. Byte-identical duplicate
+            # rows hash to the same split (less spreading for
+            # duplicate-heavy tables), which costs parallelism, never
+            # rows.
+            split = F.pmod(F.xxhash64(F.struct(*[F.col(c) for c in df.columns])), F.lit(max(2, n // 4)))
             compacted = df.repartition(n, *[F.col(c) for c in parts], split)
             self.overwrite(compacted, table, partition_by=parts)
         else:
