@@ -203,7 +203,16 @@ class Warehouse:
             # rows hash to the same split (less spreading for
             # duplicate-heavy tables), which costs parallelism, never
             # rows.
-            split = F.pmod(F.xxhash64(F.struct(*[F.col(c) for c in df.columns])), F.lit(max(2, n // 4)))
+            # xxhash64 rejects MAP-typed input — hash the map-free
+            # columns (losing a map column from the split key only
+            # reduces spreading, never correctness); a pathological
+            # all-map table degrades to no spreading, still correct.
+            hashable = [c for c, t in df.dtypes if "map<" not in t]
+            split = (
+                F.pmod(F.xxhash64(*[F.col(c) for c in hashable]), F.lit(max(2, n // 4)))
+                if hashable
+                else F.lit(0)
+            )
             compacted = df.repartition(n, *[F.col(c) for c in parts], split)
             self.overwrite(compacted, table, partition_by=parts)
         else:

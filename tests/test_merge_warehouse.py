@@ -168,3 +168,20 @@ def test_merge_null_delete_condition_keeps_row(spark):
     source = spark.createDataFrame([("a", None)], "id string, note string")
     out = merge_into(target, source, key="id", delete_condition=F.col("s.note") == "DELETE")
     assert out.count() == 1  # NULL condition = not deleted
+
+
+def test_compact_partitioned_with_map_column(spark, tmp_path):
+    """compact() must not choke on MAP-typed columns (xxhash64 rejects
+    maps; the split key silently skips them)."""
+    from batch_data_pipeline_exercise_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "whm"))
+    df = spark.createDataFrame(
+        [(1, "a", {"k": 1}), (2, "a", {"k": 2}), (3, "b", {"k": 3})],
+        "id int, day string, props map<string,int>",
+    )
+    wh.overwrite(df, "t", partition_by=["day"])
+    wh.compact("t")
+    out = wh.read("t")
+    assert out.count() == 3
+    assert wh.partition_columns("t") == ["day"]
