@@ -128,8 +128,19 @@ def lsh_band_keys(signatures: DataFrame, bands: int, rows: int) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(band_keys: DataFrame) -> DataFrame:
-    """Distinct (id1 < id2) pairs sharing at least one LSH bucket."""
+def lsh_candidate_pairs(band_keys: DataFrame, materialize: bool = True) -> DataFrame:
+    """Distinct (id1 < id2) pairs sharing at least one LSH bucket.
+
+    ``materialize`` (default) pins the band-key table with an eager
+    ``localCheckpoint`` before the self-join. Without it the physical
+    plan computes the ENTIRE upstream signature pipeline twice — Spark
+    plans the smaller side as a BroadcastExchange, so the two subtrees
+    differ and exchange reuse never fires (verified with
+    ``explain("formatted")``: the shingle-explode → md5 → min-agg chain
+    appears twice). The band-key table is k-ints-per-doc tiny, so the
+    checkpoint costs nothing compared to one spare signature pass."""
+    if materialize:
+        band_keys = band_keys.localCheckpoint()
     a, b = band_keys.alias("a"), band_keys.alias("b")
     return (
         a.join(b, ["band", "band_key"])
@@ -189,13 +200,27 @@ def minhash_near_dups(
 
     The multiset shingle stream feeds signatures directly (min over a
     multiset equals min over its support — no distinct shuffle); the
-    distinct SET view needed for Jaccard is built only for candidate
-    docs, inside ``exact_jaccard``'s semi-filter."""
+    distinct SET view needed for Jaccard is rebuilt from scratch for
+    CANDIDATE DOCS ONLY (a semi-join on the pair ids prunes the corpus
+    before the second shingle pass), so the expensive full-table explode
+    happens exactly once. The candidate pair list is eagerly pinned
+    (``localCheckpoint``) before verification: ``exact_jaccard`` reuses
+    it in three joins, and un-pinned each reuse would re-execute the
+    whole signature pipeline (no exchange reuse across broadcast/shuffle
+    sides — see ``lsh_candidate_pairs``). Pair lists are tiny (real
+    corpora: ≪ 1% of docs have any candidate), so the pin is free."""
     assert k % bands == 0
     sh = word_shingles(df, id_col, text_col, n, distinct=False)
     sig = minhash_signatures(sh, k)
-    cand = lsh_candidate_pairs(lsh_band_keys(sig, bands, k // bands))
-    return exact_jaccard(cand, sh.distinct()).filter(F.col("jaccard") >= threshold)
+    cand = lsh_candidate_pairs(lsh_band_keys(sig, bands, k // bands)).localCheckpoint()
+    ids = (
+        cand.select(F.col("id1").alias("__cid"))
+        .unionByName(cand.select(F.col("id2").alias("__cid")))
+        .distinct()
+    )
+    cand_docs = df.join(ids, df[id_col] == F.col("__cid"), "left_semi")
+    sh_set = word_shingles(cand_docs, id_col, text_col, n, distinct=True)
+    return exact_jaccard(cand, sh_set).filter(F.col("jaccard") >= threshold)
 
 
 def ngram_jaccard_pairs(
@@ -204,13 +229,14 @@ def ngram_jaccard_pairs(
     """Exact all-pairs n-gram Jaccard via shingle equi-join. Quadratic in
     docs sharing a shingle — correct at any size but meant for
     verification / small corpora; use minhash_near_dups at scale."""
-    sh = word_shingles(df, id_col, text_col, n)
+    sh = word_shingles(df, id_col, text_col, n).localCheckpoint()
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (
         a.join(b, "shingle")
         .filter(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
         .distinct()
+        .localCheckpoint()
     )
     return exact_jaccard(pairs, sh).filter(F.col("jaccard") >= threshold)
 
@@ -276,8 +302,13 @@ def simhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
 def simhash_near_dups(df: DataFrame, id_col: str, text_col: str = "text", max_hamming: int = 3) -> DataFrame:
     """Near-dups by SimHash: band the 64 bits into four 16-bit chunks
     (pigeonhole: hamming ≤ 3 ⇒ ≥1 identical chunk), bucket-join on chunk
-    equality, verify with bit_count(xor) over both halves."""
-    s = simhash(df, id_col, text_col)
+    equality, verify with bit_count(xor) over both halves.
+
+    The simhash table is pinned before the self-join for the same
+    reason as ``lsh_candidate_pairs``: the broadcast side defeats
+    exchange reuse, and un-pinned the 64-bit-vote aggregation over every
+    token runs twice."""
+    s = simhash(df, id_col, text_col).localCheckpoint()
     chunks = F.array(
         *[
             F.struct(

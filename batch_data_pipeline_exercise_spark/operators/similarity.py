@@ -276,7 +276,13 @@ def embedding_near_dup_pairs(
     if dim is None:
         dim = len(embeddings.select(vec_col).first()[0])
     planes = hyperplanes(dim, n_planes, seed)
-    b = with_lsh_bucket(embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v")), planes, "__v")
+    # pin the bucketed table before the self-join: the sign-bit sketch is
+    # n_planes × dim multiply-adds per row, and without the pin the plan
+    # evaluates that expression tree on BOTH join sides (the broadcast
+    # side defeats exchange reuse — same pathology as lsh_candidate_pairs)
+    b = with_lsh_bucket(
+        embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v")), planes, "__v"
+    ).localCheckpoint()
     a, c = b.alias("a"), b.alias("b")
     return (
         a.join(c, "bucket")

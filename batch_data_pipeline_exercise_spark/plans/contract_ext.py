@@ -474,6 +474,10 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # downstream work is compute-dense per row (shingling, 32-way
     # hashing) — checkpointing single-partition would serialize it all
     # onto one core.
+    # prune to the three columns the dedup/cluster/output stages touch
+    # before materializing — the stat/marker/fingerprint intermediates
+    # would otherwise be serialized into the checkpoint for nothing
+    kept1 = kept1.select("doc_id", "text", "quality_score", "n_tokens")
     kept1 = kept1.repartition(spark.sparkContext.defaultParallelism).localCheckpoint()
     ver = dedup.minhash_near_dups(kept1.select("doc_id", "text"), "doc_id", threshold=0.7)
     clusters = graph.dedup_clusters(ver.select("id1", "id2"), kept1.select("doc_id"))
