@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # A compact multilingual stopword table for the n-gram-heuristic language
 # scorer. Occurrence counts are substring-based (replace-count trick) so
@@ -184,3 +185,108 @@ def top_tokens(
     )
     w = Window.partitionBy(*by).orderBy(F.col("n").desc(), "token")
     return counts.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to the regex subset Java (Spark) and RE2 (DuckDB
+# and most data engines) evaluate identically: character classes, bounded
+# and unbounded greedy quantifiers — no alternation, no backreferences,
+# no lookaround. Counting uses non-overlapping leftmost matching, which
+# both engines share.
+PII_PATTERNS: dict[str, str] = {
+    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ipv4": "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}",
+    # digit-run phone shape: leading digit (optional +), >= 6 interior
+    # chars of digits/space/()/-, trailing digit. Dots are NOT in the
+    # interior class, so IPv4 addresses never satisfy it.
+    "phone": "\\+?[0-9][0-9() -]{6,}[0-9]",
+}
+
+# redaction order matters: emails first (their local parts contain digit
+# runs a phone pattern could claim), then IPv4 (dotted digit runs), then
+# the loosest pattern (phone) over what remains
+PII_REDACTION_ORDER = ["email", "ipv4", "phone"]
+
+
+def with_pii_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII match counts (n_emails, n_phones, n_ipv4) plus a
+    ``has_pii`` flag — the filter column a corpus-cleaning pipeline cuts
+    or routes on. One projection, no UDF, no shuffle."""
+    t = F.col(text_col)
+    counts = {name: F.regexp_count(t, F.lit(pat)) for name, pat in PII_PATTERNS.items()}
+    return df.select(
+        "*",
+        counts["email"].cast("bigint").alias("n_emails"),
+        counts["phone"].cast("bigint").alias("n_phones"),
+        counts["ipv4"].cast("bigint").alias("n_ipv4"),
+        ((counts["email"] + counts["phone"] + counts["ipv4"]) > 0).alias("has_pii"),
+    )
+
+
+def redact_pii(df: DataFrame, text_col: str = "text", out_col: str = "text_redacted") -> DataFrame:
+    """Replace every PII match with a typed placeholder (``<EMAIL>``,
+    ``<IP>``, ``<PHONE>``) — the standard pre-training scrub that keeps
+    the document while removing the contact surface. Sequential global
+    regexp_replace in PII_REDACTION_ORDER; a narrow projection."""
+    placeholders = {"email": "<EMAIL>", "ipv4": "<IP>", "phone": "<PHONE>"}
+    out = F.col(text_col)
+    for name in PII_REDACTION_ORDER:
+        out = F.regexp_replace(out, F.lit(PII_PATTERNS[name]), F.lit(placeholders[name]))
+    return df.withColumn(out_col, out)
+
+
+# ---------------------------------------------------------------------------
+# Repetition / boilerplate quality signals
+# ---------------------------------------------------------------------------
+
+
+def with_repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2) -> DataFrame:
+    """Word n-gram repetition signals per document — the published
+    pre-training quality-filter family (duplicate n-gram fraction and
+    top n-gram share; high values mark boilerplate/spam):
+
+    - ``n_ngrams``        total word n-grams,
+    - ``distinct_ngrams`` distinct word n-grams,
+    - ``dup_ngram_frac``  1 - distinct/total (0 for docs with < n words),
+    - ``top_ngram``       the most frequent n-gram (lexically smallest on
+                          count ties — deterministic),
+    - ``top_ngram_share`` its count / total.
+
+    Shape: explode → two hash aggregates, sharded by document — linear,
+    no windows over more than one doc's n-grams, no UDF. Ratios are one
+    integer division each, bit-reproducible cross-engine.
+    """
+    toks = tokenize(text_col)
+    grams = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.when(i + n <= F.size(toks), F.concat_ws(" ", F.slice(toks, i + 1, n))),
+        ),
+        lambda g: g.isNotNull() & (F.length(g) > 0),
+    )
+    exploded = df.select(F.col(id_col).alias("__id"), F.explode(grams).alias("__g"))
+    per_gram = exploded.groupBy("__id", "__g").agg(F.count(F.lit(1)).alias("__c"))
+    # argmax without a second join: rank n-grams within each doc
+    # (count desc, gram asc) — the window is sharded by document, so no
+    # task ever sees more than one doc's vocabulary
+    w = Window.partitionBy("__id").orderBy(F.col("__c").desc(), F.col("__g"))
+    ranked = per_gram.withColumn("__rn", F.row_number().over(w))
+    per_doc = ranked.groupBy("__id").agg(
+        F.sum("__c").alias("n_ngrams"),
+        F.count(F.lit(1)).alias("distinct_ngrams"),
+        F.max("__c").alias("__maxc"),
+        F.min(F.when(F.col("__rn") == 1, F.col("__g"))).alias("top_ngram"),
+    )
+    return df.join(per_doc, df[id_col] == F.col("__id"), "left").select(
+        *df.columns,
+        F.coalesce("n_ngrams", F.lit(0)).alias("n_ngrams"),
+        F.coalesce("distinct_ngrams", F.lit(0)).alias("distinct_ngrams"),
+        F.coalesce(
+            F.lit(1.0) - F.col("distinct_ngrams") / F.col("n_ngrams"), F.lit(0.0)
+        ).alias("dup_ngram_frac"),
+        F.col("top_ngram"),
+        F.coalesce(F.col("__maxc") / F.col("n_ngrams"), F.lit(0.0)).alias("top_ngram_share"),
+    )

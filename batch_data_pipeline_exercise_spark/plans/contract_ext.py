@@ -914,3 +914,178 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(similarity.cosine(F.col("__a"), F.col("__b")) >= 0.4)
         .select("id1", "id2")
     )
+
+
+# ---------------------------------------------------------------------------
+# PII, repetition quality signals, retrieval (postings + BM25)
+# ---------------------------------------------------------------------------
+
+_PII_TEXT_SQL = (
+    "'doc for user' || CAST(c_custkey AS VARCHAR) || ' contact user' || CAST(c_custkey AS VARCHAR)"
+    " || '@example.com'"
+    " || CASE WHEN c_custkey % 3 = 0 THEN ' phone +1 555 ' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')"
+    " ELSE '' END"
+    " || CASE WHEN c_custkey % 2 = 0 THEN ' ip 10.' || CAST(c_custkey % 256 AS VARCHAR) || '.0.'"
+    " || CAST(c_custkey % 254 + 1 AS VARCHAR) ELSE '' END"
+)
+
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_IPV4 = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+_PII_PHONE = "\\+?[0-9][0-9() -]{6,}[0-9]"
+
+
+@register(
+    "customer_pii_redaction",
+    oracle=f"""
+    WITH derived AS (SELECT c_custkey, {_PII_TEXT_SQL} AS text FROM customer)
+    SELECT c_custkey,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(text, '{_PII_IPV4}')) AS BIGINT) AS n_ipv4,
+           len(regexp_extract_all(text, '{_PII_EMAIL}'))
+             + len(regexp_extract_all(text, '{_PII_PHONE}'))
+             + len(regexp_extract_all(text, '{_PII_IPV4}')) > 0 AS has_pii,
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_IPV4}', '<IP>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g') AS text_redacted
+    FROM derived
+    """,
+    doc="PII detection + redaction (operators/text.py with_pii_counts / "
+    "redact_pii) over a deterministically derived contact-bearing text "
+    "column (the documents testdata is PII-free word soup, so the query "
+    "synthesizes emails/phones/IPs from customer keys — every customer "
+    "gets an email, every third a phone, every second an IP). Patterns "
+    "are restricted to the Java/RE2-identical regex subset; redaction "
+    "order (email, ip, phone) keeps the looser phone pattern off the "
+    "structured matches.",
+)
+def customer_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from batch_data_pipeline_exercise_spark.operators.text import redact_pii, with_pii_counts
+
+    c = load(spark, sf_dir, "customer")
+    ck = F.col("c_custkey")
+    derived = c.select(
+        "c_custkey",
+        F.concat(
+            F.lit("doc for user"), ck.cast("string"),
+            F.lit(" contact user"), ck.cast("string"), F.lit("@example.com"),
+            F.when(ck % 3 == 0, F.concat(F.lit(" phone +1 555 "), F.lpad((ck % 10000).cast("string"), 4, "0"))).otherwise(F.lit("")),
+            F.when(ck % 2 == 0, F.concat(F.lit(" ip 10."), (ck % 256).cast("string"), F.lit(".0."), (ck % 254 + 1).cast("string"))).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = redact_pii(with_pii_counts(derived))
+    return out.select("c_custkey", "n_emails", "n_phones", "n_ipv4", "has_pii", "text_redacted")
+
+
+@register(
+    "doc_repetition_stats",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS tk FROM documents),
+    grams AS (
+      SELECT doc_id, array_to_string(list_slice(tk, i + 1, i + 2), ' ') AS g
+      FROM toks, UNNEST(range(0, greatest(len(tk) - 2, 0) + 1)) AS u(i)
+      WHERE i + 2 <= len(tk) AND length(array_to_string(list_slice(tk, i + 1, i + 2), ' ')) > 0
+    ),
+    per_gram AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g),
+    per_doc AS (
+      SELECT doc_id, SUM(c) AS n_ngrams, COUNT(*) AS distinct_ngrams, MAX(c) AS maxc
+      FROM per_gram GROUP BY doc_id
+    ),
+    tops AS (
+      SELECT pg.doc_id, MIN(pg.g) AS top_ngram
+      FROM per_gram pg JOIN per_doc pd ON pd.doc_id = pg.doc_id AND pg.c = pd.maxc
+      GROUP BY pg.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_ngrams, 0) AS n_ngrams,
+           COALESCE(p.distinct_ngrams, 0) AS distinct_ngrams,
+           COALESCE(1.0 - p.distinct_ngrams / p.n_ngrams, 0.0) AS dup_ngram_frac,
+           t.top_ngram,
+           COALESCE(p.maxc / p.n_ngrams, 0.0) AS top_ngram_share
+    FROM documents d
+    LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+    LEFT JOIN tops t ON t.doc_id = d.doc_id
+    """,
+    doc="Word-bigram repetition quality signals (operators/text.py "
+    "with_repetition_stats): duplicate n-gram fraction and top n-gram "
+    "share — the published boilerplate/spam filter family for "
+    "pre-training corpora. Integer counts + one division each, "
+    "bit-reproducible; top n-gram ties break lexically.",
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    out = text.with_repetition_stats(d, "doc_id", n=2)
+    return out.select(
+        "doc_id", "n_ngrams", "distinct_ngrams", "dup_ngram_frac", "top_ngram", "top_ngram_share"
+    )
+
+
+@register(
+    "token_postings",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS tk FROM documents),
+    tok AS (SELECT doc_id, u.t AS token FROM toks, UNNEST(tk) AS u(t) WHERE length(t) > 0)
+    SELECT token,
+           COUNT(DISTINCT doc_id) AS doc_freq,
+           COUNT(*) AS total_tf,
+           MIN(doc_id) AS min_doc_id
+    FROM tok GROUP BY token
+    """,
+    doc="Inverted-index postings aggregate (operators/relevance.py "
+    "build_postings): per-token document frequency, corpus term "
+    "frequency, and smallest posting — the statistics layer under any "
+    "retrieval or idf-weighted scoring pass.",
+)
+def token_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from batch_data_pipeline_exercise_spark.operators.relevance import build_postings
+
+    d = load(spark, sf_dir, "documents")
+    return build_postings(d, "doc_id")
+
+
+_BM25_TERMS = ["join", "hash", "batch"]
+
+
+def _bm25_oracle() -> str:
+    tf_exprs = ", ".join(
+        f"CAST(len(list_filter(tk, x -> x = '{t}')) AS BIGINT) AS tf_{t}" for t in _BM25_TERMS
+    )
+    df_exprs = ", ".join(f"COUNT(*) FILTER (WHERE tf_{t} > 0) AS df_{t}" for t in _BM25_TERMS)
+    terms = " + ".join(
+        f"((CAST(n_docs AS DOUBLE) - CAST(df_{t} AS DOUBLE) + 0.5) / (CAST(df_{t} AS DOUBLE) + 0.5))"
+        f" * CAST(tf_{t} AS DOUBLE) * 2.2"
+        f" / (CAST(tf_{t} AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE)"
+        f" / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))"
+        for t in _BM25_TERMS
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS tk FROM documents),
+    base AS (
+      SELECT doc_id, {tf_exprs},
+             CAST(len(list_filter(tk, x -> length(x) > 0)) AS BIGINT) AS dl
+      FROM toks
+    ),
+    stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl, {df_exprs} FROM base)
+    SELECT doc_id, {", ".join(f"tf_{t}" for t in _BM25_TERMS)}, dl,
+           0.0 + {terms} AS score
+    FROM base CROSS JOIN stats
+    """
+
+
+@register(
+    "doc_bm25_relevance",
+    oracle=_bm25_oracle(),
+    doc="BM25 relevance scoring (operators/relevance.py bm25_scores) for "
+    "the fixed query ('join', 'hash', 'batch'), k1=1.2, b=0.75, with the "
+    "RATIONAL idf (N - df + 0.5)/(df + 0.5) — log-free so the double "
+    "chain is pure IEEE +,-,*,/ in fixed operand order and bit-matches "
+    "the oracle (ln is not correctly-rounded across libms). Plan: array "
+    "probes for tf, one single-row corpus-stats aggregate broadcast "
+    "back — no window, no explode-join, two linear passes.",
+)
+def doc_bm25_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from batch_data_pipeline_exercise_spark.operators.relevance import bm25_scores
+
+    d = load(spark, sf_dir, "documents")
+    return bm25_scores(d, _BM25_TERMS, "doc_id", k1=1.2, b=0.75)
