@@ -24,6 +24,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from batch_data_pipeline_exercise_spark.plans import contract
 from batch_data_pipeline_exercise_spark.plans import contract_ext  # noqa: F401 — registers extension queries
 from batch_data_pipeline_exercise_spark.plans import contract2  # noqa: F401 — registers breadth queries
+from batch_data_pipeline_exercise_spark.plans import contract3  # noqa: F401 — registers TPC-H + corpus breadth
 
 
 def entry(spark: SparkSession) -> DataFrame:
