@@ -290,3 +290,37 @@ def with_repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str =
         F.col("top_ngram"),
         F.coalesce(F.col("__maxc") / F.col("n_ngrams"), F.lit(0.0)).alias("top_ngram_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish token estimation
+# ---------------------------------------------------------------------------
+
+# Disjoint-start alternatives (letters / digits / punctuation) make the
+# leftmost match unambiguous, so Java (Spark) and RE2 (DuckDB) tokenize
+# identically; bounded greedy runs then mimic subword splitting: letter
+# runs break every 4 chars (≈ the published ~4-chars-per-token average
+# for BPE vocabularies), digits every 3 (GPT-style number chunking).
+BPE_EST_PATTERN = "[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\\s]+"
+WORD_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
+
+
+def with_token_estimates(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Tokenizer-free token budgeting: per document,
+
+    - ``n_words``      full runs (letters / digit runs / punct runs),
+    - ``n_bpe_est``    BPE-ish subword estimate (bounded runs — see
+                       ``BPE_EST_PATTERN``),
+    - ``chars_per_token``  length / n_bpe_est (0-safe).
+
+    Pure ``regexp_count`` projections — no UDF, no shuffle; the numbers
+    a packing/quota pass needs without shipping a real tokenizer."""
+    t = F.col(text_col)
+    words = F.regexp_count(t, F.lit(WORD_PATTERN)).cast("bigint")
+    bpe = F.regexp_count(t, F.lit(BPE_EST_PATTERN)).cast("bigint")
+    return df.select(
+        "*",
+        words.alias("n_words"),
+        bpe.alias("n_bpe_est"),
+        F.when(bpe > 0, F.length(t).cast("double") / bpe).otherwise(F.lit(0.0)).alias("chars_per_token"),
+    )

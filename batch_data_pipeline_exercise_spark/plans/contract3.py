@@ -613,3 +613,89 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("nrm").cast("double").alias("max_norm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality validation + token budgeting
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_quality_report",
+    oracle="""
+    SELECT 'not_null' AS check, 'o_orderkey' AS "column",
+           COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS n_violations,
+           COUNT(*) FILTER (WHERE o_orderkey IS NULL) = 0 AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'unique', 'o_orderkey',
+           COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey),
+           COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'accepted_values', 'o_orderstatus',
+           COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('O', 'F', 'P') AND o_orderstatus IS NOT NULL),
+           COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('O', 'F', 'P') AND o_orderstatus IS NOT NULL) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'in_range', 'o_totalprice',
+           COUNT(*) FILTER (WHERE o_totalprice < 0 OR o_totalprice > 100000),
+           COUNT(*) FILTER (WHERE o_totalprice < 0 OR o_totalprice > 100000) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'referential', 'o_custkey',
+           (SELECT COUNT(*) FROM orders o WHERE o.o_custkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+           (SELECT COUNT(*) FROM orders o WHERE o.o_custkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) = 0
+    """,
+    doc="Declarative data-quality gate (operators/quality.py — the "
+    "dbt-tests/Deequ pattern): five expectations over orders — key "
+    "not-null + unique, status enum, price range (range chosen to "
+    "actually FAIL on the testdata, proving violations are counted, "
+    "not just zeros), and orphaned-custkey referential integrity. All "
+    "row-level checks evaluate in ONE aggregate pass; the FK check is "
+    "one broadcast anti join.",
+)
+def orders_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from batch_data_pipeline_exercise_spark.operators import quality as Q
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    row_checks = Q.validate(
+        o,
+        [
+            Q.not_null("o_orderkey"),
+            Q.unique("o_orderkey"),
+            Q.accepted_values("o_orderstatus", ["O", "F", "P"]),
+            Q.in_range("o_totalprice", 0, 100000),
+        ],
+    )
+    fk = Q.referential_check(o, "o_custkey", c, "c_custkey")
+    return row_checks.unionByName(fk)
+
+
+@register(
+    "doc_token_estimates",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS BIGINT) AS n_words,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\\s]+')) AS BIGINT) AS n_bpe_est,
+           CASE WHEN len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\\s]+')) > 0
+                THEN CAST(length(text) AS DOUBLE)
+                     / len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\\s]+'))
+                ELSE 0.0 END AS chars_per_token
+    FROM documents
+    """,
+    doc="Tokenizer-free token budgeting (operators/text.py "
+    "with_token_estimates): word runs and a BPE-ish subword estimate "
+    "(letter runs split every 4 chars, digits every 3 — "
+    "disjoint-start alternation, so Java and RE2 tokenize "
+    "identically). The per-doc numbers a packing or quota pass needs "
+    "without shipping a real tokenizer; pure regexp_count projection.",
+)
+def doc_token_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from batch_data_pipeline_exercise_spark.operators.text import with_token_estimates
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return with_token_estimates(d).select("doc_id", "n_words", "n_bpe_est", "chars_per_token")
