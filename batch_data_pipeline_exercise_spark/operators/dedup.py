@@ -158,13 +158,19 @@ def exact_jaccard(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
     The shingle table is semi-filtered to candidate docs up front:
     candidates are a vanishing fraction of a real corpus, so the heavy
     (shingle == shingle) intersection join and the per-doc counts touch
-    only candidate docs' shingles, never the full table."""
+    only candidate docs' shingles, never the full table. The filtered
+    table is then PINNED (eager localCheckpoint): three join branches
+    consume it (per-doc counts, intersection a-side, b-side), and
+    without the pin each branch re-executes the semi-join + explode +
+    distinct subtree — measured ~3× the verification cost inside
+    minhash_near_dups at sf0.1. Post-filter it is candidate-docs-only
+    tiny, so the pin is free at any corpus size."""
     ids = (
         pairs.select(F.col("id1").alias("id"))
         .unionByName(pairs.select(F.col("id2").alias("id")))
         .distinct()
     )
-    shingles = shingles.join(ids, "id", "leftsemi")
+    shingles = shingles.join(ids, "id", "leftsemi").localCheckpoint()
     counts = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = shingles.alias("a"), shingles.alias("b")
     inter = (

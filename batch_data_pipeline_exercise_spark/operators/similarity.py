@@ -30,6 +30,16 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+# NOTE on formulation (measured at sf0.1, 2000×64-dim vectors): the
+# aggregate/zip_with fold beats a flat element_at multiply-add chain —
+# the flat form balloons whole-stage codegen (8 planes × 64 dims ≈ 512
+# Add nodes per expression) and its COMPILE time dominates; the fold's
+# per-element interpretation is cheaper than paying JIT on a giant
+# method. Keep dots/norms as folds; optimize by computing each fold
+# FEWER TIMES (norms projected below joins, sketches pinned), not by
+# unrolling.
+
+
 def cosine_topk_bruteforce(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -45,15 +55,30 @@ def cosine_topk_bruteforce(
 
     Output: (query_id, neighbor_id, rank, cosine).
     """
-    e = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v"))
-    q = queries.select(F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("__q"))
+    # norms are projected BELOW the join: each side's ||v|| is computed
+    # once per input row instead of once per (query × neighbor) pair —
+    # only the dot-product fold remains in per-pair work, and
+    # dot / (nq * nv) is bit-identical to the inline cosine
+    e = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__v"),
+        _norm(F.col(vec_col).cast("array<double>")).alias("__nv"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("__q"),
+        _norm(F.col(query_vec_col).cast("array<double>")).alias("__nq"),
+    )
     scored = (
         F.broadcast(q)
         .join(e, F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("__q").cast("array<double>"), F.col("__v").cast("array<double>")).alias("cosine"),
+            (
+                _dot(F.col("__q").cast("array<double>"), F.col("__v").cast("array<double>"))
+                / (F.col("__nq") * F.col("__nv"))
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -102,10 +127,24 @@ def cosine_topk_lsh(
         dim = len(embeddings.select(vec_col).first()[0])
     planes = hyperplanes(dim, n_planes, seed)
     e = with_lsh_bucket(
-        embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v")), planes, "__v", "eb"
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__v"),
+            _norm(F.col(vec_col).cast("array<double>")).alias("__nv"),
+        ),
+        planes,
+        "__v",
+        "eb",
     )
     q = with_lsh_bucket(
-        queries.select(F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("__q")), planes, "__q", "qb"
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("__q"),
+            _norm(F.col(query_vec_col).cast("array<double>")).alias("__nq"),
+        ),
+        planes,
+        "__q",
+        "qb",
     )
     scored = (
         F.broadcast(q)
@@ -113,7 +152,10 @@ def cosine_topk_lsh(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("__q").cast("array<double>"), F.col("__v").cast("array<double>")).alias("cosine"),
+            (
+                _dot(F.col("__q").cast("array<double>"), F.col("__v").cast("array<double>"))
+                / (F.col("__nq") * F.col("__nv"))
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -148,16 +190,33 @@ def ivf_assign(
         )
     elif "__c" not in centroids.columns:  # external (cell, vec_col) table
         centroids = centroids.select("cell", F.col(vec_col).cast("array<double>").alias("__c"))
+    # per-row vector norm and per-centroid norm below the n×k join: only
+    # the dot fold runs per (vector, centroid) pair
+    cent_n = F.broadcast(centroids.withColumn("__cn", _norm(F.col("__c"))))
     scored = (
-        embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v"))
-        .join(F.broadcast(centroids))
-        .select("id", "__v", "cell", cosine(F.col("__v").cast("array<double>"), F.col("__c")).alias("__cos"))
+        embeddings.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("__v"),
+            _norm(F.col(vec_col).cast("array<double>")).alias("__nv"),
+        )
+        .join(cent_n)
+        .select(
+            "id",
+            "__v",
+            "__nv",
+            "cell",
+            (
+                _dot(F.col("__v").cast("array<double>"), F.col("__c")) / (F.col("__nv") * F.col("__cn"))
+            ).alias("__cos"),
+        )
     )
     w = Window.partitionBy("id").orderBy(F.col("__cos").desc(), "cell")
     assigned = (
         scored.withColumn("__r", F.row_number().over(w))
         .filter(F.col("__r") == 1)
-        .select("id", "__v", "cell")
+        # __nv rides along so probe-time scoring reuses the norm instead
+        # of re-folding it per (query, member) pair
+        .select("id", "__v", "__nv", "cell")
     )
     return assigned, centroids
 
@@ -236,13 +295,22 @@ def cosine_topk_ivf(
     n_probe. ``centroids`` as in ``ivf_assign``."""
     assigned, centroids = ivf_assign(embeddings, n_cells, id_col, vec_col, centroids)
     q = queries.select(F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("__q"))
+    q = q.withColumn("__nq", _norm(F.col("__q").cast("array<double>")))
     q_cells = (
-        q.join(F.broadcast(centroids))
-        .select("query_id", "__q", "cell", cosine(F.col("__q").cast("array<double>"), F.col("__c")).alias("__cos"))
+        q.join(F.broadcast(centroids.withColumn("__cn", _norm(F.col("__c")))))
+        .select(
+            "query_id",
+            "__q",
+            "__nq",
+            "cell",
+            (
+                _dot(F.col("__q").cast("array<double>"), F.col("__c")) / (F.col("__nq") * F.col("__cn"))
+            ).alias("__cos"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("__cos").desc(), "cell")
     probes = q_cells.withColumn("__r", F.row_number().over(w)).filter(F.col("__r") <= n_probe).select(
-        "query_id", "__q", "cell"
+        "query_id", "__q", "__nq", "cell"
     )
     scored = (
         F.broadcast(probes)
@@ -251,7 +319,10 @@ def cosine_topk_ivf(
         .select(
             "query_id",
             F.col("id").alias("neighbor_id"),
-            cosine(F.col("__q").cast("array<double>"), F.col("__v").cast("array<double>")).alias("cosine"),
+            (
+                _dot(F.col("__q").cast("array<double>"), F.col("__v").cast("array<double>"))
+                / (F.col("__nq") * F.col("__nv"))
+            ).alias("cosine"),
         )
     )
     w2 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -279,9 +350,20 @@ def embedding_near_dup_pairs(
     # pin the bucketed table before the self-join: the sign-bit sketch is
     # n_planes × dim multiply-adds per row, and without the pin the plan
     # evaluates that expression tree on BOTH join sides (the broadcast
-    # side defeats exchange reuse — same pathology as lsh_candidate_pairs)
+    # side defeats exchange reuse — same pathology as lsh_candidate_pairs).
+    # The L2 norm is pinned alongside for the same reason: computed once
+    # per VECTOR here, it saves two of the three per-PAIR array folds in
+    # the verify step (higher-order functions evaluate interpreted, so
+    # fold count is the cost driver) — cosine = dot / (na * nb) is
+    # bit-identical to the inline form, the operands are the same doubles.
     b = with_lsh_bucket(
-        embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v")), planes, "__v"
+        embeddings.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("__v"),
+            _norm(F.col(vec_col).cast("array<double>")).alias("__n"),
+        ),
+        planes,
+        "__v",
     ).localCheckpoint()
     a, c = b.alias("a"), b.alias("b")
     return (
@@ -290,7 +372,10 @@ def embedding_near_dup_pairs(
         .select(
             F.col("a.id").alias("id1"),
             F.col("b.id").alias("id2"),
-            cosine(F.col("a.__v").cast("array<double>"), F.col("b.__v").cast("array<double>")).alias("cosine"),
+            (
+                _dot(F.col("a.__v").cast("array<double>"), F.col("b.__v").cast("array<double>"))
+                / (F.col("a.__n") * F.col("b.__n"))
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

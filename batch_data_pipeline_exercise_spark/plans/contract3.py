@@ -699,3 +699,138 @@ def doc_token_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     return with_token_estimates(d).select("doc_id", "n_words", "n_bpe_est", "chars_per_token")
+
+
+@register(
+    "dominant_part_suppliers",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS supp_qty
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), pt AS (
+      SELECT l_partkey, SUM(supp_qty) AS part_qty, COUNT(*) AS n_supp
+      FROM ps GROUP BY l_partkey
+    )
+    SELECT ps.l_partkey AS p_partkey, ps.l_suppkey AS s_suppkey,
+           CAST(ps.supp_qty AS DOUBLE) / CAST(pt.part_qty AS DOUBLE) AS qty_share
+    FROM ps JOIN pt ON pt.l_partkey = ps.l_partkey
+    WHERE pt.n_supp >= 2 AND ps.supp_qty * 20 > pt.part_qty * 3
+    """,
+    doc="TPC-H Q20-shaped dominance: suppliers shipping MORE THAN HALF "
+    "of a multi-supplier part's total quantity (15% — the synthetic "
+    "data spreads each part over ~10 suppliers, so a literal half-share "
+    "would be a vacuous empty check). The correlated share-of-total subquery becomes two stacked aggregates on shrinking "
+    "keys — (part, supplier) then part — and one equi join back on "
+    "partkey (both sides already partitioned by it); the threshold "
+    "compare is exact decimal integer-style cross-multiplication, the "
+    "share a final double division.",
+)
+def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(F.sum(dec("l_quantity")).alias("supp_qty"))
+    pt = ps.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.sum("supp_qty").alias("part_qty"), F.count(F.lit(1)).alias("n_supp")
+    )
+    return (
+        ps.join(pt, ps["l_partkey"] == pt["__pk"])
+        .filter((F.col("n_supp") >= 2) & (F.col("supp_qty") * 20 > F.col("part_qty") * 3))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("l_suppkey").alias("s_suppkey"),
+            (F.col("supp_qty").cast("double") / F.col("part_qty").cast("double")).alias("qty_share"),
+        )
+    )
+
+
+@register(
+    "revenue_grouping_sets",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+           o_orderstatus AS status,
+           GROUPING(EXTRACT(year FROM o_orderdate), o_orderstatus) AS gid,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((EXTRACT(year FROM o_orderdate), o_orderstatus),
+                            (EXTRACT(year FROM o_orderdate)), (o_orderstatus), ())
+    """,
+    doc="Explicit GROUPING SETS (beyond the cube/rollup queries): "
+    "(year, status) + each alone + grand total in ONE pass via Spark "
+    "4's DataFrame.groupingSets, with grouping_id disambiguating "
+    "NULL-as-group-all from NULL data. Plans as a single Expand + "
+    "hash aggregate — no self-union of four scans.",
+)
+def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    year = F.year("o_orderdate").cast("int").alias("o_year")
+    status = F.col("o_orderstatus").alias("status")
+    base = o.select(year, status, F.col("o_totalprice"))
+    return (
+        base.groupingSets(
+            [["o_year", "status"], ["o_year"], ["status"], []],
+            F.col("o_year"),
+            F.col("status"),
+        )
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.sum(dec("o_totalprice")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select("o_year", "status", "gid", "revenue", "n_orders")
+    )
+
+
+@register(
+    "lineitem_column_profile",
+    oracle="""
+    SELECT 'l_quantity' AS "column", COUNT(*) AS n,
+           COUNT(*) - COUNT(l_quantity) AS n_null,
+           COUNT(DISTINCT l_quantity) AS n_distinct,
+           CAST(MIN(l_quantity) AS DOUBLE) AS min_v,
+           CAST(MAX(l_quantity) AS DOUBLE) AS max_v
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', COUNT(*), COUNT(*) - COUNT(l_extendedprice),
+           COUNT(DISTINCT l_extendedprice),
+           CAST(MIN(l_extendedprice) AS DOUBLE), CAST(MAX(l_extendedprice) AS DOUBLE)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', COUNT(*), COUNT(*) - COUNT(l_discount),
+           COUNT(DISTINCT l_discount),
+           CAST(MIN(l_discount) AS DOUBLE), CAST(MAX(l_discount) AS DOUBLE)
+    FROM lineitem
+    """,
+    doc="ANALYZE-style column profiling (the statistics a cost-based "
+    "optimizer or data-quality dashboard reads): row count, null "
+    "count, exact NDV, min/max per profiled column — ALL columns in "
+    "ONE aggregate pass (struct-explode report rows, same shape as "
+    "operators/quality.py), not one scan per column.",
+)
+def lineitem_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"__n_{c}"),
+            (F.count(F.lit(1)) - F.count(F.col(c))).alias(f"__nn_{c}"),
+            F.count_distinct(F.col(c)).alias(f"__nd_{c}"),
+            F.min(F.col(c)).cast("double").alias(f"__mn_{c}"),
+            F.max(F.col(c)).cast("double").alias(f"__mx_{c}"),
+        ]
+    one = li.agg(*aggs)
+    reports = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"__n_{c}").alias("n"),
+            F.col(f"__nn_{c}").alias("n_null"),
+            F.col(f"__nd_{c}").alias("n_distinct"),
+            F.col(f"__mn_{c}").alias("min_v"),
+            F.col(f"__mx_{c}").alias("max_v"),
+        )
+        for c in cols
+    ]
+    return one.select(F.explode(F.array(*reports)).alias("r")).select(
+        "r.column", "r.n", "r.n_null", "r.n_distinct", "r.min_v", "r.max_v"
+    )
