@@ -834,3 +834,193 @@ def lineitem_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one.select(F.explode(F.array(*reports)).alias("r")).select(
         "r.column", "r.n", "r.n_null", "r.n_distinct", "r.min_v", "r.max_v"
     )
+
+
+@register(
+    "shipping_priority_top10",
+    oracle="""
+    SELECT l.l_orderkey AS o_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) DESC,
+             l.l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3-shaped shipping priority: revenue of orders placed "
+    "before but shipped after a cutoff, one market segment, top 10. "
+    "The ORDER BY + LIMIT plans as TakeOrderedAndProject over the "
+    "aggregate — per-partition top-10 then a driver merge of 10×P "
+    "rows, never a global sort. Ties break on orderkey; ranking "
+    "happens on the EXACT decimal before the double cast.",
+)
+def shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    disc = dec("l_extendedprice") * (F.lit(1).cast("decimal(4,2)") - dec("l_discount", 4, 2))
+    agg = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(disc).alias("__rev"))
+        .orderBy(F.col("__rev").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+    return agg.select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.col("__rev").cast("double").alias("revenue"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        "o_orderpriority",
+    )
+
+
+@register(
+    "forecast_revenue_change",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue_delta,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6-shaped forecasting filter-aggregate: one scan, every "
+    "predicate (date range, discount band, quantity cap) pushed to the "
+    "parquet reader — .explain shows all four in PushedFilters, no "
+    "join, no shuffle beyond the final 1-row reduce.",
+)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    sel = li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return sel.agg(
+        F.sum(dec("l_extendedprice") * dec("l_discount", 4, 2)).cast("double").alias("revenue_delta"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "product_profit_by_nation_year",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))
+                    - CAST(p.p_retailprice AS DECIMAL(18,2))
+                      * CAST(0.6 AS DECIMAL(4,2)) * CAST(l.l_quantity AS DECIMAL(18,2)))
+                AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type LIKE 'S%'
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY n.n_name, CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER)
+    """,
+    doc="TPC-H Q9-shaped product profit: discounted revenue minus a "
+    "retail-price-derived cost proxy (the testdata ships no partsupp/"
+    "supplycost — 60% of retail stands in), per supplier nation and "
+    "order year, parts filtered by type prefix (pushed to the part "
+    "scan, LIKE 'x%' becomes a StartsWith filter). part/supplier/"
+    "nation broadcast; lineitem⋈orders is the one big shuffle. All "
+    "money arithmetic in exact decimals, one final double cast.",
+)
+def product_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_type").like("S%"))
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    o = load(spark, sf_dir, "orders")
+    profit = dec("l_extendedprice") * (F.lit(1).cast("decimal(4,2)") - dec("l_discount", 4, 2)) - dec(
+        "p_retailprice"
+    ) * F.lit(0.6).cast("decimal(4,2)") * dec("l_quantity", 18, 2)
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(F.sum(profit).cast("double").alias("profit"))
+    )
+
+
+@register(
+    "late_shipment_priority_counts",
+    oracle="""
+    SELECT l.l_returnflag AS returnflag,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+             AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+             AS low_line_count
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    GROUP BY l.l_returnflag
+    """,
+    doc="TPC-H Q12-shaped late-shipment accounting (the testdata has no "
+    "l_shipmode — l_returnflag takes its grouping role): lineitems "
+    "shipped >60 days after ordering, split into high/low priority "
+    "conditional counts. One join, one conditional aggregate; the "
+    "late predicate is a row-local timestamp comparison.",
+)
+def late_shipment_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "supplier_count_by_part_attrs",
+    oracle="""
+    SELECT p.p_brand, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_size IN (1, 5, 9, 13)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_size
+    """,
+    doc="TPC-H Q16-shaped supplier diversity: distinct suppliers per "
+    "(brand, size) over selected sizes, EXCLUDING a supplier denylist "
+    "(negative balance, standing in for the spec's complaints filter). "
+    "NOT IN over a non-nullable key = left_anti join against the "
+    "broadcast denylist; size membership pushed to the part scan.",
+)
+def supplier_count_by_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_size").isin(1, 5, 9, 13))
+    bad = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), li["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
