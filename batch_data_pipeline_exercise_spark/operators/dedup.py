@@ -340,3 +340,63 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str = "text", max_ha
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup (batch-over-batch)
+# ---------------------------------------------------------------------------
+
+
+def incremental_minhash_pairs(
+    prior_band_keys: DataFrame | None,
+    new_docs: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """Daily-increment near-dup candidates: signature-hash ONLY the new
+    batch and probe it against the stored band-key index.
+
+    A growing corpus must not re-shingle its history every day — at
+    100 TB that's the whole job. The band-key table (bands × one md5 per
+    doc) IS the persistable LSH index: computing the new batch's band
+    keys and unioning them with the stored ones reproduces exactly the
+    state a full rebuild would have, so candidates( prior ∪ new ) =
+    candidates(prior) ∪ candidates involving new docs. This operator
+    returns the second term plus the updated index:
+
+    - ``pairs``: (id1, id2) candidates where AT LEAST ONE side is a new
+      doc — new×new via a self-join of the (tiny) new band keys, and
+      new×prior via one equi join probing the stored index. Both joins
+      are keyed on (band, band_key) — high-entropy md5 buckets, so the
+      probe touches only colliding buckets, never the history.
+    - ``band_keys``: the updated index (prior ∪ new) to persist for the
+      next batch.
+
+    ``prior_band_keys`` None (first batch) degrades to the full
+    self-join. Exact-Jaccard verification stays the caller's second
+    step (``exact_jaccard``) — it needs the colliding docs' text, which
+    a real pipeline fetches by key from the corpus store.
+    """
+    new_keys = lsh_band_keys(
+        minhash_signatures(word_shingles(new_docs, id_col, text_col, n, distinct=False), k),
+        bands,
+        k // bands,
+    ).localCheckpoint()
+    if prior_band_keys is None:
+        return lsh_candidate_pairs(new_keys, materialize=False), new_keys
+    new_new = lsh_candidate_pairs(new_keys, materialize=False)
+    a, b = new_keys.alias("a"), prior_band_keys.alias("b")
+    cross = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("a.id") != F.col("b.id"))
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("id1"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("id2"),
+        )
+        .distinct()
+    )
+    pairs = new_new.unionByName(cross).distinct()
+    return pairs, prior_band_keys.unionByName(new_keys)

@@ -1089,3 +1089,37 @@ def doc_bm25_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return bm25_scores(d, _BM25_TERMS, "doc_id", k1=1.2, b=0.75)
+
+
+@register(
+    "doc_incremental_lsh_pairs",
+    oracle="WITH "
+    + _TOKS_CTE
+    + ", "
+    + _SHINGLES_CTE
+    + ", "
+    + _MH_WORDS
+    + ", "
+    + _MH_SIG
+    + ", "
+    + _CAND_CTE
+    + " SELECT id1, id2 FROM cand WHERE id1 % 5 = 0 OR id2 % 5 = 0",
+    doc="Incremental LSH dedup (operators/dedup.py "
+    "incremental_minhash_pairs): documents with doc_id % 5 = 0 arrive "
+    "as the NEW batch and are probed against the stored band-key index "
+    "of the rest — only the new batch is shingled/hashed. Because the "
+    "band-key index is exactly reproducible, the result equals the "
+    "full rebuild's candidates restricted to pairs touching a new doc "
+    "— which is what the oracle states.",
+)
+def doc_incremental_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    prior_docs = d.filter(F.col("doc_id") % 5 != 0)
+    new_docs = d.filter(F.col("doc_id") % 5 == 0)
+    prior_keys = dedup.lsh_band_keys(
+        dedup.minhash_signatures(dedup.word_shingles(prior_docs, "doc_id", distinct=False), k=32),
+        bands=8,
+        rows=4,
+    ).localCheckpoint()
+    pairs, _updated = dedup.incremental_minhash_pairs(prior_keys, new_docs, "doc_id")
+    return pairs
