@@ -268,14 +268,21 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wrun = Window.partitionBy("user_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    # µs-precision gap: unix_micros, NOT cast('long') — the cast truncates
-    # to whole seconds, which can disagree with the oracle's exact
-    # INTERVAL comparison for gaps within 1s of the threshold
-    flagged = e.withColumn(
-        "new_session",
-        F.when(
-            F.unix_micros(F.col("ts")) - F.unix_micros(F.lag(F.col("ts")).over(w)) > 30 * 60 * 1_000_000, 1
-        ).when(F.lag("ts").over(w).isNull(), 1).otherwise(0),
+    # µs-precision gap: timestampdiff(MICROSECOND), NOT cast('long') — the
+    # cast truncates to whole seconds, which can disagree with the oracle's
+    # exact INTERVAL comparison for gaps within 1s of the threshold.
+    # timestampdiff works on both TIMESTAMP and TIMESTAMP_NTZ (the parquet
+    # testdata carries naive timestamps, which Spark 4 reads as NTZ;
+    # unix_micros rejects NTZ outright).
+    flagged = (
+        e.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.expr("timestampdiff(MICROSECOND, prev_ts, ts)") > 30 * 60 * 1_000_000, 1
+            ).when(F.col("prev_ts").isNull(), 1).otherwise(0),
+        )
+        .drop("prev_ts")
     )
     sessions = flagged.withColumn("session_id", F.sum("new_session").over(wrun))
     return sessions.groupBy("user_id").agg(
@@ -442,8 +449,11 @@ def order_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def user_event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # timestampdiff, not unix_micros: works for TIMESTAMP and TIMESTAMP_NTZ
     gaps = e.select(
-        "user_id", (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us")
+        "user_id", F.lag("ts").over(w).alias("prev_ts"), F.col("ts")
+    ).select(
+        "user_id", F.expr("timestampdiff(MICROSECOND, prev_ts, ts)").alias("gap_us")
     )
     return gaps.groupBy("user_id").agg(
         F.count("gap_us").alias("n_gaps"),

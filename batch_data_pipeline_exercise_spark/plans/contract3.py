@@ -556,7 +556,7 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source, lang,
            COUNT(*) AS n_docs,
-           SUM(CAST(n_tok AS BIGINT)) AS total_tokens,
+           CAST(SUM(CAST(n_tok AS BIGINT)) AS BIGINT) AS total_tokens,
            CAST(SUM(CAST(n_chars AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_chars
     FROM toks GROUP BY source, lang
     """,
@@ -968,10 +968,10 @@ def product_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame
     "late_shipment_priority_counts",
     oracle="""
     SELECT l.l_returnflag AS returnflag,
-           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-             AS high_line_count,
-           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-             AS low_line_count
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+             AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+             AS BIGINT) AS low_line_count
     FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
     GROUP BY l.l_returnflag

@@ -989,7 +989,9 @@ def customer_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     per_gram AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g),
     per_doc AS (
-      SELECT doc_id, SUM(c) AS n_ngrams, COUNT(*) AS distinct_ngrams, MAX(c) AS maxc
+      -- CAST: DuckDB SUM over integers yields HUGEINT (float64 via Arrow);
+      -- Spark's bigint sum would hash-mismatch on dtype despite equal values
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_ngrams, COUNT(*) AS distinct_ngrams, MAX(c) AS maxc
       FROM per_gram GROUP BY doc_id
     ),
     tops AS (

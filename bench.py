@@ -41,12 +41,13 @@ def main() -> None:
     # warmup: run the first headline query once, untimed
     headline[0].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
 
-    # two timed runs per query, keep the min — strips one-off codegen /
-    # broadcast-build / JIT noise so numbers reflect steady-state
+    # three timed runs per query, keep the min — strips one-off codegen /
+    # broadcast-build / JIT noise so numbers reflect steady-state (n=2
+    # mean showed ±20% drift on sub-second queries round-over-round)
     timings: dict[str, float] = {}
     for q in headline:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             q.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)

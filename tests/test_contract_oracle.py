@@ -52,6 +52,36 @@ def to_rowset(cols, rows):
     return sorted([tuple(canon(r[i]) for i in order) for r in rows], key=repr)
 
 
+def type_kind(t: str) -> str:
+    """Coarse type class for cross-engine dtype comparison.
+
+    The driver hashes values AFTER Arrow conversion, so a DuckDB HUGEINT /
+    DECIMAL sum (→ float64/object in pandas) against a Spark bigint fails
+    the driver's hash even when every value is equal (the
+    `doc_repetition_stats` round-2/3 red row). duckdb's fetchall() returns
+    plain Python ints for HUGEINT, hiding the drift from a value-only
+    compare — so we compare coarse type KINDS explicitly.
+    """
+    t = t.lower()
+    if t.startswith("decimal"):
+        return "decimal"
+    if t.startswith(("int", "bigint", "smallint", "tinyint", "uint")) or t in ("long", "short", "byte"):
+        return "int"
+    if t.startswith(("double", "float", "halffloat", "real")):
+        return "float"
+    if t.startswith(("string", "large_string", "varchar", "utf8")):
+        return "string"
+    if t.startswith("bool"):
+        return "bool"
+    if t.startswith("date"):
+        return "date"
+    if t.startswith("timestamp"):
+        return "timestamp"
+    if t.startswith(("array", "list", "large_list")):
+        return "list"
+    return t
+
+
 @pytest.mark.parametrize("name", [n for n, q in contract.REGISTRY.items() if q.oracle])
 def test_query_matches_oracle(spark, sf_dir, name):
     q = contract.REGISTRY[name]
@@ -66,6 +96,23 @@ def test_query_matches_oracle(spark, sf_dir, name):
     con.close()
 
     assert sorted(spark_cols) == sorted(duck_cols), f"{name}: column mismatch"
+
+    # Dtype-kind parity: the driver's value hash runs post-Arrow, where
+    # HUGEINT/DECIMAL aggregates diverge from Spark's bigint/double even
+    # when values match bit-for-bit. Catch that locally.
+    con2 = duck_con(sf_dir)
+    try:
+        arrow_schema = con2.execute(f"SELECT * FROM ({q.oracle}) LIMIT 0").fetch_arrow_table().schema
+    finally:
+        con2.close()
+    duck_kinds = {f.name: type_kind(str(f.type)) for f in arrow_schema}
+    spark_kinds = {c: type_kind(t) for c, t in sdf.dtypes}
+    kind_mismatch = {
+        c: (spark_kinds[c], duck_kinds[c])
+        for c in spark_kinds
+        if c in duck_kinds and spark_kinds[c] != duck_kinds[c]
+    }
+    assert not kind_mismatch, f"{name}: dtype-kind drift (spark, duck): {kind_mismatch}"
     assert len(spark_rows) == len(duck_rows), f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
     srs, drs = to_rowset(spark_cols, spark_rows), to_rowset(duck_cols, duck_rows)
     mismatches = [(a, b) for a, b in zip(srs, drs) if a != b]
