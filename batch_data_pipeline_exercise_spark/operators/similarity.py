@@ -332,49 +332,77 @@ def cosine_topk_ivf(
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
-    n_planes: int = 8,
+    bands: int = 8,
+    rows_per_band: int = 8,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: LSH bucket self-join (near
-    duplicates almost surely share all sign bits), verified by exact
-    cosine ≥ threshold. Output (id1, id2, cosine).
+    """Embedding-cosine near-duplicate pairs via MULTI-BAND sign-bit LSH
+    (the minhash-band construction transplanted to random hyperplanes):
+    candidates = any-band collision, verified by exact cosine ≥
+    threshold. Output (id1, id2, cosine).
+
+    Per band, the key packs ``rows_per_band`` sign bits → 2^rows_per_band
+    buckets per band; a pair collides if ALL bits of SOME band agree.
+    For p = 1 - acos(cos)/π, recall = 1 - (1 - p^rows)^bands: with the
+    8×8 default, a 0.95-cosine pair is caught 98.8% of the time while an
+    uncorrelated pair (p≈0.5) collides in a band with chance 2^-8. The
+    scale knobs are independent: raise ``rows_per_band`` to shrink
+    buckets as the corpus grows (each +1 bit halves expected bucket
+    occupancy n/2^rows), raise ``bands`` to buy recall back — the single
+    fixed-2^8-bucket sketch this replaces had a hard n/256 occupancy
+    ceiling and degenerated toward the quadratic join at ~10^9 vectors.
 
     Pass ``dim`` explicitly in pipelines — the ``.first()`` fallback costs
     one extra Spark action to probe the vector width."""
     if dim is None:
         dim = len(embeddings.select(vec_col).first()[0])
-    planes = hyperplanes(dim, n_planes, seed)
-    # pin the bucketed table before the self-join: the sign-bit sketch is
-    # n_planes × dim multiply-adds per row, and without the pin the plan
-    # evaluates that expression tree on BOTH join sides (the broadcast
-    # side defeats exchange reuse — same pathology as lsh_candidate_pairs).
-    # The L2 norm is pinned alongside for the same reason: computed once
-    # per VECTOR here, it saves two of the three per-PAIR array folds in
-    # the verify step (higher-order functions evaluate interpreted, so
-    # fold count is the cost driver) — cosine = dot / (na * nb) is
-    # bit-identical to the inline form, the operands are the same doubles.
-    b = with_lsh_bucket(
-        embeddings.select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).alias("__v"),
-            _norm(F.col(vec_col).cast("array<double>")).alias("__n"),
-        ),
-        planes,
-        "__v",
+    planes = hyperplanes(dim, bands * rows_per_band, seed)
+    # Pin vectors + norms ONCE: the sketch explode and both verify sides
+    # reuse this table; without the pin each consumer re-reads + re-folds
+    # (same pathology as lsh_candidate_pairs). Norms per VECTOR here save
+    # two of the three per-PAIR array folds in the verify step.
+    vecs = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("__v"),
+        _norm(F.col(vec_col).cast("array<double>")).alias("__n"),
     ).localCheckpoint()
-    a, c = b.alias("a"), b.alias("b")
-    return (
-        a.join(c, "bucket")
+    v = F.col("__v").cast("array<double>")
+    band_structs = []
+    for bi in range(bands):
+        key = F.lit(0).cast("bigint")
+        for r in range(rows_per_band):
+            plane = F.array(*[F.lit(float(x)) for x in planes[bi * rows_per_band + r]])
+            key = key + F.when(_dot(v, plane) >= 0, F.lit(2 ** r)).otherwise(F.lit(0))
+        band_structs.append(F.struct(F.lit(bi).alias("band"), key.alias("key")))
+    # one projection computes every band key, then explodes to
+    # (id, band, key); pinned so the self-join doesn't fold the
+    # bands × rows × dim multiply-adds twice
+    bk = (
+        vecs.select("id", F.explode(F.array(*band_structs)).alias("bk"))
+        .select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        .localCheckpoint()
+    )
+    cand = (
+        bk.alias("a")
+        .join(bk.alias("b"), ["band", "key"])
         .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .distinct()
+    )
+    va = vecs.select(F.col("id").alias("id1"), F.col("__v").alias("__va"), F.col("__n").alias("__na"))
+    vb = vecs.select(F.col("id").alias("id2"), F.col("__v").alias("__vb"), F.col("__n").alias("__nb"))
+    return (
+        cand.join(va, "id1")
+        .join(vb, "id2")
         .select(
-            F.col("a.id").alias("id1"),
-            F.col("b.id").alias("id2"),
+            "id1",
+            "id2",
             (
-                _dot(F.col("a.__v").cast("array<double>"), F.col("b.__v").cast("array<double>"))
-                / (F.col("a.__n") * F.col("b.__n"))
+                _dot(F.col("__va").cast("array<double>"), F.col("__vb").cast("array<double>"))
+                / (F.col("__na") * F.col("__nb"))
             ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)

@@ -891,29 +891,51 @@ def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", "rank")
 
 
+_NEARDUP_BANDS, _NEARDUP_ROWS = 8, 8
+_NEARDUP_PLANES = similarity.hyperplanes(EMB_DIM, n_planes=_NEARDUP_BANDS * _NEARDUP_ROWS, seed=42)
+
+
+def _banded_bk_sql() -> str:
+    """UNION ALL of one band-key projection per band — mirrors the key
+    packing of ``similarity.embedding_near_dup_pairs`` exactly (same
+    plane order, same bit order, same ``>= 0`` sign rule; cross-engine
+    dot-product bit-identity established in round 1)."""
+    selects = []
+    for bi in range(_NEARDUP_BANDS):
+        sl = _NEARDUP_PLANES[bi * _NEARDUP_ROWS : (bi + 1) * _NEARDUP_ROWS]
+        selects.append(f"SELECT vec_id, {bi} AS band, {_lsh_bucket_sql('v', sl)} AS key FROM e")
+    return " UNION ALL ".join(selects)
+
+
 @register(
     "embedding_near_dup_pairs",
-    oracle="""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-    SELECT a.vec_id AS id1, b.vec_id AS id2
-    FROM e a JOIN e b ON a.vec_id < b.vec_id
-    WHERE list_dot_product(a.v, b.v)
-          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    bk AS ({_banded_bk_sql()}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+      FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+    )
+    SELECT id1, id2
+    FROM cand JOIN e ea ON ea.vec_id = cand.id1 JOIN e eb ON eb.vec_id = cand.id2
+    WHERE list_dot_product(ea.v, eb.v)
+          / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) >= 0.4
     """,
-    doc="Exact embedding-cosine near-dup pairs at threshold 0.4 (id-only "
-    "output; nearest pair is 1.3e-4 from the cut, so no boundary risk).",
+    doc="Multi-band sign-LSH near-dup pairs (8 bands × 8 sign bits, "
+    "any-band collision → exact-cosine verify at 0.4): the scale path — "
+    "bucketed equi self-join per band, never all-pairs; the oracle "
+    "mirrors the band keys so the approximate semantics are themselves "
+    "cross-engine checked (id-only output keeps the hash float-free; "
+    "recall vs the exact join is pinned separately in "
+    "tests/test_similarity_multimodal.py).",
     bench=True,
-    allow_quadratic=True,
 )
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("id1"), F.col("embedding").cast("array<double>").alias("__a"))
-    b = e.select(F.col("vec_id").alias("id2"), F.col("embedding").cast("array<double>").alias("__b"))
-    return (
-        a.join(b, F.col("id1") < F.col("id2"))
-        .filter(similarity.cosine(F.col("__a"), F.col("__b")) >= 0.4)
-        .select("id1", "id2")
+    out = similarity.embedding_near_dup_pairs(
+        e, threshold=0.4, bands=_NEARDUP_BANDS, rows_per_band=_NEARDUP_ROWS, seed=42, dim=EMB_DIM
     )
+    return out.select("id1", "id2")
 
 
 # ---------------------------------------------------------------------------

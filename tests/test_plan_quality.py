@@ -66,9 +66,11 @@ def test_plan_is_scale_safe(spark, sf_dir, name):
 
 def test_quadratic_allowlist_is_small():
     allowed = [n for n, q in contract.REGISTRY.items() if q.allow_quadratic]
+    # embedding_near_dup_pairs left this list in round 4: multi-band
+    # sign-LSH (bucketed equi self-join per band) replaced the exact
+    # all-pairs join
     assert set(allowed) == {
         "ann_cosine_topk",          # brute-force baseline (quadratic by intent)
-        "embedding_near_dup_pairs",  # exact all-pairs verifier (quadratic by intent)
         "ann_cosine_topk_ivf",       # bounded n×n_cells broadcast expansion (linear)
         "ann_cosine_topk_ivf_kmeans",  # same bounded expansion, trained centroids
     }

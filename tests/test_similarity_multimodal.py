@@ -68,6 +68,41 @@ def test_embedding_near_dup_pairs(spark, vecs):
     assert len(pairs) == 2  # random gaussians don't fake-pair at 0.99
 
 
+def test_banded_lsh_recall_vs_exact(spark, sf_dir):
+    """Pin the multi-band LSH recall story on the real testdata.
+
+    The 8×8 config targets NEAR-duplicates: a 0.95-cosine pair is caught
+    ~99% of the time. The sf testdata's closest pairs sit at cosine
+    0.40–0.51 — far below the near-dup regime — so recall there is the
+    theoretical 1-(1-p^8)^8 ≈ 0.19 for p≈0.63; we assert the measured
+    value stays in a sane band AND that the exact-cosine verify makes
+    every emitted pair a true pair (precision 1.0 by construction)."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = {
+        (r["id1"], r["id2"])
+        for r in similarity.embedding_near_dup_pairs(
+            e, threshold=0.4, bands=8, rows_per_band=8, seed=42, dim=64
+        ).collect()
+    }
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW e AS SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM '{sf_dir}/embeddings.parquet'"
+    )
+    exact = {
+        (a, b)
+        for a, b in con.execute(
+            "SELECT a.vec_id, b.vec_id FROM e a JOIN e b ON a.vec_id < b.vec_id "
+            "WHERE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) "
+            "* sqrt(list_dot_product(b.v, b.v))) >= 0.4"
+        ).fetchall()
+    }
+    con.close()
+    assert got <= exact, "verify step must kill every false candidate"
+    assert exact and len(got) / len(exact) > 0.08, f"recall collapsed: {len(got)}/{len(exact)}"
+
+
 def test_multimodal_features_and_plumbing(spark):
     rows = [(f"m{i}", "image", bytes([i]) * (100 + i), "image/png", None, None, 3000) for i in range(20)]
     df = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
