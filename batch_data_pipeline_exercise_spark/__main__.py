@@ -66,9 +66,15 @@ def _spark():
     return spark
 
 
-def _print_df(df) -> None:
-    for row in df.toJSON().collect():
+def _print_df(df, limit: int = 1000) -> None:
+    # bounded collect: metric results are small aggregates today, but a
+    # --limit guard means this printer can never pull a fact table onto
+    # the driver; limit+1 detects truncation without a second action
+    rows = df.limit(limit + 1).toJSON().collect()
+    for row in rows[:limit]:
         print(row)
+    if len(rows) > limit:
+        print(json.dumps({"truncated": True, "limit": limit}), file=sys.stderr)
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -99,6 +105,7 @@ def main(argv: list[str] | None = None) -> int:
         ],
     )
     p_met.add_argument("--as-of", dest="as_of", default=None)
+    p_met.add_argument("--limit", type=int, default=1000, help="max rows printed (guards the driver collect)")
     p_met.add_argument("--date-from", dest="date_from", default=None)
     p_met.add_argument("--date-to", dest="date_to", default=None)
     p_met.add_argument("--warehouse", required=True)
@@ -189,7 +196,7 @@ def main(argv: list[str] | None = None) -> int:
                 df = metrics.month_end_stock_by_category(
                     daily, wh.read("dim_products"), wh.read("dim_dates"), args.date_from, args.date_to
                 )
-        _print_df(df)
+        _print_df(df, limit=args.limit)
         return 0
 
     return 1

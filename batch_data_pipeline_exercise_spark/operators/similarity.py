@@ -225,6 +225,7 @@ def kmeans_centroids(
     embeddings: DataFrame,
     k: int = 16,
     n_iter: int = 5,
+    tol: float = 1e-6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -238,9 +239,13 @@ def kmeans_centroids(
     aggregate → re-assemble. The shuffle is n×dim rows per round — linear
     in the data, no collect, no per-cell array materialization (a cell
     with 10^9 members never builds a 10^9-element list). Cells that lose
-    all members keep their previous centroid. Fixed ``n_iter`` rounds
+    all members keep their previous centroid. At most ``n_iter`` rounds
     (k-means objective is monotone; a handful of rounds is standard for
-    IVF coarse quantizers).
+    IVF coarse quantizers), with a convergence early-exit: when the max
+    squared centroid movement drops below ``tol`` the loop stops — one
+    scalar action per round over the already-materialized k×dim centroid
+    table (same cheap-convergence-probe pattern as
+    ``connected_components``), capping wasted rounds on easy corpora.
 
     Note: per-cell mean sums doubles in shuffle order, so trained
     centroids are deterministic only up to float accumulation order —
@@ -269,11 +274,28 @@ def kmeans_centroids(
                 ).alias("__new")
             )
         )
-        cent = (
+        stepped = (
             cent.join(means, "cell", "left")
-            .select("cell", F.coalesce("__new", "__c").alias("__c"))
+            .select(
+                "cell",
+                F.coalesce("__new", "__c").alias("__c"),
+                # squared L2 movement of this cell's centroid, folded
+                # JVM-side; a lost cell keeps its centroid → movement 0
+                F.coalesce(
+                    F.aggregate(
+                        F.zip_with(F.col("__new"), F.col("__c"), lambda a, b: (a - b) * (a - b)),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ),
+                    F.lit(0.0),
+                ).alias("__move2"),
+            )
             .localCheckpoint()
         )
+        max_move = stepped.agg(F.max("__move2")).first()[0] or 0.0
+        cent = stepped.drop("__move2")
+        if max_move < tol:
+            break
     return cent
 
 

@@ -1282,3 +1282,42 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("__tq").cast("double").alias("total_qty"),
         )
     )
+
+
+@register(
+    "click_purchase_attribution",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_event_id,
+           p.event_id AS purchase_event_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts
+    FROM events c
+    JOIN events p ON p.user_id = c.user_id
+                 AND c.ts <= p.ts
+                 AND c.ts >= p.ts - INTERVAL 1 HOUR
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+    doc="Batch-shaped proof of the stream-stream interval join "
+    "(streaming/joins.py clicks_before_purchases): EVERY click in the "
+    "hour before a same-user purchase — the attribution-join relaxation "
+    "of as-of. The exact operator runs here on batch frames (watermarks "
+    "are streaming no-ops), so this oracle row pins the event-time range "
+    "predicate the streaming path uses for state eviction.",
+)
+def click_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from batch_data_pipeline_exercise_spark.streaming.joins import clicks_before_purchases
+
+    e = load(spark, sf_dir, "events")
+    out = clicks_before_purchases(
+        e.filter(F.col("event_type") == "click"),
+        e.filter(F.col("event_type") == "purchase"),
+        window="1 hour",
+    )
+    return out.select(
+        "user_id",
+        "click_event_id",
+        "purchase_event_id",
+        fmt_ts("click_ts").alias("click_ts"),
+        fmt_ts("purchase_ts").alias("purchase_ts"),
+    )
