@@ -125,3 +125,43 @@ def assign_packing_bins(
     )
     run = F.sum(size_col).over(w)
     return df.withColumn(out_col, F.floor((run - F.col(size_col)) / F.lit(budget)).cast("bigint"))
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    seed: str = "",
+    rate_col: str | None = None,
+) -> DataFrame:
+    """Temperature-α=0.5 mixture rebalancing (the multilingual-pretraining
+    staple: sample group g ∝ n_g^α, flattening the corpus distribution
+    toward uniform): per-group keep-rate r_g = sqrt(n_min / n_g), so the
+    SMALLEST group keeps everything and a group 100× larger keeps 10% —
+    realized per-row as ``hash_uniform(key) < r_g``, deterministic and
+    stable under re-runs like every sampler here.
+
+    α is fixed at 0.5 because the rate must be BIT-IDENTICAL across
+    engines for the differential oracle: ``sqrt`` is IEEE
+    correctly-rounded everywhere, ``pow`` is not (libm-dependent last
+    ulp, which could flip a row's membership at the u == r boundary).
+
+    Plan shape: one count aggregate over group_cols (tiny result),
+    broadcast back, then a narrow filter — no window, no second shuffle
+    of the data. ``rate_col`` optionally exposes r_g in the output.
+    """
+    counts = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("__ng")).localCheckpoint()
+    # bounded metadata action (one scalar off a materialized aggregate —
+    # the ranking.py pattern), NOT a 1-row join: Catalyst rewrites any
+    # single-row join (crossJoin or constant-key equi) into
+    # BroadcastNestedLoopJoin, which the plan gate rejects everywhere
+    n_min = counts.agg(F.min("__ng")).first()[0]
+    rates = counts.select(
+        *group_cols, F.sqrt(F.lit(n_min).cast("double") / F.col("__ng")).alias("__rate")
+    )
+    out = df.join(F.broadcast(rates), group_cols).filter(
+        hash_uniform(F.col(key_col), seed) < F.col("__rate")
+    )
+    if rate_col:
+        return out.withColumnRenamed("__rate", rate_col)
+    return out.drop("__rate")

@@ -382,30 +382,58 @@ def embedding_near_dup_pairs(
     if dim is None:
         dim = len(embeddings.select(vec_col).first()[0])
     planes = hyperplanes(dim, bands * rows_per_band, seed)
-    # Pin vectors + norms ONCE: the sketch explode and both verify sides
-    # reuse this table; without the pin each consumer re-reads + re-folds
-    # (same pathology as lsh_candidate_pairs). Norms per VECTOR here save
-    # two of the three per-PAIR array folds in the verify step.
-    vecs = embeddings.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("__v"),
-        _norm(F.col(vec_col).cast("array<double>")).alias("__n"),
-    ).localCheckpoint()
-    v = F.col("__v").cast("array<double>")
-    band_structs = []
-    for bi in range(bands):
-        key = F.lit(0).cast("bigint")
+    # ONE pass, ONE pin: vectors, norms, and every band key come out of a
+    # single projection over the source, materialized once. The sketch is
+    # bands × rows × dim interpreted fold-multiplies per row — by far the
+    # dominant per-row cost — so it must run exactly once; the band-key
+    # self-join's two sides and both verify sides then re-read the
+    # checkpoint instead of re-folding (same pathology class as
+    # lsh_candidate_pairs). Norms per VECTOR save two of the three
+    # per-PAIR array folds in the verify step.
+    v = F.col(vec_col).cast("array<double>")
+    # The whole bands × rows sketch is emitted as ONE SQL expression
+    # string parsed JVM-side: building it from F.lit/F.when objects costs
+    # thousands of py4j round trips (measured ~5 s of pure driver-side
+    # plan construction for 64 planes × 64 dims — more than the entire
+    # cluster-side execution). Semantics are identical: same plane
+    # order, same sequential fold, same >= 0 sign rule, repr() double
+    # literals round-trip exactly through the SQL parser.
+    def plane_sql(p: list[float]) -> str:
+        return "array(" + ", ".join(f"{float(x)!r}D" for x in p) + ")"
+
+    def band_key_sql(bi: int) -> str:
+        terms = []
         for r in range(rows_per_band):
-            plane = F.array(*[F.lit(float(x)) for x in planes[bi * rows_per_band + r]])
-            key = key + F.when(_dot(v, plane) >= 0, F.lit(2 ** r)).otherwise(F.lit(0))
-        band_structs.append(F.struct(F.lit(bi).alias("band"), key.alias("key")))
-    # one projection computes every band key, then explodes to
-    # (id, band, key); pinned so the self-join doesn't fold the
-    # bands × rows × dim multiply-adds twice
-    bk = (
-        vecs.select("id", F.explode(F.array(*band_structs)).alias("bk"))
-        .select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+            dot = (
+                f"aggregate(zip_with(__vd, {plane_sql(planes[bi * rows_per_band + r])}, "
+                "(x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+            )
+            terms.append(f"(CASE WHEN {dot} >= 0 THEN CAST({2 ** r} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+        return " + ".join(terms)
+
+    bands_sql = "array(" + ", ".join(
+        f"named_struct('band', {bi}, 'key', {band_key_sql(bi)})" for bi in range(bands)
+    ) + ")"
+    # repartition BEFORE the sketch projection: embedding tables often
+    # arrive as few large row groups, and the sketch is compute-dense per
+    # row — without the spread the whole fold chain runs on one core
+    # (same rationale as the corpus_prep_pipeline stage boundary)
+    sc = embeddings.sparkSession.sparkContext
+    vecs = (
+        embeddings.repartition(sc.defaultParallelism)
+        .withColumn("__vd", v)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("__v"),
+            _norm(v).alias("__n"),
+            F.expr(bands_sql).alias("__bands"),
+        )
         .localCheckpoint()
+    )
+    # exploding a pre-materialized array is cheap to recompute, so bk
+    # needs no second checkpoint of its own
+    bk = vecs.select("id", F.explode("__bands").alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
     cand = (
         bk.alias("a")

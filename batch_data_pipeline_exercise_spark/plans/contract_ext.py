@@ -624,6 +624,29 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_temperature_sample",
+    oracle=f"""
+    WITH ng AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    nmin AS (SELECT MIN(n) AS m FROM ng),
+    rates AS (SELECT lang, sqrt(CAST(m AS DOUBLE) / CAST(n AS DOUBLE)) AS rate FROM ng, nmin)
+    SELECT d.doc_id, d.lang, r.rate
+    FROM documents d JOIN rates r ON r.lang = d.lang
+    WHERE {_sql_hash_uniform("doc_id", "temp")} < r.rate
+    """,
+    doc="Temperature-α=0.5 mixture rebalancing (multilingual-pretraining "
+    "staple: sample group ∝ n^α toward uniform): per-language keep-rate "
+    "sqrt(n_min/n_g) gated by the content hash — smallest language keeps "
+    "all, a 100× larger one keeps 10%. One tiny count aggregate broadcast "
+    "back, then a narrow filter; sqrt (correctly-rounded IEEE) not pow "
+    "(libm-dependent) keeps the rate bit-identical cross-engine.",
+)
+def corpus_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    out = sampling.temperature_mixture_sample(d, ["lang"], "doc_id", seed="temp", rate_col="rate")
+    return out.select("doc_id", "lang", "rate")
+
+
+@register(
     "doc_pack_bins",
     oracle="""
     SELECT doc_id, lang,
