@@ -43,6 +43,27 @@ def substring_count(text: Column, needle: str) -> Column:
     return (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit("")))) / F.lit(len(needle))
 
 
+def _substring_count_sql(text_sql: str, needle: str) -> str:
+    """SQL-string twin of ``substring_count`` — same ops, same int/int
+    division (→ double in Spark SQL exactly as in the Column form).
+
+    The marker/stopword scorers sum dozens of these; building them as
+    Column objects costs one py4j round trip PER operation (~2 ms each,
+    seconds per query of pure driver-side construction), while one
+    F.expr string is a single call parsed JVM-side. Needles here are
+    letters-only words — no quoting hazards."""
+    return f"(length({text_sql}) - length(replace({text_sql}, '{needle}', ''))) / {len(needle)}"
+
+
+def _sum_counts_sql(text_sql: str, needles: list[str]) -> str:
+    """Left fold with a double 0.0 start, mirroring
+    ``sum((substring_count(...) for ...), F.lit(0.0))`` exactly."""
+    acc = "CAST(0.0 AS DOUBLE)"
+    for n in needles:
+        acc = f"({acc} + {_substring_count_sql(text_sql, n)})"
+    return acc
+
+
 STAT_COLS = ["n_chars", "n_words", "n_tokens", "n_punct", "punct_ratio", "stopword_ratio", "avg_word_len"]
 
 
@@ -52,13 +73,11 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     testdata table ships its own ``n_chars``)."""
     df = df.drop(*[c for c in STAT_COLS if c in df.columns])
     t = F.col(text_col)
-    padded = F.concat(F.lit(" "), F.lower(t), F.lit(" "))
     n_words = F.size(F.split(F.trim(t), "\\s+"))
     n_tokens = F.regexp_count(t, F.lit(TOKEN_PATTERN))
     n_punct = F.regexp_count(t, F.lit("[.,;:!?'\"()\\[\\]{}-]"))
-    stop_hits = sum(
-        (substring_count(padded, f" {w} ") for w in ENGLISH_STOPWORDS), F.lit(0.0)
-    )
+    pad_sql = f"concat(' ', lower({text_col}), ' ')"
+    stop_hits = F.expr(_sum_counts_sql(pad_sql, [f" {w} " for w in ENGLISH_STOPWORDS]))
     return df.select(
         "*",
         F.length(t).alias("n_chars"),
@@ -95,9 +114,9 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     character density short-circuits to 'zh'. Ties resolve by fixed
     language order (en, fr, es, de) — deterministic by construction."""
     t = F.col(text_col)
-    padded = F.concat(F.lit(" "), F.lower(t), F.lit(" "))
+    pad_sql = f"concat(' ', lower({text_col}), ' ')"
     scores = {
-        lang: sum((substring_count(padded, m) for m in markers), F.lit(0.0))
+        lang: F.expr(_sum_counts_sql(pad_sql, markers))
         for lang, markers in LANG_MARKERS.items()
     }
     cjk = F.regexp_count(t, F.lit(CJK_RANGE))
