@@ -379,25 +379,48 @@ def embedding_near_dup_pairs(
 
     Pass ``dim`` explicitly in pipelines — the ``.first()`` fallback costs
     one extra Spark action to probe the vector width."""
+    vecs = banded_sign_sketch(embeddings, bands, rows_per_band, seed, id_col, vec_col, dim)
+    bk = _explode_band_keys(vecs)
+    cand = (
+        bk.alias("a")
+        .join(bk.alias("b"), ["band", "key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .distinct()
+    )
+    return _verify_cosine_pairs(cand, vecs, threshold)
+
+
+def banded_sign_sketch(
+    embeddings: DataFrame,
+    bands: int = 8,
+    rows_per_band: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Materialized multi-band sign sketch: (id, __v, __n, __bands) with
+    __bands = array<struct<band, key>> — the persistable LSH index table
+    for the embedding near-dup path (the analogue of the minhash
+    band-key index in ``operators/dedup.py``).
+
+    ONE pass, ONE pin: vectors, norms, and every band key come out of a
+    single projection, materialized once; the band-key self-join's two
+    sides and both verify sides re-read the checkpoint instead of
+    re-folding the bands × rows × dim multiply-adds (same pathology
+    class as lsh_candidate_pairs). The sketch is emitted as ONE SQL
+    expression string parsed JVM-side: building it from F.lit/F.when
+    objects costs thousands of py4j round trips (measured ~5 s of pure
+    driver-side plan construction for 64 planes × 64 dims — more than
+    the entire cluster-side execution). repr() double literals
+    round-trip exactly through the SQL parser, so plan semantics are
+    bit-identical to the Column form."""
     if dim is None:
         dim = len(embeddings.select(vec_col).first()[0])
     planes = hyperplanes(dim, bands * rows_per_band, seed)
-    # ONE pass, ONE pin: vectors, norms, and every band key come out of a
-    # single projection over the source, materialized once. The sketch is
-    # bands × rows × dim interpreted fold-multiplies per row — by far the
-    # dominant per-row cost — so it must run exactly once; the band-key
-    # self-join's two sides and both verify sides then re-read the
-    # checkpoint instead of re-folding (same pathology class as
-    # lsh_candidate_pairs). Norms per VECTOR save two of the three
-    # per-PAIR array folds in the verify step.
     v = F.col(vec_col).cast("array<double>")
-    # The whole bands × rows sketch is emitted as ONE SQL expression
-    # string parsed JVM-side: building it from F.lit/F.when objects costs
-    # thousands of py4j round trips (measured ~5 s of pure driver-side
-    # plan construction for 64 planes × 64 dims — more than the entire
-    # cluster-side execution). Semantics are identical: same plane
-    # order, same sequential fold, same >= 0 sign rule, repr() double
-    # literals round-trip exactly through the SQL parser.
+
     def plane_sql(p: list[float]) -> str:
         return "array(" + ", ".join(f"{float(x)!r}D" for x in p) + ")"
 
@@ -419,7 +442,7 @@ def embedding_near_dup_pairs(
     # row — without the spread the whole fold chain runs on one core
     # (same rationale as the corpus_prep_pipeline stage boundary)
     sc = embeddings.sparkSession.sparkContext
-    vecs = (
+    return (
         embeddings.repartition(sc.defaultParallelism)
         .withColumn("__vd", v)
         .select(
@@ -430,18 +453,17 @@ def embedding_near_dup_pairs(
         )
         .localCheckpoint()
     )
-    # exploding a pre-materialized array is cheap to recompute, so bk
-    # needs no second checkpoint of its own
-    bk = vecs.select("id", F.explode("__bands").alias("bk")).select(
+
+
+def _explode_band_keys(vecs: DataFrame) -> DataFrame:
+    # exploding a pre-materialized array is cheap to recompute, so the
+    # result needs no checkpoint of its own
+    return vecs.select("id", F.explode("__bands").alias("bk")).select(
         "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
-    cand = (
-        bk.alias("a")
-        .join(bk.alias("b"), ["band", "key"])
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
-        .distinct()
-    )
+
+
+def _verify_cosine_pairs(cand: DataFrame, vecs: DataFrame, threshold: float) -> DataFrame:
     va = vecs.select(F.col("id").alias("id1"), F.col("__v").alias("__va"), F.col("__n").alias("__na"))
     vb = vecs.select(F.col("id").alias("id2"), F.col("__v").alias("__vb"), F.col("__n").alias("__nb"))
     return (
@@ -457,3 +479,63 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def incremental_embedding_pairs(
+    prior_index: DataFrame | None,
+    new_embeddings: DataFrame,
+    threshold: float = 0.95,
+    bands: int = 8,
+    rows_per_band: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Batch-over-batch embedding near-dup detection: sketch ONLY the new
+    batch and probe it against the stored sign-sketch index — the
+    embedding-space twin of ``dedup.incremental_minhash_pairs``.
+
+    A growing embedding store must not re-fold its history's bands ×
+    rows × dim sketch every increment. The ``banded_sign_sketch`` table
+    (id, __v, __n, __bands) IS the persistable index: band keys are a
+    pure function of the vector and the seeded planes, so
+    index(prior ∪ new) = index(prior) ∪ sketch(new), and candidates of
+    the union split into (new × new) ∪ (new × prior) — returned here —
+    plus (prior × prior), which earlier increments already emitted.
+
+    Returns ``(pairs, updated_index)``: verified (id1, id2, cosine)
+    pairs where at least one side is new, and the index to persist for
+    the next increment."""
+    new_vecs = banded_sign_sketch(new_embeddings, bands, rows_per_band, seed, id_col, vec_col, dim)
+    new_bk = _explode_band_keys(new_vecs)
+    if prior_index is None:
+        cand = (
+            new_bk.alias("a")
+            .join(new_bk.alias("b"), ["band", "key"])
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+            .distinct()
+        )
+        return _verify_cosine_pairs(cand, new_vecs, threshold), new_vecs
+    prior_bk = _explode_band_keys(prior_index)
+    new_new = (
+        new_bk.alias("a")
+        .join(new_bk.alias("b"), ["band", "key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+    )
+    # one equi probe of the stored index — touches only colliding
+    # buckets, never the history's vectors
+    cross = (
+        new_bk.alias("a")
+        .join(prior_bk.alias("b"), ["band", "key"])
+        .filter(F.col("a.id") != F.col("b.id"))
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("id1"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("id2"),
+        )
+    )
+    cand = new_new.unionByName(cross).distinct()
+    all_vecs = prior_index.unionByName(new_vecs)
+    return _verify_cosine_pairs(cand, all_vecs, threshold), all_vecs

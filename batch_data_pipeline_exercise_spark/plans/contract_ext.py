@@ -961,6 +961,44 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id1", "id2")
 
 
+@register(
+    "embedding_incremental_near_dups",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    bk AS ({_banded_bk_sql()}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+      FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+    )
+    SELECT id1, id2
+    FROM cand JOIN e ea ON ea.vec_id = cand.id1 JOIN e eb ON eb.vec_id = cand.id2
+    WHERE list_dot_product(ea.v, eb.v)
+          / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) >= 0.4
+      AND (id1 % 5 = 0 OR id2 % 5 = 0)
+    """,
+    doc="Incremental embedding near-dup (operators/similarity.py "
+    "incremental_embedding_pairs): vectors with vec_id % 5 = 0 arrive "
+    "as the NEW batch — only they pay the bands × rows × dim sketch "
+    "fold; the stored sign-sketch index of the rest is probed by one "
+    "equi join per band. Band keys are a pure function of (vector, "
+    "seeded planes), so the result equals the full rebuild's verified "
+    "pairs restricted to pairs touching a new vector — which is what "
+    "the oracle states.",
+)
+def embedding_incremental_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    prior = e.filter(F.col("vec_id") % 5 != 0)
+    new = e.filter(F.col("vec_id") % 5 == 0)
+    prior_index = similarity.banded_sign_sketch(
+        prior, bands=_NEARDUP_BANDS, rows_per_band=_NEARDUP_ROWS, seed=42, dim=EMB_DIM
+    )
+    pairs, _updated = similarity.incremental_embedding_pairs(
+        prior_index, new, threshold=0.4,
+        bands=_NEARDUP_BANDS, rows_per_band=_NEARDUP_ROWS, seed=42, dim=EMB_DIM,
+    )
+    return pairs.select("id1", "id2")
+
+
 # ---------------------------------------------------------------------------
 # PII, repetition quality signals, retrieval (postings + BM25)
 # ---------------------------------------------------------------------------

@@ -125,3 +125,29 @@ def test_multimodal_features_and_plumbing(spark):
 
     frames = multimodal.sample_video_frames(df, every_ms=1000)
     assert frames.count() == 20 * 4  # 0,1000,2000,3000
+
+
+def test_incremental_embedding_equals_rebuild(spark, sf_dir):
+    """Incremental probe (new batch vs stored index) must equal the full
+    rebuild's verified pairs restricted to pairs touching a new vector —
+    the exact-reconstruction property the 100 TB increment story rests
+    on. Also: a second increment emits no pair twice."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    full = {
+        (r["id1"], r["id2"])
+        for r in similarity.embedding_near_dup_pairs(e, threshold=0.4, dim=64).collect()
+    }
+    prior = e.filter(F.col("vec_id") % 5 != 0)
+    new = e.filter(F.col("vec_id") % 5 == 0)
+    idx = similarity.banded_sign_sketch(prior, dim=64)
+    pairs, updated = similarity.incremental_embedding_pairs(idx, new, threshold=0.4, dim=64)
+    got = {(r["id1"], r["id2"]) for r in pairs.collect()}
+    want = {(a, b) for a, b in full if a % 5 == 0 or b % 5 == 0}
+    assert got == want
+    # the updated index reproduces the full-corpus index state
+    assert updated.count() == e.count()
+    # first-batch path (no prior index) = self-join of the new batch only
+    first, first_idx = similarity.incremental_embedding_pairs(None, new, threshold=0.4, dim=64)
+    got_first = {(r["id1"], r["id2"]) for r in first.collect()}
+    assert got_first == {(a, b) for a, b in full if a % 5 == 0 and b % 5 == 0}
+    assert first_idx.count() == new.count()
