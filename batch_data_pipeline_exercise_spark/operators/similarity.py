@@ -437,14 +437,16 @@ def banded_sign_sketch(
     bands_sql = "array(" + ", ".join(
         f"named_struct('band', {bi}, 'key', {band_key_sql(bi)})" for bi in range(bands)
     ) + ")"
-    # repartition BEFORE the sketch projection: embedding tables often
-    # arrive as few large row groups, and the sketch is compute-dense per
-    # row — without the spread the whole fold chain runs on one core
-    # (same rationale as the corpus_prep_pipeline stage boundary)
+    # spread BEFORE the sketch projection when the input arrives in fewer
+    # partitions than cores (single-row-group files): the sketch is
+    # compute-dense per row and would otherwise fold on one core. Skipped
+    # when the source is already spread (e.g. contract.load) — a
+    # redundant full shuffle is pure cost at scale.
     sc = embeddings.sparkSession.sparkContext
+    if embeddings.rdd.getNumPartitions() < sc.defaultParallelism:
+        embeddings = embeddings.repartition(sc.defaultParallelism)
     return (
-        embeddings.repartition(sc.defaultParallelism)
-        .withColumn("__vd", v)
+        embeddings.withColumn("__vd", v)
         .select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("__v"),
