@@ -76,8 +76,12 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_words = F.size(F.split(F.trim(t), "\\s+"))
     n_tokens = F.regexp_count(t, F.lit(TOKEN_PATTERN))
     n_punct = F.regexp_count(t, F.lit("[.,;:!?'\"()\\[\\]{}-]"))
-    pad_sql = f"concat(' ', lower({text_col}), ' ')"
-    stop_hits = F.expr(_sum_counts_sql(pad_sql, [f" {w} " for w in ENGLISH_STOPWORDS]))
+    # materialize the padded text ONCE: inlining it per fold term both
+    # re-lowercases the text 2×|needles| times per row and blows the
+    # whole-stage-codegen method past janino's 64 KB limit (interpreted
+    # fallback for the entire stage). Same value, same fold, same result.
+    df = df.withColumn("__pad", F.concat(F.lit(" "), F.lower(t), F.lit(" ")))
+    stop_hits = F.expr(_sum_counts_sql("__pad", [f" {w} " for w in ENGLISH_STOPWORDS]))
     return df.select(
         "*",
         F.length(t).alias("n_chars"),
@@ -87,7 +91,7 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         (n_punct / F.greatest(F.length(t), F.lit(1))).alias("punct_ratio"),
         (stop_hits / F.greatest(n_words, F.lit(1))).alias("stopword_ratio"),
         (F.length(F.regexp_replace(t, "\\s", "")) / F.greatest(n_words, F.lit(1))).alias("avg_word_len"),
-    )
+    ).drop("__pad")
 
 
 def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -114,21 +118,33 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     character density short-circuits to 'zh'. Ties resolve by fixed
     language order (en, fr, es, de) — deterministic by construction."""
     t = F.col(text_col)
-    pad_sql = f"concat(' ', lower({text_col}), ' ')"
-    scores = {
-        lang: F.expr(_sum_counts_sql(pad_sql, markers))
-        for lang, markers in LANG_MARKERS.items()
-    }
+    # Materialize the pad and the per-language scores as real columns
+    # before the argmax: the when-chain below references each score and
+    # the running best REPEATEDLY, so inlined score trees would be
+    # duplicated exponentially in the final expression (the generated
+    # method blew janino's 64 KB whole-stage-codegen limit and the whole
+    # stage fell back to interpreted execution). Column references keep
+    # the argmax tiny; values are identical.
+    with_scores = df.withColumn("__pad", F.concat(F.lit(" "), F.lower(t), F.lit(" "))).select(
+        "*",
+        *[
+            F.expr(_sum_counts_sql("__pad", markers)).alias(f"__score_{lang}")
+            for lang, markers in LANG_MARKERS.items()
+        ],
+    )
     cjk = F.regexp_count(t, F.lit(CJK_RANGE))
     best = F.lit("und")
     best_score = F.lit(0.0)
     # fixed iteration order; strict > keeps the earlier language on ties
     for lang in ["en", "fr", "es", "de"]:
-        is_better = scores[lang] > best_score
+        score = F.col(f"__score_{lang}")
+        is_better = score > best_score
         best = F.when(is_better, F.lit(lang)).otherwise(best)
-        best_score = F.when(is_better, scores[lang]).otherwise(best_score)
+        best_score = F.when(is_better, score).otherwise(best_score)
     lang_col = F.when(cjk * 2 > F.length(t) * 0.1, F.lit("zh")).otherwise(best)
-    return df.withColumn("lang_pred", lang_col)
+    return with_scores.withColumn("lang_pred", lang_col).drop(
+        "__pad", *[f"__score_{lang}" for lang in LANG_MARKERS]
+    )
 
 
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -458,6 +458,14 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Known codegen boundary: fusing stats+quality+lang-id+fingerprint
+    # into one stage exceeds janino's 64 KB method limit (whole-stage
+    # codegen cannot sub-split expressions fed by local variables), so
+    # Spark executes THIS stage's projections interpreted — logged once
+    # as "Failed to compile", then handled. Values are unaffected; the
+    # stage is a linear scan that parallelizes identically either way.
+    # Each scorer alone stays comfortably inside codegen (doc_text_stats
+    # / doc_quality_score / doc_lang_id compile clean).
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     scored = text.with_lang_id(text.with_quality_score(d))
     kept0 = scored.filter((F.col("lang_pred") == "en") & (F.col("quality_score") >= 0.6))
