@@ -1075,3 +1075,33 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"))
         .agg(F.sum(revenue).cast("double").alias("revenue"), F.count(F.lit(1)).alias("line_count"))
     )
+
+
+from batch_data_pipeline_exercise_spark.operators.layout import morton_key_sql as _morton_key_sql
+
+_ZORDER_KEY_SQL = _morton_key_sql(
+    ["o_custkey % 1024", "CAST(EXTRACT(doy FROM o_orderdate) AS BIGINT)"], bits=10
+)
+
+
+@register(
+    "orders_zorder_keys",
+    oracle=f"""
+    SELECT o_orderkey, {_ZORDER_KEY_SQL} AS zkey
+    FROM orders
+    """,
+    doc="Z-order (Morton) clustering key over (customer, day-of-year) — "
+    "the multi-dimensional data-skipping layout (operators/layout.py "
+    "zorder_by): bit-interleaved integer key, pure codegen arithmetic, "
+    "identical in both engines. The layout effect (range filters on "
+    "EITHER column touch a fraction of files) is proven by measured "
+    "file-pruning in tests/test_layout.py.",
+)
+def orders_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from batch_data_pipeline_exercise_spark.operators import layout
+
+    o = load(spark, sf_dir, "orders")
+    key = layout.morton_key(
+        [F.col("o_custkey") % 1024, F.dayofyear("o_orderdate").cast("bigint")], bits=10
+    )
+    return o.select("o_orderkey", key.alias("zkey"))
