@@ -1105,3 +1105,39 @@ def orders_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("o_custkey") % 1024, F.dayofyear("o_orderdate").cast("bigint")], bits=10
     )
     return o.select("o_orderkey", key.alias("zkey"))
+
+
+@register(
+    "user_reach_by_type",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_distinct,
+           COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+    doc="Incremental COUNT(DISTINCT) via mergeable HLL sketches "
+    "(operators/sketches.py): the event log is sliced into three "
+    "increments, each sketched independently, and the per-increment "
+    "sketch rows are union-merged at read time — the only maintenance "
+    "shape that avoids re-scanning history for distinct counts. Below "
+    "the HLL sparse threshold (2^17 here vs 1.5k users) the estimate "
+    "is EXACT, so a plain COUNT(DISTINCT) oracle pins the whole "
+    "slice→sketch→merge path; the slicing-invariance property is "
+    "separately tested in tests/test_sketches.py.",
+)
+def user_reach_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from batch_data_pipeline_exercise_spark.operators import sketches
+
+    e = load(spark, sf_dir, "events")
+    table = None
+    for i in range(3):
+        part = e.filter(F.col("event_id") % 3 == i)
+        # carry the slice's event count alongside the sketch so the
+        # summable metric rides the same increment table
+        s = sketches.build_distinct_sketches(part, ["event_type"], "user_id").join(
+            part.groupBy("event_type").agg(F.count(F.lit(1)).alias("__n")), "event_type"
+        )
+        table = s if table is None else table.unionByName(s)
+    merged = sketches.merge_distinct_counts(table.select("event_type", "hll_sketch"), ["event_type"])
+    counts = table.groupBy("event_type").agg(F.sum("__n").alias("n_events"))
+    return merged.join(counts, "event_type").select("event_type", "n_distinct", "n_events")
