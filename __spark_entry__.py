@@ -32,23 +32,31 @@ def entry(spark: SparkSession) -> DataFrame:
     return contract.REGISTRY["revenue_by_region_quarter"].fn(spark, "/root/testdata/sf0.001")
 
 
-def _driver_green_counts() -> dict[str, int]:
-    """Per-query count of green driver verdicts across past rounds.
+def _driver_evidence() -> tuple[dict[str, int], dict[str, bool], dict[str, int]]:
+    """Per-query green-verdict counts and latest-verdict-red flags.
 
     The driver's CORRECTNESS window covers only the first ~50 entries of
     ``queries()`` per round, so registration order decides which queries
     ever receive a hard verdict. We therefore order by evidence need:
-    never-checked queries first, then fewest-green first. The ordering is
-    derived from the CORRECTNESS_r*.json files the driver itself writes,
-    so the window self-rotates each round with zero manual curation.
+    queries whose MOST RECENT driver verdict is red first (a fixed bug
+    needs its green row), then never-checked, then fewest-green first.
+    The ordering is derived from the CORRECTNESS_r*.json files the
+    driver itself writes, so the window self-rotates each round with
+    zero manual curation.
     """
     import json
 
     counts: dict[str, int] = {}
-    for p in sorted(Path(__file__).resolve().parent.glob("CORRECTNESS_r*.json")):
+    latest_red: dict[str, bool] = {}
+    last_round: dict[str, int] = {}
+    for rnd, p in enumerate(
+        sorted(Path(__file__).resolve().parent.glob("CORRECTNESS_r*.json")), start=1
+    ):
         try:
             rows = json.loads(p.read_text())
         except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
             continue
         for name, v in rows.items():
             if not isinstance(v, dict):
@@ -59,14 +67,28 @@ def _driver_green_counts() -> dict[str, int]:
                 v.get("err") == "no_oracle" and v.get("spark_rows") is not None
             )
             counts[name] = counts.get(name, 0) + (1 if green else 0)
-    return counts
+            # files iterate in round order, so the last write wins →
+            # latest_red reflects the newest round that checked the query
+            latest_red[name] = not green
+            last_round[name] = rnd
+    return counts, latest_red, last_round
 
 
 def _evidence_order(names: list[str]) -> list[str]:
-    counts = _driver_green_counts()
-    # never-checked → -1 → sorts before checked-but-red (0) and greens (>0);
+    counts, latest_red, last_round = _driver_evidence()
+    # tier 0: latest driver verdict red (fixed code awaiting its green row)
+    # tier 1: everything else, never-checked (-1) before fewest-green;
+    # ties broken by staleness (oldest last-checked round first) so the
+    # window rotates away from queries the driver just verified;
     # stable sort preserves registration order within each tier
-    return sorted(names, key=lambda n: counts.get(n, -1))
+    return sorted(
+        names,
+        key=lambda n: (
+            0 if latest_red.get(n, False) else 1,
+            counts.get(n, -1),
+            last_round.get(n, 0),
+        ),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
