@@ -50,9 +50,11 @@ def _substring_count_sql(text_sql: str, needle: str) -> str:
     The marker/stopword scorers sum dozens of these; building them as
     Column objects costs one py4j round trip PER operation (~2 ms each,
     seconds per query of pure driver-side construction), while one
-    F.expr string is a single call parsed JVM-side. Needles here are
-    letters-only words — no quoting hazards."""
-    return f"(length({text_sql}) - length(replace({text_sql}, '{needle}', ''))) / {len(needle)}"
+    F.expr string is a single call parsed JVM-side. Quotes in the needle
+    are doubled so a future marker like French "l'" cannot break or
+    shift the SQL (same escape rule in Spark SQL and DuckDB)."""
+    lit = needle.replace("'", "''")
+    return f"(length({text_sql}) - length(replace({text_sql}, '{lit}', ''))) / {len(needle)}"
 
 
 def _sum_counts_sql(text_sql: str, needles: list[str]) -> str:
@@ -62,6 +64,35 @@ def _sum_counts_sql(text_sql: str, needles: list[str]) -> str:
     for n in needles:
         acc = f"({acc} + {_substring_count_sql(text_sql, n)})"
     return acc
+
+
+def _regexp_count_fold_sql(text_sql: str, needles: list[str]) -> str:
+    """Spark-side twin of ``_sum_counts_sql``: one ``regexp_count`` per
+    needle instead of a length/replace/length triple.
+
+    Value-identical by construction: ``regexp_count`` over a literal
+    pattern counts non-overlapping occurrences left-to-right — exactly
+    what the replace-based length diff counts (``" the the "`` is 1 hit
+    either way, the shared space is consumed). Each fold term is an
+    exact small-integer double, so summing ints and casting once equals
+    the summed-doubles fold bit-for-bit.
+
+    Why it exists: the 20-term stopword fold plus the 4×5 language
+    marker folds were the bulk of the fused corpus-prep stage's
+    generated method — past janino's 64 KB whole-stage-codegen limit,
+    dropping the entire stage (the pipeline's biggest scan) to
+    interpreted execution. The regexp_count form generates ~3× less
+    code per term, keeping the fused stage compiled. DuckDB oracles
+    keep the replace-fold form — DuckDB has no codegen ceiling to
+    dodge, and keeping both forms is the cross-engine check that the
+    semantics stayed put.
+
+    Needles must be letters/spaces only (asserted) — they are injected
+    into a regex inside a SQL literal."""
+    for n in needles:
+        assert all(c.isalpha() or c == " " for c in n), f"unsafe needle {n!r}"
+    terms = " + ".join(f"regexp_count({text_sql}, '{n}')" for n in needles)
+    return f"CAST({terms} AS DOUBLE)"
 
 
 STAT_COLS = ["n_chars", "n_words", "n_tokens", "n_punct", "punct_ratio", "stopword_ratio", "avg_word_len"]
@@ -81,7 +112,7 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     # whole-stage-codegen method past janino's 64 KB limit (interpreted
     # fallback for the entire stage). Same value, same fold, same result.
     df = df.withColumn("__pad", F.concat(F.lit(" "), F.lower(t), F.lit(" ")))
-    stop_hits = F.expr(_sum_counts_sql("__pad", [f" {w} " for w in ENGLISH_STOPWORDS]))
+    stop_hits = F.expr(_regexp_count_fold_sql("__pad", [f" {w} " for w in ENGLISH_STOPWORDS]))
     return df.select(
         "*",
         F.length(t).alias("n_chars"),
@@ -128,7 +159,7 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     with_scores = df.withColumn("__pad", F.concat(F.lit(" "), F.lower(t), F.lit(" "))).select(
         "*",
         *[
-            F.expr(_sum_counts_sql("__pad", markers)).alias(f"__score_{lang}")
+            F.expr(_regexp_count_fold_sql("__pad", markers)).alias(f"__score_{lang}")
             for lang, markers in LANG_MARKERS.items()
         ],
     )

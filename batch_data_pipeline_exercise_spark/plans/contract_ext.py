@@ -458,14 +458,14 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Known codegen boundary: fusing stats+quality+lang-id+fingerprint
-    # into one stage exceeds janino's 64 KB method limit (whole-stage
-    # codegen cannot sub-split expressions fed by local variables), so
-    # Spark executes THIS stage's projections interpreted — logged once
-    # as "Failed to compile", then handled. Values are unaffected; the
-    # stage is a linear scan that parallelizes identically either way.
-    # Each scorer alone stays comfortably inside codegen (doc_text_stats
-    # / doc_quality_score / doc_lang_id compile clean).
+    # The fused stats+quality+lang-id+fingerprint stage compiles clean
+    # since the marker/stopword folds moved to per-needle regexp_count
+    # (operators/text.py::_regexp_count_fold_sql) — the replace-fold
+    # form blew janino's 64 KB whole-stage-codegen limit and dropped
+    # this whole stage (the pipeline's biggest scan) to interpreted
+    # execution. Measured at sf0.1: wall time is a wash (7.6 → 7.8 s,
+    # within jitter — literal-pattern Java regex ≈ UTF8String.replace),
+    # but the stage stays inside WSCG with headroom for composition.
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     scored = text.with_lang_id(text.with_quality_score(d))
     kept0 = scored.filter((F.col("lang_pred") == "en") & (F.col("quality_score") >= 0.6))
