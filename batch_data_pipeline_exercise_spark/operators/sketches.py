@@ -73,6 +73,26 @@ def build_quantile_sketches(
     )
 
 
+def _fold_merged_sketch(grouped: DataFrame, out_col: str) -> DataFrame:
+    """Fold a collected list of KLL sketch binaries into one merged
+    sketch. The list is ``array_sort``-ed first: ``collect_list`` order
+    is shuffle-nondeterministic and KLL merge results depend on merge
+    order (compaction decisions differ), so an unsorted fold can return
+    different sketch bytes — and different exact quantile values — run
+    to run. Sorting on the binary itself (lexicographic) pins the fold
+    order with no extra key column; values stay within the same rank-
+    error bound either way, now reproducibly so. This still must never
+    be paired with a value-hashing oracle (the bytes are
+    Spark-version-specific), only with tolerance or rows-only checks."""
+    return grouped.withColumn("__sorted", F.array_sort(F.col("__l"))).withColumn(
+        out_col,
+        F.expr(
+            "aggregate(slice(__sorted, 2, greatest(size(__sorted) - 1, 0)), "
+            "element_at(__sorted, 1), (acc, x) -> kll_sketch_merge_double(acc, x))"
+        ),
+    )
+
+
 def merge_quantiles(
     sketches: DataFrame,
     group_cols: list[str],
@@ -84,17 +104,15 @@ def merge_quantiles(
 
     Spark ships KLL merge only as a BINARY scalar
     (``kll_sketch_merge_double``), not an aggregate, so the rollup
-    collects each group's sketch rows and left-folds the merge. The
-    list is bounded by the number of stored INCREMENTS per group (one
-    sketch row each, ~KB apiece), never by raw data volume."""
-    merged = sketches.groupBy(*group_cols).agg(
-        F.collect_list(F.col(sketch_col)).alias("__l")
-    ).withColumn(
+    collects each group's sketch rows and sort-folds the merge
+    (deterministic — see ``_fold_merged_sketch``). The list is bounded
+    by the number of stored INCREMENTS per group (one sketch row each,
+    ~KB apiece), never by raw data volume; run
+    ``compact_quantile_sketches`` on the table periodically to bound it
+    at any horizon."""
+    merged = _fold_merged_sketch(
+        sketches.groupBy(*group_cols).agg(F.collect_list(F.col(sketch_col)).alias("__l")),
         "__m",
-        F.expr(
-            "aggregate(slice(__l, 2, greatest(size(__l) - 1, 0)), element_at(__l, 1), "
-            "(acc, x) -> kll_sketch_merge_double(acc, x))"
-        ),
     )
     cols = [
         F.kll_sketch_get_quantile_double(F.col("__m"), F.lit(float(q))).alias(
@@ -103,3 +121,68 @@ def merge_quantiles(
         for q in quantiles
     ]
     return merged.select(*group_cols, *cols)
+
+
+def compact_distinct_sketches(
+    sketches: DataFrame,
+    group_cols: list[str],
+    lg_k: int = 17,
+    sketch_col: str = "hll_sketch",
+) -> DataFrame:
+    """Merge each group's accumulated HLL increment rows into ONE row
+    with the same schema — overwrite the sketch table with the result
+    on a maintenance cadence (``Pipeline.maintain`` file-count gate) so
+    read-time union cost stays O(groups) at any horizon. Union of
+    unions is the same set-function, so estimates are identical before
+    and after compaction."""
+    return sketches.groupBy(*group_cols).agg(
+        F.hll_union_agg(F.col(sketch_col), F.lit(True)).alias(sketch_col)
+    )
+
+
+def compact_quantile_sketches(
+    sketches: DataFrame,
+    group_cols: list[str],
+    sketch_col: str = "kll_sketch",
+) -> DataFrame:
+    """Merge each group's accumulated KLL increment rows into ONE row
+    with the same schema. A daily increment over a decade is ~3,650
+    ~KB structs in ``merge_quantiles``'s per-group fold array;
+    compacting periodically bounds that list at any horizon. The
+    compacted sketch is the same sort-fold ``merge_quantiles`` reads
+    through, so read-off quantiles are identical before and after
+    (proven by ``test_sketches.py``)."""
+    folded = _fold_merged_sketch(
+        sketches.groupBy(*group_cols).agg(F.collect_list(F.col(sketch_col)).alias("__l")),
+        "__compacted",
+    )
+    return folded.select(*group_cols, F.col("__compacted").alias(sketch_col))
+
+
+def compact_sketch_table(
+    wh,
+    table: str,
+    group_cols: list[str],
+    max_rows_per_group: int = 64,
+    sketch_col: str | None = None,
+) -> bool:
+    """Maintenance entry point for a persisted sketch table: when any
+    group has accumulated more than ``max_rows_per_group`` increment
+    rows, rewrite the table with one merged row per group (crash-safe
+    via ``Warehouse.overwrite``'s swap). The gate is a cheap aggregate
+    over the sketch table itself — O(stored groups), the same cadence
+    economics as ``Pipeline.maintain``'s file-count gate. Returns
+    whether a rewrite happened. Sketch kind is inferred from the column
+    name (``hll_sketch`` / ``kll_sketch``) unless given."""
+    if not wh.exists(table):
+        return False
+    df = wh.read(table)
+    col = sketch_col or next(c for c in df.columns if c.endswith("_sketch"))
+    worst = (
+        df.groupBy(*group_cols).count().agg(F.max("count").alias("m")).collect()[0]["m"]
+    )
+    if worst is None or worst <= max_rows_per_group:
+        return False
+    compactor = compact_distinct_sketches if col.startswith("hll") else compact_quantile_sketches
+    wh.overwrite(compactor(df, group_cols, sketch_col=col), table)
+    return True
