@@ -391,6 +391,15 @@ def embedding_near_dup_pairs(
     return _verify_cosine_pairs(cand, vecs, threshold)
 
 
+def _plan_partition_count(df: DataFrame) -> int:
+    """Partition count of ``df``'s physical plan, read off the cached
+    QueryExecution instead of ``df.rdd`` — the PySpark ``.rdd`` property
+    wraps the plan in a NEW Python-serialized RDD on every access, pure
+    driver-side overhead for one int. Batch DataFrames only (a streaming
+    plan has no toRdd), same constraint as localCheckpoint."""
+    return df._jdf.queryExecution().toRdd().getNumPartitions()
+
+
 def banded_sign_sketch(
     embeddings: DataFrame,
     bands: int = 8,
@@ -441,9 +450,12 @@ def banded_sign_sketch(
     # partitions than cores (single-row-group files): the sketch is
     # compute-dense per row and would otherwise fold on one core. Skipped
     # when the source is already spread (e.g. contract.load) — a
-    # redundant full shuffle is pure cost at scale.
+    # redundant full shuffle is pure cost at scale. The partition count
+    # comes from the PHYSICAL plan (batch-only, like the localCheckpoint
+    # below), not df.rdd — .rdd re-translates the whole plan driver-side
+    # on every invocation just to read one int.
     sc = embeddings.sparkSession.sparkContext
-    if embeddings.rdd.getNumPartitions() < sc.defaultParallelism:
+    if _plan_partition_count(embeddings) < sc.defaultParallelism:
         embeddings = embeddings.repartition(sc.defaultParallelism)
     return (
         embeddings.withColumn("__vd", v)
