@@ -1096,6 +1096,7 @@ _ZORDER_KEY_SQL = _morton_key_sql(
     "identical in both engines. The layout effect (range filters on "
     "EITHER column touch a fraction of files) is proven by measured "
     "file-pruning in tests/test_layout.py.",
+    bench=True,
 )
 def orders_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     from batch_data_pipeline_exercise_spark.operators import layout
@@ -1124,6 +1125,7 @@ def orders_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     "is EXACT, so a plain COUNT(DISTINCT) oracle pins the whole "
     "slice→sketch→merge path; the slicing-invariance property is "
     "separately tested in tests/test_sketches.py.",
+    bench=True,
 )
 def user_reach_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     from batch_data_pipeline_exercise_spark.operators import sketches
