@@ -548,19 +548,46 @@ def priority_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_sketches",
-    oracle=None,  # HLL / KLL sketches are engine-private — rows-only check
-    doc="Approximate aggregates (approx_count_distinct HLL, "
-    "percentile_approx KLL-ish): sketch values are engine-specific by "
-    "nature, so this query is intentionally oracle-free (the driver "
-    "records a rows-only check; exact counterparts are "
-    "distinct_users_per_type and median_price_by_status).",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           TRUE AS hll_within_10pct,
+           TRUE AS kll_within_rank_band
+    FROM events GROUP BY event_type
+    """,
+    doc="Approximate aggregates (approx_count_distinct HLL++, "
+    "percentile_approx): raw sketch estimates are engine-private, so "
+    "the oracle-checkable surface is the TOLERANCE CONTRACT — the "
+    "query computes both the approximate and the exact aggregate and "
+    "returns the error assertions as booleans, which the oracle pins "
+    "to TRUE. Both sketches are deterministic for a given dataset "
+    "(HLL registers are order-independent max-merges; "
+    "percentile_approx's rank error stays <= ceil(n/accuracy) ranks "
+    "regardless of merge order, far inside the 45th-55th percentile "
+    "band asserted here), so an engine regression that drifts an "
+    "estimate out of tolerance turns the value-hash red. Exact "
+    "counterparts: distinct_users_per_type, median_price_by_status. "
+    "rsd=0.02 puts the 10% count band at 5 sigma.",
 )
 def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.percentile_approx("value", 0.5).alias("approx_median_value"),
+    agg = e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("__au"),
+        F.count_distinct("user_id").alias("__xu"),
+        F.percentile_approx("value", 0.5).alias("__am"),
+        F.expr("percentile(value, 0.45)").alias("__lo"),
+        F.expr("percentile(value, 0.55)").alias("__hi"),
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        (F.abs(F.col("__au") - F.col("__xu")) <= 0.10 * F.col("__xu")).alias("hll_within_10pct"),
+        # all-null value groups: both sides degenerate to null -> pass
+        (
+            (F.col("__am").isNull() & F.col("__lo").isNull())
+            | ((F.col("__am") >= F.col("__lo")) & (F.col("__am") <= F.col("__hi")))
+        ).alias("kll_within_rank_band"),
     )
 
 

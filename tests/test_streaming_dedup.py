@@ -85,3 +85,45 @@ def test_streaming_dedup_replay_is_idempotent(spark, dirs, tmp_path):
     q2.awaitTermination(120)
     assert wh.read("near_dup_pairs").count() == n_pairs
     assert wh.read("lsh_band_index").count() == n_index
+
+
+def test_streaming_equals_batch_on_real_drops(spark, dirs, sf_dir):
+    """streaming ≡ batch: folding the same three document drops through
+    the foreachBatch stream and through direct incremental_minhash_pairs
+    calls must leave IDENTICAL pair sets and band-key index contents —
+    the streaming wrapper adds delivery semantics, never different math.
+    Real sf0.001 documents, not toy strings."""
+    raw, wh_dir, ckpt = dirs
+    wh = Warehouse(spark, wh_dir)
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 150)
+    )
+
+    # batch twin: three increments through the operator directly
+    batch_pairs: set[tuple[int, int]] = set()
+    prior = None
+    for i in range(3):
+        inc = docs.filter(F.col("doc_id") % 3 == i)
+        pairs, prior = dedup.incremental_minhash_pairs(prior, inc, "doc_id")
+        prior = prior.localCheckpoint()
+        batch_pairs |= {(r["id1"], r["id2"]) for r in pairs.collect()}
+    batch_index = {
+        (r["id"], r["band"], r["band_key"]) for r in prior.collect()
+    }
+
+    # streaming side: same three increments as jsonl drops, one
+    # availableNow run each so every drop is its own micro-batch
+    rows = docs.collect()
+    for i in range(3):
+        _drop(raw, f"docs_{i:02d}.jsonl", [(r["doc_id"], r["text"]) for r in rows if r["doc_id"] % 3 == i])
+        q = dedup_stream.streaming_incremental_dedup(spark, raw, wh, ckpt)
+        q.awaitTermination(180)
+
+    stream_pairs = {(r["id1"], r["id2"]) for r in wh.read("near_dup_pairs").collect()}
+    stream_index = {
+        (r["id"], r["band"], r["band_key"]) for r in wh.read("lsh_band_index").collect()
+    }
+    assert stream_pairs == batch_pairs
+    assert stream_index == batch_index
