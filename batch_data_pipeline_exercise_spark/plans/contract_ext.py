@@ -23,7 +23,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from batch_data_pipeline_exercise_spark.operators import dedup, graph, multimodal, sampling, similarity, text
+from batch_data_pipeline_exercise_spark.operators import (
+    dedup,
+    graph,
+    multimodal,
+    ranking,
+    sampling,
+    similarity,
+    text,
+)
 from batch_data_pipeline_exercise_spark.plans.contract import load, register
 
 # ---------------------------------------------------------------------------
@@ -1216,3 +1224,144 @@ def doc_incremental_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     pairs, _updated = dedup.incremental_minhash_pairs(prior_keys, new_docs, "doc_id")
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# Training-set assembly: leakage-safe splits, semantic dedup, shard packing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_aware_split",
+    oracle="WITH RECURSIVE "
+    + _TOKS_CTE
+    + ", "
+    + _SHINGLES_CTE
+    + ", "
+    + _MH_WORDS
+    + ", "
+    + _MH_SIG
+    + ", "
+    + _CAND_CTE
+    + """,
+    sym AS (SELECT id1 AS a, id2 AS b FROM cand UNION SELECT id2, id1 FROM cand),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    clusters AS (
+      SELECT d.doc_id,
+             LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS cluster
+      FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+      GROUP BY d.doc_id
+    )
+    SELECT doc_id, cluster, """
+    + _split_case_sql(_sql_hash_uniform("cluster", "r5"), _SPLIT_WEIGHTS)
+    + """ AS split
+    FROM clusters
+    """,
+    doc="Leakage-safe train/val/test split: hash-split on the near-dup "
+    "CLUSTER id instead of the document id, so a document and its "
+    "near-duplicates always land in the same split — the eval-"
+    "contamination failure mode of naive per-doc splitting (a train "
+    "doc's near-copy in the test set) is structurally impossible. "
+    "Composition of doc_dup_clusters (LSH candidate graph, min-label "
+    "connected components) and with_hash_split; assignment is content-"
+    "addressed, so adding documents never moves an existing cluster "
+    "between splits unless clusters genuinely merge.",
+)
+def dedup_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(dedup.word_shingles(d, "doc_id", distinct=False), k=32)
+    cand = dedup.lsh_candidate_pairs(dedup.lsh_band_keys(sig, bands=8, rows=4))
+    clusters = graph.dedup_clusters(cand, d.select("doc_id"))
+    return sampling.with_hash_split(clusters, "cluster", _SPLIT_WEIGHTS, seed="r5").select(
+        "doc_id", "cluster", "split"
+    )
+
+
+@register(
+    "embedding_dedup_survivors",
+    oracle=f"""
+    WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    bk AS ({_banded_bk_sql()}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+      FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+    ),
+    ver AS (
+      SELECT id1, id2
+      FROM cand JOIN e ea ON ea.vec_id = cand.id1 JOIN e eb ON eb.vec_id = cand.id2
+      WHERE list_dot_product(ea.v, eb.v)
+            / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) >= 0.4
+    ),
+    sym AS (SELECT id1 AS a, id2 AS b FROM ver UNION SELECT id2, id1 FROM ver),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    clusters AS (
+      SELECT ee.vec_id,
+             LEAST(ee.vec_id, COALESCE(MIN(r.b), ee.vec_id)) AS cluster
+      FROM embeddings ee LEFT JOIN reach r ON r.a = ee.vec_id
+      GROUP BY ee.vec_id
+    )
+    SELECT cluster AS vec_id, CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM clusters GROUP BY cluster
+    """,
+    doc="Semantic dedup (SemDeDup-shaped): cluster embedding-space "
+    "near-dups (multi-band sign-LSH candidates, exact-cosine verify at "
+    "0.4) transitively and keep ONE representative per cluster — the "
+    "smallest vec_id — with the cluster size for provenance. The "
+    "embedding twin of corpus_prep_pipeline's text dedup stage: every "
+    "stage is bucketed (band equi joins), verification touches only "
+    "candidates, and the component loop iterates only edge-incident "
+    "vectors.",
+)
+def embedding_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_near_dup_pairs(
+        e, threshold=0.4, bands=_NEARDUP_BANDS, rows_per_band=_NEARDUP_ROWS, seed=42, dim=EMB_DIM
+    ).select("id1", "id2")
+    clusters = graph.dedup_clusters(pairs, e.select("vec_id"), id_col="vec_id")
+    return (
+        clusters.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .select(F.col("cluster").alias("vec_id"), "n_members")
+    )
+
+
+@register(
+    "training_shards",
+    oracle="""
+    WITH ranked AS (
+      SELECT n_chars,
+             NTILE(16) OVER (ORDER BY md5('r5§' || CAST(doc_id AS VARCHAR)), doc_id) AS shard
+      FROM documents
+    )
+    SELECT CAST(shard AS INTEGER) AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM ranked GROUP BY shard
+    """,
+    doc="Deterministic global shuffle + shard packing — the step between "
+    "corpus prep and the training loader: order by a content-addressed "
+    "shuffle key (md5 of seed+doc_id, reproducible across runs and "
+    "engines), cut into 16 equal shards with exact NTILE semantics, "
+    "report per-shard doc/char budgets. The global ordering runs "
+    "through operators/ranking.py's two-pass bucketed rank — no "
+    "single-partition window at any size; the oracle is the plain "
+    "NTILE the two-pass plan must reproduce exactly.",
+)
+def training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    key = F.md5(F.concat_ws("§", F.lit("r5"), F.col("doc_id").cast("string")))
+    sharded = ranking.with_global_ntile(
+        d.withColumn("__shuffle_key", key), ["__shuffle_key", "doc_id"], 16, out_col="shard"
+    )
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
