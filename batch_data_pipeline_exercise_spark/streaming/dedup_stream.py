@@ -83,3 +83,73 @@ def streaming_incremental_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space twin: streaming semantic near-dup fold
+# ---------------------------------------------------------------------------
+
+EMB_SCHEMA = "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+
+
+def stream_embeddings(spark: SparkSession, raw_dir: str) -> DataFrame:
+    """Streaming read of embedding JSONL drops (``vecs_*.jsonl``)."""
+    return (
+        spark.readStream.schema(EMB_SCHEMA)
+        .option("pathGlobFilter", "vecs_*.jsonl")
+        .json(raw_dir)
+    )
+
+
+def streaming_embedding_dedup(
+    spark: SparkSession,
+    raw_dir: str,
+    warehouse,
+    checkpoint_path: str,
+    dim: int,
+    index_table: str = "sign_sketch_index",
+    pairs_table: str = "embedding_near_dups",
+    threshold: float = 0.95,
+    bands: int = 8,
+    rows_per_band: int = 8,
+    seed: int = 42,
+):
+    """Start an availableNow stream folding embedding drops into the
+    verified near-dup pair table and the persisted sign-sketch index —
+    ``streaming_incremental_dedup``'s embedding-space twin, with the same
+    exactly-once-effect argument (checkpoint skips committed batches;
+    pair/index writes are anti-join idempotent, so crash replay
+    converges). Each micro-batch sketches ITS vectors only and probes
+    the stored index with band-key equi joins; history is never
+    re-folded. ``dim`` is required: inferring it would ``first()`` the
+    micro-batch, and an empty replay batch must stay a no-op."""
+    from batch_data_pipeline_exercise_spark.operators import similarity
+
+    vecs = stream_embeddings(spark, raw_dir)
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.dropDuplicates(["vec_id"])
+        prior = warehouse.read(index_table) if warehouse.exists(index_table) else None
+        if prior is not None:
+            batch = batch.join(
+                prior.select(F.col("id").alias("vec_id")).distinct(), "vec_id", "left_anti"
+            )
+        pairs, updated = similarity.incremental_embedding_pairs(
+            prior, batch, threshold, bands, rows_per_band, seed, "vec_id", "embedding", dim
+        )
+        pairs = pairs.withColumn("batch_id", F.lit(batch_id))
+        if warehouse.exists(pairs_table):
+            existing = warehouse.read(pairs_table).select("id1", "id2")
+            fresh = pairs.join(existing, ["id1", "id2"], "left_anti")
+            warehouse.append(fresh, pairs_table)
+        else:
+            warehouse.overwrite(pairs, pairs_table)
+        warehouse.overwrite(updated, index_table)
+
+    return (
+        vecs.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

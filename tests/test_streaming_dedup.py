@@ -127,3 +127,50 @@ def test_streaming_equals_batch_on_real_drops(spark, dirs, sf_dir):
     }
     assert stream_pairs == batch_pairs
     assert stream_index == batch_index
+
+
+def test_streaming_embedding_dedup_equals_batch(spark, dirs, tmp_path):
+    """Embedding-space streaming ≡ batch: the foreachBatch sign-sketch
+    fold over three real embedding drops must leave the same verified
+    pair set and index contents as direct incremental_embedding_pairs
+    calls on the same increments."""
+    from batch_data_pipeline_exercise_spark.operators import similarity
+
+    raw, wh_dir, ckpt = dirs
+    wh = Warehouse(spark, wh_dir)
+    embs = (
+        spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        .filter(F.col("vec_id") < 300)
+    )
+
+    batch_pairs: set[tuple[int, int]] = set()
+    prior = None
+    for i in range(3):
+        inc = embs.filter(F.col("vec_id") % 3 == i)
+        pairs, prior = similarity.incremental_embedding_pairs(
+            prior, inc, 0.4, 8, 8, 42, "vec_id", "embedding", 64
+        )
+        prior = prior.localCheckpoint()
+        batch_pairs |= {(r["id1"], r["id2"]) for r in pairs.collect()}
+    batch_index_ids = {r["id"] for r in prior.select("id").collect()}
+
+    rows = embs.collect()
+    for i in range(3):
+        with open(f"{raw}/vecs_{i:02d}.jsonl", "w") as f:
+            for r in rows:
+                if r["vec_id"] % 3 == i:
+                    f.write(json.dumps({"vec_id": r["vec_id"], "embedding": list(r["embedding"])}) + "\n")
+        q = dedup_stream.streaming_embedding_dedup(spark, raw, wh, ckpt, dim=64, threshold=0.4)
+        q.awaitTermination(180)
+
+    stream_pairs = {(r["id1"], r["id2"]) for r in wh.read("embedding_near_dups").collect()}
+    assert stream_pairs == batch_pairs
+    assert {r["id"] for r in wh.read("sign_sketch_index").collect()} == batch_index_ids
+    # replay with a fresh checkpoint: no duplicates, no index growth
+    q2 = dedup_stream.streaming_embedding_dedup(
+        spark, raw, wh, str(tmp_path / "ckpt2"), dim=64, threshold=0.4
+    )
+    q2.awaitTermination(180)
+    assert wh.read("embedding_near_dups").count() == len(stream_pairs)
+    assert wh.read("sign_sketch_index").select("id").count() == len(batch_index_ids)
