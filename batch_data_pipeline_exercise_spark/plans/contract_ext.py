@@ -474,10 +474,24 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # execution. Measured at sf0.1: wall time is a wash (7.6 → 7.8 s,
     # within jitter — literal-pattern Java regex ≈ UTF8String.replace),
     # but the stage stays inside WSCG with headroom for composition.
+    # Score ONCE, pin the scored rows, THEN filter. Filtering directly
+    # on the derived lang_pred/quality_score columns looks free but is
+    # not: predicate pushdown SUBSTITUTES the full 40-regex scorer
+    # trees into the Filter (evaluated again beyond the projection's
+    # copy), pushes that predicate through load()'s spreading exchange
+    # onto the single-row-group SCAN side (one core), and the
+    # re-inflated stage re-blows janino's 64 KB limit. Pinning the
+    # compiled scorer projection first makes the filter a plain column
+    # comparison: measured at sf0.1 the score+filter+window stage drops
+    # 3.0 s -> 0.8 s and every stage compiles (SCALE.md round-5). At
+    # cluster scale this pin is the natural "persist the quality
+    # scores" write between scoring and filtering.
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    scored = text.with_lang_id(text.with_quality_score(d))
+    scored = text.with_fingerprint(text.with_lang_id(text.with_quality_score(d)))
+    scored = scored.select(
+        "doc_id", "text", "quality_score", "n_tokens", "lang_pred", "fingerprint_norm"
+    ).localCheckpoint()
     kept0 = scored.filter((F.col("lang_pred") == "en") & (F.col("quality_score") >= 0.6))
-    kept0 = text.with_fingerprint(kept0)
     w = Window.partitionBy("fingerprint_norm")
     kept1 = kept0.withColumn("__m", F.min("doc_id").over(w)).filter(F.col("doc_id") == F.col("__m"))
     # Stage boundary: the survivor set feeds three consumers (near-dup
@@ -489,7 +503,8 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # coalesces the tiny-BYTES window shuffle to one partition, but the
     # downstream work is compute-dense per row (shingling, 32-way
     # hashing) — checkpointing single-partition would serialize it all
-    # onto one core.
+    # onto one core (measured: 7.8 s -> 13.8 s when a pin briefly
+    # captured the coalesced layout).
     # prune to the three columns the dedup/cluster/output stages touch
     # before materializing — the stat/marker/fingerprint intermediates
     # would otherwise be serialized into the checkpoint for nothing
