@@ -1348,3 +1348,36 @@ def click_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         fmt_ts("click_ts").alias("click_ts"),
         fmt_ts("purchase_ts").alias("purchase_ts"),
     )
+
+
+@register(
+    "customer_balance_ranks",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           RANK() OVER w AS bal_rank,
+           DENSE_RANK() OVER w AS bal_dense_rank,
+           CAST(PERCENT_RANK() OVER w AS DOUBLE) AS bal_pct_rank,
+           CAST(CUME_DIST() OVER w AS DOUBLE) AS bal_cume_dist
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    """,
+    doc="Ranking-function breadth (SURVEY §2.5): rank / dense_rank / "
+    "percent_rank / cume_dist in one partitioned window pass — the "
+    "within-group leaderboard shape. All four share a single Window "
+    "spec, so Spark plans ONE sort+window operator; percent_rank and "
+    "cume_dist are exact small rationals ((rank-1)/(n-1), n_le/n) with "
+    "identical operand order in both engines, so doubles match "
+    "bit-for-bit. Partitioned by nation — never an unpartitioned "
+    "global window.",
+)
+def customer_balance_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.rank().over(w).alias("bal_rank"),
+        F.dense_rank().over(w).alias("bal_dense_rank"),
+        F.percent_rank().over(w).cast("double").alias("bal_pct_rank"),
+        F.cume_dist().over(w).cast("double").alias("bal_cume_dist"),
+    )
