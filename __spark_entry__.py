@@ -32,7 +32,9 @@ def entry(spark: SparkSession) -> DataFrame:
     return contract.REGISTRY["revenue_by_region_quarter"].fn(spark, "/root/testdata/sf0.001")
 
 
-def _driver_evidence() -> tuple[dict[str, int], dict[str, bool], dict[str, int]]:
+def _driver_evidence(
+    evidence_dir: str | None = None,
+) -> tuple[dict[str, int], dict[str, bool], dict[str, int]]:
     """Per-query green-verdict counts and latest-verdict-red flags.
 
     The driver's CORRECTNESS window covers only the first ~50 entries of
@@ -49,9 +51,8 @@ def _driver_evidence() -> tuple[dict[str, int], dict[str, bool], dict[str, int]]
     counts: dict[str, int] = {}
     latest_red: dict[str, bool] = {}
     last_round: dict[str, int] = {}
-    for rnd, p in enumerate(
-        sorted(Path(__file__).resolve().parent.glob("CORRECTNESS_r*.json")), start=1
-    ):
+    root = Path(evidence_dir) if evidence_dir else Path(__file__).resolve().parent
+    for rnd, p in enumerate(sorted(root.glob("CORRECTNESS_r*.json")), start=1):
         try:
             rows = json.loads(p.read_text())
         except (OSError, ValueError):
@@ -74,8 +75,8 @@ def _driver_evidence() -> tuple[dict[str, int], dict[str, bool], dict[str, int]]
     return counts, latest_red, last_round
 
 
-def _evidence_order(names: list[str]) -> list[str]:
-    counts, latest_red, last_round = _driver_evidence()
+def _evidence_order(names: list[str], evidence_dir: str | None = None) -> list[str]:
+    counts, latest_red, last_round = _driver_evidence(evidence_dir)
     # tier 0: latest driver verdict red (fixed code awaiting its green row)
     # tier 1: everything else, never-checked (-1) before fewest-green;
     # ties broken by staleness (oldest last-checked round first) so the
