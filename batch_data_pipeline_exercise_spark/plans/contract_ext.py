@@ -1380,3 +1380,51 @@ def training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+@register(
+    "doc_unigram_fluency",
+    oracle=f"""
+    WITH {_toks_cte()},
+    occ AS (SELECT doc_id, u.t AS token FROM toks, UNNEST(tk) AS u(t) WHERE length(u.t) > 0),
+    freq AS (SELECT token, COUNT(*) AS f FROM occ GROUP BY token),
+    tot AS (SELECT COUNT(*) AS total FROM occ),
+    ds AS (
+      SELECT doc_id, CAST(SUM(f) AS BIGINT) AS s, COUNT(*) AS n
+      FROM occ JOIN freq USING (token) GROUP BY doc_id
+    )
+    SELECT doc_id,
+           n AS n_tokens,
+           CAST(s AS DOUBLE) / CAST(n * total AS DOUBLE) AS fluency
+    FROM ds, tot
+    """,
+    doc="Unigram language-model fluency proxy: a document's mean corpus "
+    "unigram probability — sum of its tokens' corpus frequencies over "
+    "(doc tokens x corpus tokens). The classic cheap perplexity stand-"
+    "in for corpus quality filtering, computed with EXACT integer "
+    "arithmetic (one double division of two bigints at the end) so the "
+    "score hashes identically cross-engine — no logs, no float "
+    "accumulation order. Plan: explode -> token hash agg (the vocab "
+    "table) -> hash join back on token -> per-doc agg; the corpus "
+    "total rides in on a broadcast one-row stamp, never a collect.",
+)
+def doc_unigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    occ = d.select("doc_id", F.explode(text.tokenize()).alias("token")).filter(
+        F.length("token") > 0
+    )
+    freq = occ.groupBy("token").agg(F.count(F.lit(1)).alias("f"))
+    # one-row corpus total, attached via an always-zero-key broadcast
+    # join (the _stamp_global shape from contract3) — no driver collect
+    tot = freq.agg(F.sum("f").alias("total")).withColumn("__z", F.lit(0))
+    ds = (
+        occ.join(freq, "token")
+        .groupBy("doc_id")
+        .agg(F.sum("f").alias("s"), F.count(F.lit(1)).alias("n"))
+        .withColumn("__z", F.lit(0))
+    )
+    return ds.join(F.broadcast(tot), "__z").select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        (F.col("s").cast("double") / (F.col("n") * F.col("total")).cast("double")).alias("fluency"),
+    )
