@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from batch_data_pipeline_exercise_spark import schemas
+from batch_data_pipeline_exercise_spark.operators import sketches
 from batch_data_pipeline_exercise_spark.operators.facts import idempotent_append_rows
 from batch_data_pipeline_exercise_spark.operators.scd2 import scd2_from_events, scd2_snapshot_merge
 from batch_data_pipeline_exercise_spark.plans.dates import build_dim_dates
@@ -138,7 +139,12 @@ class Pipeline:
     #: append-heavy tables that accumulate small files batch over batch
     MAINTAINED_TABLES = ("fact_orders_created", "fact_inventory", "dim_products", "dim_orders")
 
-    def maintain(self, max_files_per_partition: int = 8) -> list[str]:
+    def maintain(
+        self,
+        max_files_per_partition: int = 8,
+        sketch_tables: dict[str, list[str]] | None = None,
+        max_sketch_rows_per_group: int = 64,
+    ) -> list[str]:
         """Nightly-cadence table maintenance — the parquet-native
         OPTIMIZE + ANALYZE. A table qualifies for compaction when its
         data-file count exceeds ``max_files_per_partition`` x its leaf
@@ -160,5 +166,14 @@ class Pipeline:
             if self.wh.file_count(table) > budget:
                 self.wh.compact(table)
                 self.wh.analyze(table)
+                compacted.append(table)
+        # mergeable-sketch tables ride the same cadence: when a group has
+        # accumulated more than ``max_sketch_rows_per_group`` increment
+        # rows, merge them into one (answers provably unchanged — see
+        # operators/sketches.py and its tests)
+        for table, group_cols in (sketch_tables or {}).items():
+            if sketches.compact_sketch_table(
+                self.wh, table, group_cols, max_rows_per_group=max_sketch_rows_per_group
+            ):
                 compacted.append(table)
         return compacted

@@ -165,3 +165,35 @@ def test_compact_sketch_table_gate(spark, sf_dir, tmp_path):
     assert after == before
     # missing table is a clean no-op
     assert sketches.compact_sketch_table(wh, "nope", ["event_type"]) is False
+
+
+def test_pipeline_maintain_compacts_sketch_tables(spark, sf_dir, tmp_path):
+    """Pipeline.maintain folds sketch-table compaction into its nightly
+    cadence: over-budget sketch tables are rewritten to one row per
+    group, under-budget ones untouched."""
+    from batch_data_pipeline_exercise_spark.plans.pipeline import Pipeline
+
+    pl = Pipeline(spark, str(tmp_path))
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    for i in range(4):
+        pl.wh.append(
+            sketches.build_distinct_sketches(
+                e.filter(F.col("event_id") % 4 == i), ["event_type"], "user_id"
+            ),
+            "sketch_user_reach",
+        )
+    before = {
+        (r["event_type"],): r["n_distinct"]
+        for r in sketches.merge_distinct_counts(pl.wh.read("sketch_user_reach"), ["event_type"]).collect()
+    }
+    done = pl.maintain(sketch_tables={"sketch_user_reach": ["event_type"]}, max_sketch_rows_per_group=2)
+    assert "sketch_user_reach" in done
+    t = pl.wh.read("sketch_user_reach")
+    assert t.groupBy("event_type").count().agg(F.max("count")).collect()[0][0] == 1
+    after = {
+        (r["event_type"],): r["n_distinct"]
+        for r in sketches.merge_distinct_counts(t, ["event_type"]).collect()
+    }
+    assert after == before
+    # second call: under budget now, nothing to do
+    assert pl.maintain(sketch_tables={"sketch_user_reach": ["event_type"]}, max_sketch_rows_per_group=2) == []
