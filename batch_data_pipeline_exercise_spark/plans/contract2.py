@@ -1381,3 +1381,94 @@ def customer_balance_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).cast("double").alias("bal_pct_rank"),
         F.cume_dist().over(w).cast("double").alias("bal_cume_dist"),
     )
+
+
+@register(
+    "user_retention_cohorts",
+    oracle="""
+    WITH m AS (
+      SELECT user_id, CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+      FROM events
+    ),
+    cohort AS (SELECT user_id, MIN(d) AS c FROM m GROUP BY user_id),
+    act AS (SELECT DISTINCT user_id, d FROM m)
+    SELECT strftime(DATE '1970-01-01' + CAST(c AS INTEGER), '%Y-%m-%d') AS cohort_date,
+           CAST(d - c AS INTEGER) AS days_since,
+           COUNT(DISTINCT a.user_id) AS n_users
+    FROM act a JOIN cohort USING (user_id)
+    GROUP BY c, d - c
+    """,
+    doc="Daily retention cohorts: cohort = day of a user's first event, "
+    "retention cell = distinct users active N days later (day "
+    "granularity because the synthetic event log spans one month). "
+    "Day arithmetic is integer epoch-days, so cells hash identically "
+    "cross-engine. Plan: one narrow per-user min aggregate, one "
+    "distinct, one hash join on user_id, one counting aggregate — "
+    "every step key-partitioned, nothing global.",
+)
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    m = e.select("user_id", F.unix_date(F.col("ts").cast("date")).cast("bigint").alias("d"))
+    cohort = m.groupBy("user_id").agg(F.min("d").alias("c"))
+    act = m.distinct()
+    return (
+        act.join(cohort, "user_id")
+        .groupBy("c", (F.col("d") - F.col("c")).alias("days_since"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .select(
+            F.date_format(F.date_from_unix_date(F.col("c").cast("int")), "yyyy-MM-dd").alias("cohort_date"),
+            F.col("days_since").cast("int").alias("days_since"),
+            "n_users",
+        )
+    )
+
+
+@register(
+    "signup_purchase_funnel",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS ts FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS ts
+      FROM events e JOIN s ON s.user_id = e.user_id AND e.ts >= s.ts
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS ts
+      FROM events e JOIN c ON c.user_id = e.user_id AND e.ts >= c.ts
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT * FROM (
+      SELECT 'signup' AS step, COUNT(*) AS n_users FROM s
+      UNION ALL SELECT 'click_after_signup', COUNT(*) FROM c
+      UNION ALL SELECT 'purchase_after_click', COUNT(*) FROM p
+    )
+    """,
+    doc="Ordered three-step funnel (signup -> first click at-or-after "
+    "signup -> first purchase at-or-after that click), exact stepwise "
+    "semantics — NOT the min(ts) shortcut, which overcounts users whose "
+    "only purchase precedes their first post-signup click. Each step is "
+    "a per-user min aggregate plus one user-keyed hash join; timestamps "
+    "compare at microsecond exactness in both engines.",
+)
+def signup_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+
+    def first_at_or_after(etype: str, prev: DataFrame | None) -> DataFrame:
+        step = e.filter(F.col("event_type") == etype)
+        if prev is not None:
+            step = step.alias("e").join(
+                prev.select(F.col("user_id"), F.col("ts").alias("__prev")), "user_id"
+            ).filter(F.col("ts") >= F.col("__prev"))
+        return step.groupBy("user_id").agg(F.min("ts").alias("ts"))
+
+    s = first_at_or_after("signup", None)
+    c = first_at_or_after("click", s)
+    p = first_at_or_after("purchase", c)
+    rows = [("signup", s), ("click_after_signup", c), ("purchase_after_click", p)]
+    out = None
+    for name, df in rows:
+        one = df.agg(F.count(F.lit(1)).alias("n_users")).select(F.lit(name).alias("step"), "n_users")
+        out = one if out is None else out.unionByName(one)
+    return out
