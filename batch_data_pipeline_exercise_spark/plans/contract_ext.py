@@ -1431,3 +1431,43 @@ def doc_unigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_tokens"),
         (F.col("s").cast("double") / (F.col("n") * F.col("total")).cast("double")).alias("fluency"),
     )
+
+
+@register(
+    "doc_ngram_jaccard_pairs",
+    oracle="WITH "
+    + _TOKS_CTE
+    + ", "
+    + _SHINGLES_CTE
+    + """,
+    cand AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.id1, c.id2, COUNT(*) AS ni
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id1
+      JOIN sh b ON b.doc_id = c.id2 AND b.s = a.s
+      GROUP BY c.id1, c.id2
+    )
+    SELECT i.id1, i.id2, i.ni / (c1.n + c2.n - i.ni) AS jaccard
+    FROM inter i
+    JOIN counts c1 ON c1.doc_id = i.id1
+    JOIN counts c2 ON c2.doc_id = i.id2
+    WHERE i.ni / (c1.n + c2.n - i.ni) >= 0.5
+    """,
+    doc="Exact all-pairs word-trigram Jaccard (dedup.ngram_jaccard_pairs "
+    "at its defaults): candidate pairs are docs sharing at least one "
+    "shingle (an equi self-join on the shingle key — never a cartesian "
+    "product), verified by exact set Jaccard >= 0.5. The EXACT baseline "
+    "the MinHash-LSH path approximates — intentionally quadratic in "
+    "per-shingle co-occurrence, the verification / small-corpus tool; "
+    "minhash_near_dups is the scale path. The jaccard double is one "
+    "division of identical integer counts, bit-equal cross-engine.",
+)
+def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(d, "doc_id", n=3, threshold=0.5).select("id1", "id2", "jaccard")
