@@ -31,29 +31,42 @@ def as_of_join(
     tie_break: str | None = None,
     strict: bool = False,
     tolerance: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Left as-of-backward join.
+    """Left as-of join, backward (default) or forward.
 
-    Every ``left`` row is returned, augmented with the value columns of the
-    latest ``right`` row having equal ``on`` keys and
-    ``right_ts <= left_ts`` (``<`` when ``strict=True``); NULLs when no
-    such row exists. Right value columns are prefixed ``right_prefix``.
+    Every ``left`` row is returned, augmented with the value columns of
+    the matching ``right`` row — backward: the LATEST right with equal
+    ``on`` keys and ``right_ts <= left_ts``; forward: the EARLIEST right
+    with ``right_ts >= left_ts`` (strict flips ``<=``/``>=`` to strict
+    inequality). NULLs when no match exists. Right value columns are
+    prefixed ``right_prefix``.
 
-    ``tie_break``: orders right rows with equal timestamps — the greatest
-    value wins — keeping results deterministic under duplicate timestamps.
+    ``tie_break``: orders right rows with equal timestamps — backward the
+    greatest value wins, forward the smallest (i.e. the row "nearest"
+    past the boundary in scan order) — keeping results deterministic
+    under duplicate timestamps.
 
     ``tolerance`` (e.g. ``"1 hour"``) bounds match staleness: a right row
-    older than ``left_ts - tolerance`` is treated as no match (NULLs) —
+    further than ``tolerance`` from ``left_ts`` (older for backward,
+    newer for forward) is treated as no match (NULLs) —
     ``pd.merge_asof(tolerance=...)`` semantics. Implemented as a mask on
     the carried-forward row, so the plan is unchanged: still one shuffle,
     one window, no range join.
+
+    Forward is the SAME union+window plan scanned in reverse: order the
+    per-key window by ``ts`` descending (ties likewise reversed) and the
+    "last seen right" becomes the next right at-or-after the left row —
+    still one hash shuffle + one sort, no per-key blowup.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     keys = [on] if isinstance(on, str) else list(on)
     lcols = left.columns
     rvals = [c for c in right.columns if c not in keys]
 
-    # At equal ts a right row sorts before a left row for inclusive (<=)
-    # semantics — the left row "sees" it; flipped when strict (<).
+    # At equal ts a right row sorts before a left row for inclusive
+    # semantics — the left row "sees" it; flipped when strict.
     r_side, l_side = (0, 1) if not strict else (1, 0)
 
     rtagged = right.select(
@@ -73,9 +86,15 @@ def as_of_join(
         F.struct(*[F.col(c) for c in lcols]).alias("__l"),
     )
 
+    if direction == "backward":
+        order = [F.col("__ts").asc(), F.col("__side").asc(), F.col("__tie").asc()]
+    else:
+        # reverse scan: among equal-ts rights the LAST seen must be the
+        # smallest tie value, so ties sort descending too
+        order = [F.col("__ts").desc(), F.col("__side").asc(), F.col("__tie").desc()]
     w = (
         Window.partitionBy(*keys)
-        .orderBy("__ts", "__side", "__tie")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     unioned = rtagged.unionByName(ltagged).withColumn("__last_r", F.last("__r", ignorenulls=True).over(w))
@@ -83,10 +102,13 @@ def as_of_join(
         unioned = unioned.withColumn(
             "__last_ts",
             F.last(F.when(F.col("__r").isNotNull(), F.col("__ts")), ignorenulls=True).over(w),
-        ).withColumn(
-            "__last_r",
-            F.when(F.col("__last_ts") >= F.col("__ts") - F.expr(f"INTERVAL {tolerance}"), F.col("__last_r")),
         )
+        in_range = (
+            F.col("__last_ts") >= F.col("__ts") - F.expr(f"INTERVAL {tolerance}")
+            if direction == "backward"
+            else F.col("__last_ts") <= F.col("__ts") + F.expr(f"INTERVAL {tolerance}")
+        )
+        unioned = unioned.withColumn("__last_r", F.when(in_range, F.col("__last_r")))
 
     out = unioned.filter(F.col("__l").isNotNull()).select(
         *[F.col("__l").getField(c).alias(c) for c in lcols],

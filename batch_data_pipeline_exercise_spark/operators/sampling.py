@@ -127,6 +127,85 @@ def assign_packing_bins(
     return df.withColumn(out_col, F.floor((run - F.col(size_col)) / F.lit(budget)).cast("bigint"))
 
 
+def weighted_priority_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    key_col: str,
+    weight_col: str,
+    k: int,
+    seed: str = "",
+    priority_col: str | None = None,
+) -> DataFrame:
+    """Sequential Poisson (pps) sampling: EXACTLY ``k`` rows per stratum,
+    inclusion probability proportional to ``weight_col`` — Ohlsson's
+    order-sampling scheme (rank each row by ξ = u/w for uniform u, keep
+    the k smallest), the standard fixed-size probability-proportional-
+    to-size design. In an LLM pipeline: sample documents ∝ length/score
+    with a hard per-stratum quota.
+
+    Determinism: u is the key's 33-bit odd hash numerator, and
+    ξ = (2h+1) / (2³⁴·w) — the numerator and denominator are EXACT
+    bigints (w must be a positive integer ≤ ~2²⁸), so ξ is ONE IEEE
+    double division, bit-identical in every engine; ordering ties break
+    on the key. Same shape as ``stratified_sample_topk``: one
+    partitioned ranking window, no global sort.
+    """
+    h = F.conv(F.substring(F.md5(F.concat_ws("§", F.lit(seed), F.col(key_col).cast("string"))), 1, 8), 16, 10).cast("bigint")
+    xi = (h * 2 + 1) / (F.col(weight_col).cast("bigint") * F.lit(2 ** 34))
+    w = Window.partitionBy(*strata_cols).orderBy(
+        F.col("__xi").asc_nulls_last(), F.col(key_col).asc_nulls_last()
+    )
+    out = (
+        df.withColumn("__xi", xi)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+    if priority_col:
+        return out.withColumnRenamed("__xi", priority_col)
+    return out.drop("__xi")
+
+
+def token_budget_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    size_col: str,
+    budget: int,
+    key_col: str,
+    seed: str = "",
+    cum_col: str | None = None,
+) -> DataFrame:
+    """Greedy per-group token-budget selection: walk each group's rows in
+    hash order (an unbiased, reproducible shuffle) and keep rows while
+    the budget lasts — the "give every source at most B tokens" mixture
+    primitive, dual of ``temperature_mixture_sample`` (rates) and
+    ``weighted_priority_sample`` (quotas by count).
+
+    A row is kept iff the running ``size_col`` total BEFORE it is below
+    ``budget`` — so selection is a pure integer cumulative-sum
+    comparison (exact everywhere), the first row of an over-budget group
+    is still kept (a document longer than the budget yields that one
+    document, not zero), and total kept size < budget + max_row_size.
+    One partitioned window ordered by (hash, key); no global state.
+    """
+    u = hash_uniform(F.col(key_col), seed)
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col("__u").asc_nulls_last(), F.col(key_col).asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = F.sum(F.col(size_col).cast("bigint")).over(w)
+    out = (
+        df.withColumn("__u", u)
+        .withColumn("__cum", run)
+        .filter(F.col("__cum") - F.col(size_col) < budget)
+        .drop("__u")
+    )
+    if cum_col:
+        return out.withColumnRenamed("__cum", cum_col)
+    return out.drop("__cum")
+
+
 def temperature_mixture_sample(
     df: DataFrame,
     group_cols: list[str],

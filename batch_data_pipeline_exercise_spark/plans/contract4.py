@@ -1,0 +1,469 @@
+"""Fourth breadth batch of driver-contract queries — robust statistics
+(winsorized means, trailing anomaly flags, group imputation), interval
+coalescing, forward as-of joins, weighted / budgeted corpus sampling,
+text normalization, histogramming, and percent-of-total contribution.
+
+Same cross-engine determinism rules as ``contract.py``: decimals for
+money, discrete (selected-not-computed) percentiles, integer arithmetic
+for every decision boundary, formatted-timestamp outputs, alias
+everything.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from batch_data_pipeline_exercise_spark.operators.asof import as_of_join
+from batch_data_pipeline_exercise_spark.operators.intervals import coalesce_intervals
+from batch_data_pipeline_exercise_spark.operators.robust import (
+    impute_by_group,
+    trailing_count_anomalies,
+    winsorize,
+)
+from batch_data_pipeline_exercise_spark.operators.sampling import (
+    token_budget_sample,
+    weighted_priority_sample,
+)
+from batch_data_pipeline_exercise_spark.plans.contract import dec, fmt_ts, load, register
+
+# ---------------------------------------------------------------------------
+# Robust statistics (cleaning passes)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "trimmed_order_stats",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                ORDER BY CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+      FROM orders
+    ), r AS (
+      SELECT *, (n*5+99)//100 AS lo_rank, (n*95+99)//100 AS hi_rank FROM b
+    ), q AS (
+      SELECT *,
+             MAX(CASE WHEN rn = lo_rank THEN p END) OVER (PARTITION BY o_orderstatus) AS p_lo,
+             MAX(CASE WHEN rn = hi_rank THEN p END) OVER (PARTITION BY o_orderstatus) AS p_hi
+      FROM r
+    )
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           CAST(MAX(p_lo) AS DOUBLE) AS p05,
+           CAST(MAX(p_hi) AS DOUBLE) AS p95,
+           CAST(SUM(CASE WHEN p < p_lo THEN p_lo WHEN p > p_hi THEN p_hi ELSE p END) AS DOUBLE)
+             / COUNT(*) AS winsorized_mean,
+           CAST(SUM(p) AS DOUBLE) / COUNT(*) AS raw_mean
+    FROM q GROUP BY o_orderstatus
+    """,
+    doc="Winsorized mean per order status: per-group discrete p05/p95 "
+    "(the value AT rank ceil(p*n) — selected, never interpolated, so "
+    "cross-engine exact) clamp the fat tails before averaging. One "
+    "shuffle on status; ranking window + two unordered windows share "
+    "the partitioning; decimal sums make the means bit-stable.",
+)
+def trimmed_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", dec("o_totalprice").alias("p")
+    )
+    wz = winsorize(o, "p", ["o_orderstatus"], "o_orderkey", 5, 95, out_col="wp")
+    return wz.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.max("__p_lo").cast("double").alias("p05"),
+        F.max("__p_hi").cast("double").alias("p95"),
+        (F.sum("wp").cast("double") / F.count(F.lit(1))).alias("winsorized_mean"),
+        (F.sum("p").cast("double") / F.count(F.lit(1))).alias("raw_mean"),
+    )
+
+
+@register(
+    "daily_event_anomaly_flags",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+             COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ), t AS (
+      SELECT *, COUNT(cnt) OVER w AS k, SUM(cnt) OVER w AS m, SUM(cnt*cnt) OVER w AS s2
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY d ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type,
+           strftime(DATE '1970-01-01' + CAST(d AS INTEGER), '%Y-%m-%d') AS day,
+           cnt, k AS trailing_n, CAST(m AS BIGINT) AS trailing_sum,
+           COALESCE(k >= 3 AND (k*cnt - m)*(k*cnt - m) > 9*(k*s2 - m*m), FALSE) AS is_anomaly
+    FROM t
+    """,
+    doc="Daily ingestion-volume canary: flag a day whose event count "
+    "deviates >3 trailing sigmas from the prior 7 days (current day "
+    "excluded from its own baseline). The test is the pure-integer "
+    "inequality (k*x-m)^2 > 9*(k*s2-m^2) — no float ever enters the "
+    "decision, so the flag is bit-stable in any engine. Input to the "
+    "window is already the tiny daily aggregate.",
+)
+def daily_event_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.unix_date(F.col("ts").cast("date")).cast("bigint").alias("d")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    out = trailing_count_anomalies(daily, ["event_type"], "d", "cnt", window=7, z=3, min_points=3)
+    return out.select(
+        "event_type",
+        F.date_format(F.date_from_unix_date(F.col("d").cast("int")), "yyyy-MM-dd").alias("day"),
+        "cnt",
+        "trailing_n",
+        "trailing_sum",
+        "is_anomaly",
+    )
+
+
+@register(
+    "imputed_event_values",
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN event_type <> 'error'
+                           THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+             / COUNT(CASE WHEN event_type <> 'error' THEN 1 END) AS grp_mean
+      FROM events GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id, e.event_type,
+           CASE WHEN e.event_type = 'error' THEN s.grp_mean
+                ELSE CAST(e.value AS DOUBLE) END AS value_clean,
+           e.event_type = 'error' AS was_imputed
+    FROM events e LEFT JOIN s USING (user_id)
+    """,
+    doc="Mean-imputation cleaning pass: 'error' events carry garbage "
+    "values by convention, so replace them with the user's mean over "
+    "clean events (decimal-exact sum, one double division). Plan: one "
+    "conditional aggregate on user_id joined back on the same key — "
+    "stats side NOT force-broadcast (user domain scales with the fact "
+    "table; AQE promotes small sides at runtime).",
+)
+def imputed_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    out = impute_by_group(
+        e,
+        "value",
+        ["user_id"],
+        missing=F.col("event_type") == "error",
+        out_col="value_clean",
+        flag_col="was_imputed",
+    )
+    return out.select("event_id", "user_id", "event_type", "value_clean", "was_imputed")
+
+
+# ---------------------------------------------------------------------------
+# Interval coalescing + forward as-of
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "user_activity_spans",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id, ts AS s, ts + INTERVAL 30 MINUTE AS e FROM events
+    ), f AS (
+      SELECT *, MAX(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+      FROM iv
+    ), g AS (
+      SELECT *, CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS brk FROM f
+    ), h AS (
+      SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM g
+    )
+    SELECT user_id,
+           strftime(MIN(s), '%Y-%m-%d %H:%M:%S.%f') AS span_start,
+           strftime(MAX(e), '%Y-%m-%d %H:%M:%S.%f') AS span_end,
+           COUNT(*) AS n_events
+    FROM h GROUP BY user_id, island
+    """,
+    doc="Interval coalescing (gaps-and-islands): pad every event to a "
+    "30-minute activity interval, merge each user's overlapping spans "
+    "into maximal ones via the running-max-end break flag — ONE hash "
+    "shuffle + one sort, never the quadratic overlap self-join. The "
+    "operator under session repair, SCD2 interval healing, and "
+    "availability rollups.",
+)
+def user_activity_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    iv = e.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTE")).alias("e"),
+    )
+    spans = coalesce_intervals(iv, ["user_id"], "s", "e", "event_id")
+    return spans.select(
+        "user_id",
+        fmt_ts("span_start").alias("span_start"),
+        fmt_ts("span_end").alias("span_end"),
+        F.col("n_intervals").alias("n_events"),
+    )
+
+
+@register(
+    "next_click_after_purchase",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS purchase_event_id, user_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT event_id AS click_event_id, user_id, ts AS c_ts
+      FROM events WHERE event_type = 'click'
+    ), j AS (
+      SELECT p.user_id, p.purchase_event_id, p.p_ts, c.click_event_id, c.c_ts,
+             ROW_NUMBER() OVER (PARTITION BY p.purchase_event_id
+                                ORDER BY c.c_ts, c.click_event_id) AS rn
+      FROM p LEFT JOIN c
+        ON c.user_id = p.user_id AND c.c_ts >= p.p_ts
+       AND c.c_ts <= p.p_ts + INTERVAL 2 HOUR
+    )
+    SELECT user_id, purchase_event_id,
+           strftime(p_ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+           click_event_id,
+           strftime(c_ts, '%Y-%m-%d %H:%M:%S.%f') AS next_click_ts
+    FROM j WHERE rn = 1
+    """,
+    doc="FORWARD as-of join with tolerance: for each purchase, the "
+    "earliest same-user click at-or-after it, NULL if none lands "
+    "within 2 hours (post-conversion behavior tracking). Same "
+    "union+window plan as backward as-of scanned in reverse — one "
+    "shuffle on user_id, one sort, no per-key cross product; the "
+    "oracle's LEFT JOIN + rn=1 is the quadratic spec it replaces.",
+)
+def next_click_after_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    left = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_event_id"), F.col("ts").alias("p_ts")
+    )
+    right = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_event_id"), F.col("ts").alias("c_ts")
+    )
+    out = as_of_join(
+        left,
+        right,
+        on="user_id",
+        left_ts="p_ts",
+        right_ts="c_ts",
+        tie_break="click_event_id",
+        direction="forward",
+        tolerance="2 hours",
+    )
+    return out.select(
+        "user_id",
+        "purchase_event_id",
+        fmt_ts("p_ts").alias("purchase_ts"),
+        "click_event_id",
+        fmt_ts("c_ts").alias("next_click_ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus sampling: weighted quotas + token budgets
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_weighted_sample",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, lang, n_chars,
+             CAST(('0x' || substr(md5('wpps§' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+      FROM documents
+    ), x AS (
+      SELECT doc_id, lang, n_chars,
+             CAST(2*h + 1 AS DOUBLE) / (n_chars * 17179869184) AS xi
+      FROM b
+    ), r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY xi, doc_id) AS rn FROM x
+    )
+    SELECT doc_id, lang, n_chars, xi FROM r WHERE rn <= 40
+    """,
+    doc="Sequential Poisson (pps) sampling: 40 docs per language with "
+    "inclusion probability proportional to length — Ohlsson's "
+    "order-sampling design (rank by xi = u/weight, keep the smallest). "
+    "xi is ONE IEEE division of two exact bigints (33-bit odd hash "
+    "numerator over weight<<34), bit-identical cross-engine. One "
+    "partitioned ranking window; no global sort.",
+)
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    out = weighted_priority_sample(
+        d, ["lang"], "doc_id", "n_chars", k=40, seed="wpps", priority_col="xi"
+    )
+    return out.select("doc_id", "lang", "n_chars", "xi")
+
+
+@register(
+    "corpus_token_budget_sample",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, source, n_chars,
+             CAST(('0x' || substr(md5('budget§' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             / 4294967296.0 AS u
+      FROM documents
+    ), r AS (
+      SELECT doc_id, source, n_chars,
+             CAST(SUM(n_chars) OVER (PARTITION BY source ORDER BY u, doc_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_chars
+      FROM b
+    )
+    SELECT doc_id, source, n_chars, cum_chars FROM r WHERE cum_chars - n_chars < 3000
+    """,
+    doc="Per-source token-budget mixture: walk each source's docs in "
+    "deterministic hash order (an unbiased reproducible shuffle) and "
+    "keep rows while the cumulative size stays under 3000 chars — the "
+    "'at most B tokens per source' primitive, dual of temperature "
+    "sampling. Selection is an exact integer cumsum comparison; one "
+    "partitioned window.",
+)
+def corpus_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    out = token_budget_sample(
+        d, ["source"], "n_chars", budget=3000, key_col="doc_id", seed="budget", cum_col="cum_chars"
+    )
+    return out.select("doc_id", "source", "n_chars", "cum_chars")
+
+
+# ---------------------------------------------------------------------------
+# Text normalization
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_normalized_text",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+      FROM documents
+    )
+    SELECT doc_id, md5(norm) AS fingerprint,
+           length(norm) AS norm_chars,
+           CASE WHEN norm = '' THEN 0
+                ELSE length(norm) - length(replace(norm, ' ', '')) + 1 END AS n_tokens
+    FROM n
+    """,
+    doc="Canonical text normalization (the pass before exact dedup / "
+    "fingerprinting): lowercase, collapse every non-alphanumeric run "
+    "to one space, trim; emit the md5 fingerprint of the canonical "
+    "form plus token/char counts via pure length arithmetic (split() "
+    "edge-cases on empty strings differ between engines; subtraction "
+    "doesn't). Narrow JVM-side projection — no shuffle at all.",
+)
+def doc_normalized_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
+    n = d.select("doc_id", norm.alias("norm"))
+    return n.select(
+        "doc_id",
+        F.md5("norm").alias("fingerprint"),
+        F.length("norm").cast("bigint").alias("norm_chars"),
+        F.when(F.col("norm") == "", F.lit(0).cast("bigint"))
+        .otherwise(
+            (F.length("norm") - F.length(F.replace(F.col("norm"), F.lit(" "), F.lit(""))) + 1).cast(
+                "bigint"
+            )
+        )
+        .alias("n_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Histogram + contribution analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "order_price_histogram",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS p
+      FROM orders
+    ), b AS (SELECT MIN(cents) AS mn, MAX(cents) AS mx FROM c)
+    SELECT ((cents - mn) * 20) // (mx - mn + 1) AS bin,
+           COUNT(*) AS n_orders,
+           CAST(MIN(p) AS DOUBLE) AS min_price,
+           CAST(MAX(p) AS DOUBLE) AS max_price,
+           CAST(SUM(p) AS DOUBLE) AS sum_price
+    FROM c, b GROUP BY 1
+    """,
+    doc="Equi-width 20-bin price histogram in integer cents: bin = "
+    "((cents-min)*20) div (range+1) — pure integer arithmetic, never a "
+    "float boundary that could land a row in different bins per "
+    "engine. The min/max scalars come from one bounded metadata action "
+    "(the temperature-sampling pattern) injected as literals, so the "
+    "big-side plan is scan → narrow projection → one groupBy; the "
+    "oracle's 1-row cross join states the same spec.",
+)
+def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        (dec("o_totalprice") * 100).cast("bigint").alias("cents"),
+        dec("o_totalprice").alias("p"),
+    )
+    c = o.localCheckpoint()
+    mn, mx = c.agg(F.min("cents"), F.max("cents")).first()
+    return (
+        c.withColumn("bin", F.expr(f"((cents - {mn}) * 20) div ({mx} - {mn} + 1)"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("p").cast("double").alias("min_price"),
+            F.max("p").cast("double").alias("max_price"),
+            F.sum("p").cast("double").alias("sum_price"),
+        )
+    )
+
+
+@register(
+    "nation_revenue_contribution",
+    oracle="""
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS nat_dec
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2
+    )
+    SELECT region, nation, CAST(nat_dec AS DOUBLE) AS revenue,
+           CAST(nat_dec AS DOUBLE) / CAST(SUM(nat_dec) OVER (PARTITION BY region) AS DOUBLE)
+             AS region_share
+    FROM rev
+    """,
+    doc="Percent-of-total contribution: each nation's share of its "
+    "region's order revenue. The share divides two doubles each cast "
+    "from exact decimal sums (the window total is itself a decimal "
+    "sum — associative, order-free), so one deterministic division. "
+    "Plan: shuffle join orders→customer, broadcast nation+region, one "
+    "agg, then a window over the TINY nation-level aggregate.",
+)
+def nation_revenue_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(dec("o_totalprice")).alias("nat_dec"))
+    )
+    w = Window.partitionBy("region")
+    return rev.select(
+        "region",
+        "nation",
+        F.col("nat_dec").cast("double").alias("revenue"),
+        (F.col("nat_dec").cast("double") / F.sum("nat_dec").over(w).cast("double")).alias(
+            "region_share"
+        ),
+    )
