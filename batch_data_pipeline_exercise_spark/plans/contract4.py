@@ -423,6 +423,108 @@ def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_prefix_fuzzy_pairs",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             substr(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), 1, 30) AS pre
+      FROM documents
+    ), seg AS (
+      SELECT doc_id, pre, 1 AS i, substr(pre, 1, 10) AS s FROM p
+      UNION ALL SELECT doc_id, pre, 2, substr(pre, 11, 10) FROM p
+      UNION ALL SELECT doc_id, pre, 3, substr(pre, 21, 10) FROM p
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pre AS pre_a, b.pre AS pre_b
+      FROM seg a JOIN seg b ON a.i = b.i AND a.s = b.s AND a.doc_id < b.doc_id
+      WHERE a.s <> ''
+    )
+    SELECT doc_a, doc_b, levenshtein(pre_a, pre_b) AS edit_distance
+    FROM cand WHERE levenshtein(pre_a, pre_b) <= 2
+    """,
+    doc="Fuzzy entity-matching join by segment blocking: normalized "
+    "30-char prefixes, pigeonholed into 3 aligned 10-char segments — "
+    "two prefixes within substitution distance 2 must agree on one "
+    "segment (shift edits can evade the block, the standard "
+    "recall/cost trade, same as the SimHash chunk scheme) — candidates "
+    "verified by exact levenshtein <= 2. Integer distances, so "
+    "cross-engine exact. Plan: segment equi self-join over a pinned "
+    "prefix table, NEVER the all-pairs edit-distance matrix.",
+)
+def doc_prefix_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
+    pre = d.select("doc_id", F.substring(norm, 1, 30).alias("pre")).localCheckpoint()
+    seg = pre.select(
+        "doc_id",
+        "pre",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("i"), F.substring("pre", 1 + 10 * (i - 1), 10).alias("s"))
+                    for i in (1, 2, 3)
+                ]
+            )
+        ).alias("seg"),
+    ).select("doc_id", "pre", F.col("seg.i").alias("i"), F.col("seg.s").alias("s"))
+    a, b = seg.alias("a"), seg.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.i") == F.col("b.i"))
+            & (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(F.col("a.s") != "")
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.pre").alias("pre_a"),
+            F.col("b.pre").alias("pre_b"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.levenshtein("pre_a", "pre_b") <= 2).select(
+        "doc_a", "doc_b", F.levenshtein("pre_a", "pre_b").cast("bigint").alias("edit_distance")
+    )
+
+
+@register(
+    "salted_brand_revenue",
+    oracle="""
+    SELECT p.p_brand AS brand,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2))))
+                AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1
+    """,
+    doc="Skew-resilient fact-to-dim join: lineitem joined to part through "
+    "salted_join (dim replicated n_salts times, fact salted by a "
+    "retry-safe hash of its unique line key), then brand revenue. The "
+    "oracle is the PLAIN join — salting must be invisible in the "
+    "result. This is the shape for a hot-key dim join too big to "
+    "broadcast: each hot key spreads over 8 reduce tasks instead of "
+    "one straggler.",
+)
+def salted_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from batch_data_pipeline_exercise_spark.operators.skew import salted_join
+
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "__rowkey", F.concat_ws("#", F.col("l_orderkey"), F.col("l_linenumber"))
+    )
+    p = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    joined = salted_join(li, p, on="l_partkey", n_salts=8, salt_col="__rowkey")
+    rev = dec("l_extendedprice") * (F.lit(1).cast("decimal(4,2)") - dec("l_discount", 4, 2))
+    return joined.groupBy(F.col("p_brand").alias("brand")).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(rev).cast("double").alias("revenue"),
+    )
+
+
+@register(
     "nation_revenue_contribution",
     oracle="""
     WITH rev AS (
