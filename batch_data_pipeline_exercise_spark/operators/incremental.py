@@ -41,3 +41,40 @@ def merge_partial_aggs(
     cols = keys + list(merge_ops)
     u = reduce(lambda a, b: a.unionByName(b), (p.select(*cols) for p in parts))
     return u.groupBy(*keys).agg(*[_MERGE_FNS[op](c).alias(c) for c, op in merge_ops.items()])
+
+
+def maintain_topk(
+    stored_topk: DataFrame | None,
+    batch: DataFrame,
+    keys: list[str],
+    order_cols: list,
+    k: int,
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """Incrementally maintain a per-key top-k table under insert-only
+    batches: ``topk(stored_topk ∪ batch) == topk(history ∪ batch)``.
+
+    Top-k is itself algebraic for insertions — a row outside a key's
+    current top k can never re-enter it when more rows arrive — so the
+    maintained table IS the full-recompute result (the rebuild-
+    equivalence test and the driver oracle prove it). Per-batch cost:
+    a window over ``|batch| + k·|keys touched|`` rows, never history.
+    Deletions/updates break the algebra (an evicted row might need to
+    come back) — that's a rebuild, by design.
+
+    ``order_cols``: ranking order (include a unique tiebreak for
+    determinism). ``stored_topk=None`` bootstraps from the first batch.
+    The stored side's ``rank_col`` (if present) is dropped and
+    recomputed.
+    """
+    from pyspark.sql.window import Window
+
+    cols = [c for c in batch.columns if c != rank_col]
+    parts = batch.select(*cols)
+    if stored_topk is not None:
+        parts = stored_topk.select(*cols).unionByName(parts)
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    return (
+        parts.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )

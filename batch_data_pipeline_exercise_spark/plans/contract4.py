@@ -423,6 +423,94 @@ def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "user_time_weighted_value",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, epoch_us(ts) AS t,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nt
+      FROM events
+    ), iv AS (
+      SELECT user_id, cents, nt - t AS dur FROM b WHERE nt IS NOT NULL
+    )
+    SELECT user_id, COUNT(*) AS n_intervals,
+           CAST(SUM(dur) AS BIGINT) AS total_dur_us,
+           CAST(SUM(CAST(cents AS DECIMAL(38,0)) * dur) AS DOUBLE)
+             / CAST(SUM(dur) AS DOUBLE) / 100.0 AS twa_value
+    FROM iv GROUP BY user_id
+    """,
+    doc="Time-weighted average (the TWAP shape): each event's value "
+    "holds until the user's next event; the average weights values by "
+    "microsecond interval length. All accumulation is exact — cents x "
+    "dur products in DECIMAL(38,0) (scale 0, so the final "
+    "decimal-to-double cast is ONE correctly-rounded conversion in "
+    "both engines, no scale division) — then two casts and two "
+    "divisions in a fixed order. One window + one aggregate, "
+    "key-partitioned.",
+)
+def user_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts may be NTZ (sf-dependent parquet logical type); the session is
+    # pinned UTC in load(), so the LTZ cast is wall-clock identity and
+    # epoch-µs agrees with DuckDB's epoch_us over naive timestamps
+    t_us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    b = e.select(
+        "user_id",
+        t_us.alias("t"),
+        (dec("value") * 100).cast("bigint").alias("cents"),
+        F.lead(t_us).over(w).alias("nt"),
+    )
+    iv = b.filter(F.col("nt").isNotNull()).select(
+        "user_id", "cents", (F.col("nt") - F.col("t")).alias("dur")
+    )
+    return iv.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("dur").alias("total_dur_us"),
+        (
+            F.sum(F.col("cents").cast("decimal(38,0)") * F.col("dur")).cast("double")
+            / F.sum("dur").cast("double")
+            / F.lit(100.0)
+        ).alias("twa_value"),
+    )
+
+
+@register(
+    "incremental_top3_orders",
+    oracle="""
+    SELECT o_custkey, o_orderkey, rnk FROM (
+      SELECT o_custkey, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders
+    ) WHERE rnk <= 3
+    """,
+    doc="Incremental-view-maintenance for per-key top-k: orders split "
+    "into three date batches, folded through maintain_topk — each fold "
+    "ranks only stored-top-k ∪ batch, never history (top-k is "
+    "algebraic under insert-only batches: an evicted row can never "
+    "re-enter). The oracle is the FULL recompute, proving the "
+    "maintained table identical to scanning everything.",
+)
+def incremental_top3_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from batch_data_pipeline_exercise_spark.operators.incremental import maintain_topk
+
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice", "o_orderdate")
+    order_cols = [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()]
+    stored = None
+    for lo, hi in (("1990-01-01", "1997-01-01"), ("1997-01-01", "1999-01-01"), ("1999-01-01", "2003-01-01")):
+        batch = o.filter(
+            (F.col("o_orderdate") >= F.lit(lo).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(hi).cast("timestamp"))
+        )
+        stored = maintain_topk(stored, batch, ["o_custkey"], order_cols, k=3)
+        # pin each fold: the next batch must rank against the MAINTAINED
+        # table, not a re-derivation of the whole lineage
+        stored = stored.localCheckpoint()
+    return stored.select("o_custkey", "o_orderkey", "rnk")
+
+
+@register(
     "doc_prefix_fuzzy_pairs",
     oracle="""
     WITH p AS (

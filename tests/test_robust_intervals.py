@@ -220,6 +220,36 @@ def test_weighted_priority_sample_biases_toward_heavy_rows(spark):
     assert heavy >= 40  # expected ~ all heavy; allow slack
 
 
+def test_maintain_topk_matches_full_recompute(spark):
+    from pyspark.sql.window import Window
+
+    from batch_data_pipeline_exercise_spark.operators.incremental import maintain_topk
+
+    rows = [(i % 7, i, float((i * 37) % 100)) for i in range(200)]
+    df = spark.createDataFrame(rows, "k int, id int, v double")
+    order = [F.col("v").desc(), F.col("id").asc()]
+    # fold in 4 arbitrary slices
+    stored = None
+    for lo in range(0, 200, 50):
+        batch = df.filter((F.col("id") >= lo) & (F.col("id") < lo + 50))
+        stored = maintain_topk(stored, batch, ["k"], order, k=5).localCheckpoint()
+    w = Window.partitionBy("k").orderBy(*order)
+    full = df.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 5)
+    assert sorted(map(tuple, stored.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_maintain_topk_evicted_rows_never_return(spark):
+    from batch_data_pipeline_exercise_spark.operators.incremental import maintain_topk
+
+    order = [F.col("v").desc(), F.col("id").asc()]
+    b1 = spark.createDataFrame([(1, 1, 9.0), (1, 2, 8.0), (1, 3, 1.0)], "k int, id int, v double")
+    b2 = spark.createDataFrame([(1, 4, 7.0)], "k int, id int, v double")
+    s1 = maintain_topk(None, b1, ["k"], order, k=2)
+    s2 = maintain_topk(s1, b2, ["k"], order, k=2)
+    got = sorted(r["id"] for r in s2.collect())
+    assert got == [1, 2]  # id=3 was evicted in fold 1; id=4 can't displace 8.0
+
+
 def test_token_budget_sample_respects_budget_and_keeps_oversize_head(spark):
     rows = [(i, "g", 40) for i in range(1, 21)] + [(99, "h", 500)]
     df = spark.createDataFrame(rows, "id int, g string, sz int")
