@@ -332,6 +332,131 @@ def corpus_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Sub-document dedup + boilerplate mining + dedup reporting
+# ---------------------------------------------------------------------------
+
+_NORM4 = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+
+@register(
+    "chunk_dedup_exact",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split({_NORM4}, ' ') AS tk FROM documents
+                  WHERE COALESCE(length(trim(text)), 0) > 0),
+    c AS (
+      SELECT doc_id, u.s AS start, tk
+      FROM toks, UNNEST(range(0, greatest(len(tk) - 1, 0) + 1, 64)) AS u(s)
+    ),
+    ch AS (
+      SELECT doc_id, CAST(start / 64 AS INTEGER) AS chunk_id,
+             md5(array_to_string(list_slice(tk, start + 1, start + 64), ' ')) AS content_key
+      FROM c
+    )
+    SELECT content_key,
+           CAST(MIN(doc_id * 1000000 + chunk_id) // 1000000 AS BIGINT) AS rep_doc_id,
+           CAST(MIN(doc_id * 1000000 + chunk_id) % 1000000 AS INTEGER) AS rep_chunk_id,
+           COUNT(*) AS dup_count
+    FROM ch GROUP BY content_key HAVING COUNT(*) >= 2
+    """,
+    doc="Sub-document exact dedup: 64-token chunks (no overlap — overlap "
+    "would manufacture trivial dups), md5 per chunk, repeated chunks "
+    "reported with their lexicographic-min (doc, chunk) representative "
+    "(encoded as one integer so a single MIN aggregates it — no "
+    "distributed argmin). Catches cross-document boilerplate blocks "
+    "that whole-document dedup misses. Linear: one chunk explode, one "
+    "groupBy on the content hash.",
+)
+def chunk_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from batch_data_pipeline_exercise_spark.operators.text import chunk_documents
+
+    d = load(spark, sf_dir, "documents")
+    ch = chunk_documents(d, "doc_id", chunk_tokens=64, overlap=0).select(
+        "doc_id", "chunk_id", F.md5("chunk_text").alias("content_key")
+    )
+    enc = F.col("doc_id") * 1000000 + F.col("chunk_id")
+    return (
+        ch.groupBy("content_key")
+        .agg(F.min(enc).alias("__rep"), F.count(F.lit(1)).alias("dup_count"))
+        .filter(F.col("dup_count") >= 2)
+        .select(
+            "content_key",
+            F.expr("__rep div 1000000").cast("bigint").alias("rep_doc_id"),
+            F.pmod("__rep", F.lit(1000000)).cast("int").alias("rep_chunk_id"),
+            "dup_count",
+        )
+    )
+
+
+@register(
+    "corpus_boilerplate_ngrams",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split({_NORM4}, ' ') AS tk FROM documents),
+    sh AS (SELECT DISTINCT doc_id, s FROM toks,
+           UNNEST(list_transform(range(0, greatest(len(tk)-8, 0)+1),
+                  i -> array_to_string(list_slice(tk, i+1, i+8), ' '))) AS u(s)
+           WHERE length(s) > 0)
+    SELECT s AS ngram, COUNT(*) AS doc_freq
+    FROM sh GROUP BY s HAVING COUNT(*) >= 3
+    """,
+    doc="Corpus-level boilerplate mining: word 8-grams appearing in 3+ "
+    "distinct documents — the candidate list for boilerplate stripping "
+    "(license headers, navigation chrome, repeated disclaimers). "
+    "Threshold filter instead of global top-k: no unpartitioned "
+    "window, and the scalable-ranking operator exists separately for "
+    "when a ranked list is wanted. Explode → per-doc distinct → one "
+    "groupBy on the gram.",
+)
+def corpus_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from batch_data_pipeline_exercise_spark.operators.dedup import word_shingles
+
+    d = load(spark, sf_dir, "documents")
+    sh = word_shingles(d, "doc_id", n=8, distinct=True)
+    return (
+        sh.groupBy(F.col("shingle").alias("ngram"))
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .filter(F.col("doc_freq") >= 3)
+    )
+
+
+@register(
+    "dedup_rate_by_source",
+    oracle=f"""
+    WITH k AS (SELECT doc_id, source, md5({_NORM4}) AS k FROM documents),
+    g AS (SELECT k, MIN(doc_id) AS keep FROM k GROUP BY k)
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id = keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN doc_id = keep THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS keep_rate
+    FROM k JOIN g USING (k)
+    GROUP BY source
+    """,
+    doc="Dedup health report: per-source survivor rate under global "
+    "exact dedup (lowest-id representative) — the table a data-quality "
+    "dashboard watches to spot a source gone rogue with duplicates. "
+    "One hash groupBy for the keepers, one key-partitioned join back, "
+    "one counting aggregate; keep_rate is a single integer division.",
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    k = d.select(
+        "doc_id",
+        "source",
+        F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), "\\s+", " ")).alias("k"),
+    )
+    g = k.groupBy("k").agg(F.min("doc_id").alias("keep"))
+    kept = F.sum(F.when(F.col("doc_id") == F.col("keep"), 1).otherwise(0))
+    return (
+        k.join(g, "k")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            kept.alias("n_kept"),
+            (kept.cast("double") / F.count(F.lit(1))).alias("keep_rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Text normalization
 # ---------------------------------------------------------------------------
 
