@@ -54,13 +54,32 @@ class Warehouse:
         from batch_data_pipeline_exercise_spark.sources.csv_feed import feed_exists
 
         self._recover(table)
-        return feed_exists(self.spark, os.path.join(self.path(table), "*.parquet")) or feed_exists(
+        if feed_exists(self.spark, os.path.join(self.path(table), "*.parquet")) or feed_exists(
             self.spark, os.path.join(self.path(table), "_SUCCESS")
-        )
+        ):
+            return True
+        # Hive-partitioned tables written by the dynamic-overwrite commit
+        # have no root-level _SUCCESS or parquet — walk for any part-file
+        target = self.path(table)
+        P, fs = self._fs(target)
+        if not fs.exists(P(target)):
+            return False
+        it = fs.listFiles(P(target), True)
+        while it.hasNext():
+            if it.next().getPath().getName().endswith(".parquet"):
+                return True
+        return False
 
-    def read(self, table: str) -> DataFrame:
+    def read(self, table: str, merge_schema: bool = False) -> DataFrame:
+        """``merge_schema=True`` unions all part-file footers — needed to
+        see columns added by ``append_evolve`` (NULL-filled for older
+        files); off by default because footer merging reads every file's
+        metadata."""
         self._recover(table)
-        return self.spark.read.parquet(self.path(table))
+        r = self.spark.read
+        if merge_schema:
+            r = r.option("mergeSchema", "true")
+        return r.parquet(self.path(table))
 
     def partition_columns(self, table: str) -> list[str]:
         """Partition columns of an existing table, discovered from the
@@ -146,6 +165,67 @@ class Warehouse:
         schema presentation stable too."""
         if self.exists(table):
             df = df.select(*self.read(table).columns)
+        w = df.write.mode("append")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self.path(table))
+        self._refresh(table)
+
+    def overwrite_partitions(
+        self, df: DataFrame, table: str, partition_by: list[str]
+    ) -> None:
+        """Dynamic partition overwrite: replace ONLY the partitions
+        present in ``df``, leave every other partition untouched — the
+        daily-reprocess shape (`re-run 2024-03-14` must not clobber a
+        year of history, and must not require reading it either).
+
+        Uses Spark's native ``partitionOverwriteMode=dynamic`` commit
+        (staged write + per-partition directory replace), restoring the
+        session's previous mode afterwards. Atomicity is per-partition
+        (the staged commit protocol), not per-table — the right trade
+        here: the all-or-nothing ``overwrite`` swap would rewrite the
+        full table to replace one day. Falls back to a plain overwrite
+        when the table doesn't exist yet.
+        """
+        if not partition_by:
+            raise ValueError("overwrite_partitions needs partition_by — use overwrite() for unpartitioned tables")
+        if self.exists(table):
+            existing = self.partition_columns(table)
+            if existing and existing != list(partition_by):
+                raise ValueError(
+                    f"overwrite_partitions: table {table!r} is partitioned by {existing}, got {list(partition_by)}"
+                )
+            df = df.select(*self.read(table).columns)
+        conf = self.spark.conf
+        prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            df.write.mode("overwrite").partitionBy(*partition_by).parquet(self.path(table))
+        finally:
+            conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        self._refresh(table)
+
+    def append_evolve(
+        self, df: DataFrame, table: str, partition_by: list[str] | None = None
+    ) -> None:
+        """Append with additive schema evolution: new columns in ``df``
+        are accepted (appended after the existing order); columns the
+        table has but ``df`` lacks are filled NULL. Old part-files keep
+        their footer — read the widened schema back with
+        ``read(table, merge_schema=True)`` (parquet footer merging is a
+        paid option, so plain ``read`` stays cheap and serves whichever
+        footer is sampled). Dropping or retyping columns is NOT schema
+        evolution — that's a rebuild through ``overwrite``."""
+        if self.exists(table):
+            schema = self.read(table).schema
+            have = [f.name for f in schema.fields]
+            for f in schema.fields:
+                if f.name not in df.columns:
+                    # typed NULL fill — an untyped lit(None) writes VOID,
+                    # which parquet footer-merging rejects
+                    df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+            new = [c for c in df.columns if c not in have]
+            df = df.select(*have, *new)
         w = df.write.mode("append")
         if partition_by:
             w = w.partitionBy(*partition_by)
