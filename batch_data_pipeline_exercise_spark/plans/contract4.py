@@ -501,6 +501,111 @@ def doc_normalized_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Auditing + drift monitoring
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_partition_checksums",
+    oracle="""
+    WITH c AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             CAST(('0x' || substr(md5(
+               CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) || '|' ||
+               o_orderstatus || '|' || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
+               || '|' || strftime(o_orderdate, '%Y-%m-%d')
+             ), 1, 15)) AS BIGINT) AS fp
+      FROM orders
+    )
+    SELECT month, COUNT(*) AS n_rows, CAST(bit_xor(fp) AS BIGINT) AS checksum
+    FROM c GROUP BY month
+    """,
+    doc="Order-free per-partition table fingerprints: 60-bit md5 words "
+    "XOR-folded per month (operators/audit.py content_checksum). XOR "
+    "is commutative and mergeable, so verifying a 100 TB replica "
+    "never sorts either side, the shuffle carries one (count, word) "
+    "pair per partition per group, and a divergence localizes to one "
+    "month by joining the two checksum frames. The oracle computing "
+    "the identical fingerprints IS the cross-replica comparison, run "
+    "cross-engine.",
+)
+def orders_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from batch_data_pipeline_exercise_spark.operators.audit import content_checksum
+
+    o = load(spark, sf_dir, "orders").withColumn(
+        "month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    canon = [
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        dec("o_totalprice").cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+    ]
+    return content_checksum(o, canon, group_cols=["month"])
+
+
+@register(
+    "corpus_length_drift",
+    oracle="""
+    WITH b AS (SELECT MIN(n_chars) AS mn, MAX(n_chars) AS mx FROM documents),
+    binned AS (
+      SELECT CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END AS grp,
+             ((n_chars - mn) * 10) // (mx - mn + 1) AS bin
+      FROM documents, b
+    ),
+    cells AS (
+      SELECT bin,
+             CAST(SUM(CASE WHEN grp = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+             CAST(SUM(CASE WHEN grp = 'other' THEN 1 ELSE 0 END) AS BIGINT) AS n_other
+      FROM binned GROUP BY bin
+    ),
+    tot AS (SELECT SUM(n_en) AS t_en, SUM(n_other) AS t_other FROM cells)
+    SELECT bin, n_en, n_other,
+           CAST(n_en AS DOUBLE) / t_en AS share_en,
+           CAST(n_other AS DOUBLE) / t_other AS share_other,
+           abs(CAST(n_en AS DOUBLE) / t_en - CAST(n_other AS DOUBLE) / t_other)
+             AS l1_gap
+    FROM cells, tot
+    """,
+    doc="Distribution-drift report (the PSI-style dashboard row): "
+    "compare the document-length distribution of English vs the rest "
+    "over 10 equi-width integer bins; per-bin shares and their L1 gap. "
+    "Bin edges are pure integer arithmetic; each share is one exact "
+    "division, the gap one subtraction — no log terms whose libm "
+    "rounding could drift cross-engine. Spark side injects the "
+    "min/max and totals as literals from bounded metadata actions "
+    "(the temperature-sampling pattern) — no 1-row nested-loop joins.",
+)
+def corpus_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    pinned = d.select(
+        "n_chars", F.when(F.col("lang") == "en", "en").otherwise("other").alias("grp")
+    ).localCheckpoint()
+    mn, mx = pinned.agg(F.min("n_chars"), F.max("n_chars")).first()
+    cells = (
+        pinned.withColumn("bin", F.expr(f"((n_chars - {mn}) * 10) div ({mx} - {mn} + 1)"))
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("grp") == "en", 1).otherwise(0)).cast("bigint").alias("n_en"),
+            F.sum(F.when(F.col("grp") == "other", 1).otherwise(0)).cast("bigint").alias("n_other"),
+        )
+        .localCheckpoint()
+    )
+    t_en, t_other = cells.agg(F.sum("n_en"), F.sum("n_other")).first()
+    share_en = F.col("n_en").cast("double") / F.lit(t_en)
+    share_other = F.col("n_other").cast("double") / F.lit(t_other)
+    return cells.select(
+        "bin",
+        "n_en",
+        "n_other",
+        share_en.alias("share_en"),
+        share_other.alias("share_other"),
+        F.abs(share_en - share_other).alias("l1_gap"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Histogram + contribution analysis
 # ---------------------------------------------------------------------------
 
