@@ -501,6 +501,99 @@ def doc_normalized_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Hopping windows + graph analytics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_hopping_window_counts",
+    oracle="""
+    WITH shifts AS (SELECT 0 AS sh UNION ALL SELECT 300 UNION ALL SELECT 600),
+    w AS (
+      SELECT event_type,
+             ((epoch_us(ts) // 1000000 - sh) // 900) * 900 + sh AS win_start_s
+      FROM events, shifts
+    )
+    SELECT event_type,
+           strftime(make_timestamp(win_start_s * 1000000), '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS n_events
+    FROM w GROUP BY 1, 2
+    """,
+    doc="Hopping (sliding) window aggregation: 15-minute windows every 5 "
+    "minutes via Spark's native window() — each event lands in 3 "
+    "overlapping windows. The oracle derives the same windows as 3 "
+    "phase-shifted tumbling grids (the standard hop = shifted-tumble "
+    "identity). Window starts are integer epoch-seconds, so grouping "
+    "keys are exact. The streaming twin is the same expression under "
+    "readStream + watermark.",
+)
+def event_hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = F.window(F.col("ts"), "15 minutes", "5 minutes")
+    return (
+        e.groupBy("event_type", w.alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "event_type",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "dup_graph_triangles",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS tk
+                  FROM documents),
+    sh AS (SELECT DISTINCT doc_id, s FROM toks,
+           UNNEST(list_transform(range(0, greatest(len(tk)-5, 0)+1),
+                  i -> array_to_string(list_slice(tk, i+1, i+5), ' '))) AS u(s)
+           WHERE length(s) > 0),
+    e AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 5
+    )
+    SELECT e1.u AS doc_a, e1.v AS doc_b, e2.v AS doc_c
+    FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    """,
+    doc="Triangle enumeration over the shared-5-gram document graph "
+    "(edges: pairs sharing 5+ distinct 5-grams): triads of mutually "
+    "similar documents — the tight-cluster signal dedup clustering "
+    "smooths over. Ordered-edge (u<v) triangle join: each triangle "
+    "emitted exactly once, three equi hash joins over the (tiny) edge "
+    "table, never the raw corpus; candidate edges come from a "
+    "gram-blocked self-join, the same never-all-pairs discipline as "
+    "the LSH paths.",
+)
+def dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from batch_data_pipeline_exercise_spark.operators.dedup import word_shingles
+
+    d = load(spark, sf_dir, "documents")
+    sh = word_shingles(d, "doc_id", n=5, distinct=True)
+    a, b = sh.alias("a"), sh.alias("b")
+    edges = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("u"), F.col("b.id").alias("v"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 5)
+        .select("u", "v")
+        .localCheckpoint()
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    return (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(e3, (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")))
+        .select(
+            F.col("e1.u").alias("doc_a"),
+            F.col("e1.v").alias("doc_b"),
+            F.col("e2.v").alias("doc_c"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Auditing + drift monitoring
 # ---------------------------------------------------------------------------
 

@@ -262,6 +262,99 @@ class Warehouse:
         else:
             self.overwrite(fresh, table, partition_by)
 
+    # ----- snapshot versioning (time travel) -------------------------------
+
+    def _ptr_path(self, table: str) -> str:
+        return self.path(table) + "__ptr"
+
+    def _snap_dir(self, table: str, version: int) -> str:
+        return self.path(table) + f"__v{version}"
+
+    def current_snapshot(self, table: str) -> int | None:
+        """Committed snapshot version, or None before the first commit."""
+        ptr = self._ptr_path(table)
+        P, fs = self._fs(ptr)
+        if not fs.exists(P(ptr)):
+            return None
+        stream = fs.open(P(ptr))
+        try:
+            # FSDataInputStream.read() yields one byte (int), -1 at EOF;
+            # the pointer file is a short ASCII integer + newline
+            buf = []
+            for _ in range(32):
+                b = stream.read()
+                if b < 0:
+                    break
+                buf.append(b)
+        finally:
+            stream.close()
+        return int(bytes(buf).decode().strip())
+
+    def snapshot_overwrite(
+        self, df: DataFrame, table: str, partition_by: list[str] | None = None
+    ) -> int:
+        """Versioned overwrite with time travel: write snapshot N+1 to its
+        own directory, then atomically swing the pointer file — readers
+        of version N are never disturbed (no in-place mutation, no
+        rename of live data), and a crash before the pointer swing
+        leaves version N committed and the orphan N+1 dir for vacuum.
+        The single-file pointer rename is the whole commit protocol —
+        the same mechanism a lakehouse table format reduces to. Returns
+        the committed version."""
+        cur = self.current_snapshot(table)
+        nxt = (cur or 0) + 1
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self._snap_dir(table, nxt))
+        ptr, tmp = self._ptr_path(table), self._ptr_path(table) + "__tmp"
+        P, fs = self._fs(ptr)
+        out = fs.create(P(tmp), True)
+        try:
+            out.write(bytearray(f"{nxt}\n".encode()))
+        finally:
+            out.close()
+        if fs.exists(P(ptr)):
+            fs.delete(P(ptr), False)
+        if not fs.rename(P(tmp), P(ptr)):
+            raise RuntimeError(f"snapshot commit failed: could not swing pointer for {table}")
+        return nxt
+
+    def read_snapshot(self, table: str, version: int | None = None) -> DataFrame:
+        """Read the current (default) or a specific committed snapshot —
+        `read_snapshot(t, 3)` is the time-travel query."""
+        v = version if version is not None else self.current_snapshot(table)
+        if v is None:
+            raise FileNotFoundError(f"no committed snapshot for table {table!r}")
+        return self.spark.read.parquet(self._snap_dir(table, v))
+
+    def snapshots(self, table: str) -> list[int]:
+        """Existing snapshot versions on disk (committed or orphaned)."""
+        root, prefix = self.root, os.path.basename(self.path(table)) + "__v"
+        P, fs = self._fs(root)
+        if not fs.exists(P(root)):
+            return []
+        out = []
+        for s in fs.listStatus(P(root)):
+            name = s.getPath().getName()
+            if s.isDirectory() and name.startswith(prefix) and name[len(prefix):].isdigit():
+                out.append(int(name[len(prefix):]))
+        return sorted(out)
+
+    def vacuum_snapshots(self, table: str, keep: int = 2) -> list[int]:
+        """Drop all but the newest ``keep`` snapshots (the committed one
+        is always retained). Returns the versions removed. Run from the
+        maintenance cadence — readers pinned to an ancient version lose
+        it after vacuum, the standard retention trade."""
+        cur = self.current_snapshot(table)
+        versions = self.snapshots(table)
+        protected = set(versions[-keep:]) | ({cur} if cur is not None else set())
+        doomed = [v for v in versions if v not in protected]
+        P, fs = self._fs(self.root)
+        for v in doomed:
+            fs.delete(P(self._snap_dir(table, v)), True)
+        return doomed
+
     def compact(self, table: str, target_partitions: int | None = None) -> None:
         """Rewrite a table into ``target_partitions`` files per partition
         directory (default: session parallelism for the whole table).

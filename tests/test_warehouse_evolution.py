@@ -64,6 +64,30 @@ def test_overwrite_partitions_bootstrap_and_column_order(spark, wh):
     assert got == {("m1", 1): "x", ("m2", 2): "y"}
 
 
+def test_snapshot_versioning_time_travel_and_vacuum(spark, wh):
+    v1 = spark.createDataFrame([(1, "a")], "id int, v string")
+    v2 = spark.createDataFrame([(1, "A"), (2, "b")], "id int, v string")
+    assert wh.current_snapshot("t") is None
+    assert wh.snapshot_overwrite(v1, "t") == 1
+    assert wh.snapshot_overwrite(v2, "t") == 2
+    assert wh.current_snapshot("t") == 2
+    assert {r["v"] for r in wh.read_snapshot("t").collect()} == {"A", "b"}
+    # time travel to version 1 — unchanged by the later commit
+    assert [tuple(r) for r in wh.read_snapshot("t", 1).collect()] == [(1, "a")]
+    # third commit, vacuum to keep 2: version 1 removed, current safe
+    wh.snapshot_overwrite(v1, "t")
+    assert wh.vacuum_snapshots("t", keep=2) == [1]
+    assert wh.snapshots("t") == [2, 3]
+    assert wh.current_snapshot("t") == 3
+    with pytest.raises(Exception):
+        wh.read_snapshot("t", 1)  # vacuumed
+
+
+def test_snapshot_read_before_commit_raises(spark, wh):
+    with pytest.raises(FileNotFoundError, match="no committed snapshot"):
+        wh.read_snapshot("ghost")
+
+
 def test_append_evolve_adds_and_backfills_columns(spark, wh):
     v1 = spark.createDataFrame([(1, "a")], "id int, v string")
     wh.append_evolve(v1, "t")
