@@ -747,6 +747,7 @@ def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "user_time_weighted_value",
+    bench=True,
     oracle="""
     WITH b AS (
       SELECT user_id, epoch_us(ts) AS t,
@@ -835,6 +836,7 @@ def incremental_top3_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_prefix_fuzzy_pairs",
+    bench=True,
     oracle="""
     WITH p AS (
       SELECT doc_id,
