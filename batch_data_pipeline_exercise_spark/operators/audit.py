@@ -22,13 +22,25 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+NULL_SENTINEL = "␀"  # ␀ SYMBOL FOR NULL — unlikely in real data
+
+
 def row_fingerprint(cols: list[Column | str], sep: str = "|") -> Column:
     """60-bit row word: first 15 hex chars of md5 over the separator-join
-    of the canonical columns. NULLs encode as the empty string via
-    concat_ws — callers needing NULL-vs-empty distinction should
-    pre-encode. 15 hex = 60 bits keeps the bigint positive in every
-    engine's hex→int conversion."""
-    s = F.concat_ws(sep, *[F.col(c) if isinstance(c, str) else c for c in cols])
+    of the canonical columns. Each NULL column encodes as the ␀
+    sentinel BEFORE the join — concat_ws alone silently drops a NULL
+    together with its separator, which would make rows differing only
+    in WHICH column is NULL collide (and diverge from any
+    ``||``-concatenation oracle, where NULL poisons the whole string).
+    A non-null literal ␀ remains indistinguishable from NULL — use a
+    different ``sep``/pre-encoding if that byte can occur. 15 hex = 60
+    bits keeps the bigint positive in every engine's hex→int
+    conversion."""
+    enc = [
+        F.coalesce((F.col(c) if isinstance(c, str) else c).cast("string"), F.lit(NULL_SENTINEL))
+        for c in cols
+    ]
+    s = F.concat_ws(sep, *enc)
     return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
 
 

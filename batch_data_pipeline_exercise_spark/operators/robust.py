@@ -42,17 +42,21 @@ def winsorize(
     percentiles (spam/outlier taming before averaging).
 
     The percentile is the group's value at rank ``ceil(p*n)`` under
-    ``(value, tie_col)`` ordering — integer rank arithmetic
-    ``(n*pct + 99) div 100``, so the bound is an actual data element and
-    cross-engine exact. Plan: one hash shuffle on ``group_cols``, then a
-    ranking window + two unordered window aggregates over the SAME
-    partitioning (no second exchange), then a narrow clamp projection.
-    Adds ``out_col`` plus ``__p_lo``/``__p_hi`` bound columns.
+    ``(value, tie_col)`` ordering, with ``n`` the NON-NULL value count —
+    NULL values are excluded from the ranking (nulls-last) and from the
+    bounds, and winsorize to NULL (clamping would fabricate a p_lo
+    value that a downstream mean then averages in; impute first if
+    that's wanted). Integer rank arithmetic ``(n*pct + 99) div 100``,
+    so the bound is an actual data element and cross-engine exact.
+    Plan: one hash shuffle on ``group_cols``, then a ranking window +
+    two unordered window aggregates over the SAME partitioning (no
+    second exchange), then a narrow clamp projection. Adds ``out_col``
+    plus ``__p_lo``/``__p_hi`` bound columns.
     """
     wp = Window.partitionBy(*group_cols)
-    wr = wp.orderBy(F.col(value_col).asc(), F.col(tie_col).asc())
+    wr = wp.orderBy(F.col(value_col).asc_nulls_last(), F.col(tie_col).asc())
     rn = F.row_number().over(wr)
-    n = F.count(F.lit(1)).over(wp)
+    n = F.count(F.col(value_col)).over(wp)  # non-null count; NULLs rank after rn = n
     lo_rank = (n * p_lo_pct + 99) / F.lit(100)  # ceil(n*p/100) as int div
     hi_rank = (n * p_hi_pct + 99) / F.lit(100)
     ranked = df.withColumn("__rn", rn).withColumn(
@@ -65,7 +69,10 @@ def winsorize(
         .withColumn("__p_hi", hi)
         .withColumn(
             out_col,
-            F.least(F.greatest(F.col(value_col), F.col("__p_lo")), F.col("__p_hi")),
+            F.when(
+                F.col(value_col).isNotNull(),
+                F.least(F.greatest(F.col(value_col), F.col("__p_lo")), F.col("__p_hi")),
+            ),
         )
         .drop("__rn", "__lo_rank", "__hi_rank")
     )

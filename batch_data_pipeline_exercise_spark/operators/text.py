@@ -186,9 +186,33 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", F.md5(t)).withColumn("fingerprint_norm", F.md5(norm))
 
 
+def normalize_ws(text_col: str = "text") -> Column:
+    """Lowercase + whitespace-collapse canonical form (exact-dedup key).
+    SQL twin: ``norm_ws_sql`` — the two must stay in lockstep; every
+    oracle cites the SQL twin so there is ONE definition per family."""
+    return F.regexp_replace(F.lower(F.trim(F.col(text_col))), "\\s+", " ")
+
+
+def norm_ws_sql(text_col: str = "text") -> str:
+    """DuckDB twin of ``normalize_ws``."""
+    return f"regexp_replace(lower(trim({text_col})), '\\s+', ' ', 'g')"
+
+
+def normalize_chars(text_col: str = "text") -> Column:
+    """Aggressive canonicalization: lowercase, every non-alphanumeric run
+    to one space, trim (fingerprinting / fuzzy-blocking substrate).
+    SQL twin: ``norm_chars_sql``."""
+    return F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " "))
+
+
+def norm_chars_sql(text_col: str = "text") -> str:
+    """DuckDB twin of ``normalize_chars``."""
+    return f"trim(regexp_replace(lower({text_col}), '[^a-z0-9]+', ' ', 'g'))"
+
+
 def tokenize(text_col: str = "text") -> Column:
     """Whitespace word tokens, lowercased — the substrate for shingling."""
-    return F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), "\\s+", " "), " ")
+    return F.split(normalize_ws(text_col), " ")
 
 
 def chunk_documents(

@@ -26,6 +26,12 @@ from batch_data_pipeline_exercise_spark.operators.sampling import (
     token_budget_sample,
     weighted_priority_sample,
 )
+from batch_data_pipeline_exercise_spark.operators.text import (
+    norm_chars_sql,
+    norm_ws_sql,
+    normalize_chars,
+    normalize_ws,
+)
 from batch_data_pipeline_exercise_spark.plans.contract import dec, fmt_ts, load, register
 
 # ---------------------------------------------------------------------------
@@ -126,7 +132,7 @@ def daily_event_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id,
              CAST(SUM(CASE WHEN event_type <> 'error'
                            THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
-             / COUNT(CASE WHEN event_type <> 'error' THEN 1 END) AS grp_mean
+             / COUNT(CASE WHEN event_type <> 'error' THEN value END) AS grp_mean
       FROM events GROUP BY user_id
     )
     SELECT e.event_id, e.user_id, e.event_type,
@@ -335,7 +341,8 @@ def corpus_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Sub-document dedup + boilerplate mining + dedup reporting
 # ---------------------------------------------------------------------------
 
-_NORM4 = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_NORM4 = norm_ws_sql("text")
+_NORMC = norm_chars_sql("text")
 
 
 @register(
@@ -438,11 +445,7 @@ def corpus_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    k = d.select(
-        "doc_id",
-        "source",
-        F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), "\\s+", " ")).alias("k"),
-    )
+    k = d.select("doc_id", "source", F.md5(normalize_ws("text")).alias("k"))
     g = k.groupBy("k").agg(F.min("doc_id").alias("keep"))
     kept = F.sum(F.when(F.col("doc_id") == F.col("keep"), 1).otherwise(0))
     return (
@@ -463,10 +466,9 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_normalized_text",
-    oracle="""
+    oracle=f"""
     WITH n AS (
-      SELECT doc_id,
-             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+      SELECT doc_id, {_NORMC} AS norm
       FROM documents
     )
     SELECT doc_id, md5(norm) AS fingerprint,
@@ -484,8 +486,7 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_normalized_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
-    n = d.select("doc_id", norm.alias("norm"))
+    n = d.select("doc_id", normalize_chars("text").alias("norm"))
     return n.select(
         "doc_id",
         F.md5("norm").alias("fingerprint"),
@@ -543,8 +544,8 @@ def event_hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dup_graph_triangles",
-    oracle="""
-    WITH toks AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS tk
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split({_NORM4}, ' ') AS tk
                   FROM documents),
     sh AS (SELECT DISTINCT doc_id, s FROM toks,
            UNNEST(list_transform(range(0, greatest(len(tk)-5, 0)+1),
@@ -837,10 +838,9 @@ def incremental_top3_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "doc_prefix_fuzzy_pairs",
     bench=True,
-    oracle="""
+    oracle=f"""
     WITH p AS (
-      SELECT doc_id,
-             substr(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), 1, 30) AS pre
+      SELECT doc_id, substr({_NORMC}, 1, 30) AS pre
       FROM documents
     ), seg AS (
       SELECT doc_id, pre, 1 AS i, substr(pre, 1, 10) AS s FROM p
@@ -865,8 +865,7 @@ def incremental_top3_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_prefix_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
-    pre = d.select("doc_id", F.substring(norm, 1, 30).alias("pre")).localCheckpoint()
+    pre = d.select("doc_id", F.substring(normalize_chars("text"), 1, 30).alias("pre")).localCheckpoint()
     seg = pre.select(
         "doc_id",
         "pre",

@@ -191,11 +191,16 @@ class Warehouse:
             raise ValueError("overwrite_partitions needs partition_by — use overwrite() for unpartitioned tables")
         if self.exists(table):
             existing = self.partition_columns(table)
-            if existing and existing != list(partition_by):
+            # an existing UNPARTITIONED table must be rejected too: the
+            # dynamic commit would lay hive dirs beside root part-files
+            # and silently orphan every prior row
+            if existing != list(partition_by):
                 raise ValueError(
                     f"overwrite_partitions: table {table!r} is partitioned by {existing}, got {list(partition_by)}"
                 )
-            df = df.select(*self.read(table).columns)
+            # merged footers, not a sampled one: a table widened by
+            # append_evolve must not lose its evolved columns here
+            df = df.select(*self.read(table, merge_schema=True).columns)
         conf = self.spark.conf
         prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -217,7 +222,10 @@ class Warehouse:
         footer is sampled). Dropping or retyping columns is NOT schema
         evolution — that's a rebuild through ``overwrite``."""
         if self.exists(table):
-            schema = self.read(table).schema
+            # merged footers: the have/backfill set must include columns
+            # added by PRIOR append_evolve calls, not whichever footer
+            # the plain read happens to sample
+            schema = self.read(table, merge_schema=True).schema
             have = [f.name for f in schema.fields]
             for f in schema.fields:
                 if f.name not in df.columns:
@@ -264,68 +272,60 @@ class Warehouse:
 
     # ----- snapshot versioning (time travel) -------------------------------
 
-    def _ptr_path(self, table: str) -> str:
-        return self.path(table) + "__ptr"
-
     def _snap_dir(self, table: str, version: int) -> str:
         return self.path(table) + f"__v{version}"
 
+    def _marker_path(self, table: str, version: int) -> str:
+        return os.path.join(self._snap_dir(table, version), "_COMMITTED")
+
     def current_snapshot(self, table: str) -> int | None:
-        """Committed snapshot version, or None before the first commit."""
-        ptr = self._ptr_path(table)
-        P, fs = self._fs(ptr)
-        if not fs.exists(P(ptr)):
-            return None
-        stream = fs.open(P(ptr))
-        try:
-            # FSDataInputStream.read() yields one byte (int), -1 at EOF;
-            # the pointer file is a short ASCII integer + newline
-            buf = []
-            for _ in range(32):
-                b = stream.read()
-                if b < 0:
-                    break
-                buf.append(b)
-        finally:
-            stream.close()
-        return int(bytes(buf).decode().strip())
+        """Newest COMMITTED snapshot version, or None before the first
+        commit. A snapshot directory without its ``_COMMITTED`` marker is
+        an orphan from a crashed write — never served, swept by
+        vacuum."""
+        P, fs = self._fs(self.root)
+        committed = [
+            v for v in self.snapshots(table) if fs.exists(P(self._marker_path(table, v)))
+        ]
+        return committed[-1] if committed else None
 
     def snapshot_overwrite(
         self, df: DataFrame, table: str, partition_by: list[str] | None = None
     ) -> int:
         """Versioned overwrite with time travel: write snapshot N+1 to its
-        own directory, then atomically swing the pointer file — readers
-        of version N are never disturbed (no in-place mutation, no
-        rename of live data), and a crash before the pointer swing
-        leaves version N committed and the orphan N+1 dir for vacuum.
-        The single-file pointer rename is the whole commit protocol —
-        the same mechanism a lakehouse table format reduces to. Returns
-        the committed version."""
-        cur = self.current_snapshot(table)
-        nxt = (cur or 0) + 1
+        own directory, then commit it by CREATING a ``_COMMITTED`` marker
+        inside it — one atomic file creation, no delete-then-rename
+        window. Readers of version N are never disturbed (no in-place
+        mutation), a crash anywhere before the marker leaves N committed
+        and an orphan N+1 dir for vacuum, and version numbers only ever
+        grow (the next version is max(existing dirs)+1, committed or
+        not, so a crashed write can never be silently overwritten).
+        Returns the committed version."""
+        versions = self.snapshots(table)
+        nxt = (versions[-1] if versions else 0) + 1
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(self._snap_dir(table, nxt))
-        ptr, tmp = self._ptr_path(table), self._ptr_path(table) + "__tmp"
-        P, fs = self._fs(ptr)
-        out = fs.create(P(tmp), True)
+        marker = self._marker_path(table, nxt)
+        P, fs = self._fs(marker)
+        out = fs.create(P(marker), True)
         try:
-            out.write(bytearray(f"{nxt}\n".encode()))
+            out.write(bytearray(b"1\n"))
         finally:
             out.close()
-        if fs.exists(P(ptr)):
-            fs.delete(P(ptr), False)
-        if not fs.rename(P(tmp), P(ptr)):
-            raise RuntimeError(f"snapshot commit failed: could not swing pointer for {table}")
         return nxt
 
     def read_snapshot(self, table: str, version: int | None = None) -> DataFrame:
         """Read the current (default) or a specific committed snapshot —
-        `read_snapshot(t, 3)` is the time-travel query."""
+        `read_snapshot(t, 3)` is the time-travel query. Uncommitted
+        (orphan) versions are not readable."""
         v = version if version is not None else self.current_snapshot(table)
         if v is None:
             raise FileNotFoundError(f"no committed snapshot for table {table!r}")
+        P, fs = self._fs(self.root)
+        if not fs.exists(P(self._marker_path(table, v))):
+            raise FileNotFoundError(f"snapshot v{v} of {table!r} is not committed")
         return self.spark.read.parquet(self._snap_dir(table, v))
 
     def snapshots(self, table: str) -> list[int]:
@@ -342,15 +342,21 @@ class Warehouse:
         return sorted(out)
 
     def vacuum_snapshots(self, table: str, keep: int = 2) -> list[int]:
-        """Drop all but the newest ``keep`` snapshots (the committed one
-        is always retained). Returns the versions removed. Run from the
-        maintenance cadence — readers pinned to an ancient version lose
-        it after vacuum, the standard retention trade."""
+        """Drop all but the newest ``keep`` committed snapshots (the
+        current one is always retained, so ``keep=0`` keeps exactly it);
+        uncommitted orphans older than the current version are swept
+        too. Returns the versions removed. Run from the maintenance
+        cadence, never concurrently with a snapshot_overwrite — an
+        in-flight write looks like an orphan until its marker lands."""
         cur = self.current_snapshot(table)
         versions = self.snapshots(table)
-        protected = set(versions[-keep:]) | ({cur} if cur is not None else set())
-        doomed = [v for v in versions if v not in protected]
         P, fs = self._fs(self.root)
+        committed = [v for v in versions if fs.exists(P(self._marker_path(table, v)))]
+        protected = set(committed[-keep:] if keep > 0 else [])
+        if cur is not None:
+            protected.add(cur)
+        # never touch dirs newer than current: one may be mid-write
+        doomed = [v for v in versions if v not in protected and (cur is None or v < cur)]
         for v in doomed:
             fs.delete(P(self._snap_dir(table, v)), True)
         return doomed

@@ -69,11 +69,24 @@ def streaming_volume_monitor(
             .agg(F.count(F.lit(1)).alias("cnt"))
             .withColumn("batch_id", F.lit(batch_id).cast("bigint"))
         )
-        if warehouse.exists(deltas_table):
+        if not warehouse.exists(deltas_table):
+            warehouse.overwrite(delta, deltas_table)
+            return
+        # normal path: plain append — O(batch). The full read+rewrite is
+        # paid ONLY on actual replay (a bounded limit(1) probe detects
+        # the batch_id), so per-batch cost does not grow with history
+        replayed = (
+            warehouse.read(deltas_table)
+            .filter(F.col("batch_id") == batch_id)
+            .limit(1)
+            .count()
+            > 0
+        )
+        if replayed:
             kept = warehouse.read(deltas_table).filter(F.col("batch_id") != batch_id)
             warehouse.overwrite(kept.unionByName(delta).localCheckpoint(), deltas_table)
         else:
-            warehouse.overwrite(delta, deltas_table)
+            warehouse.append(delta, deltas_table)
 
     return (
         ev.writeStream.foreachBatch(_fold)

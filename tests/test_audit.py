@@ -44,6 +44,16 @@ def test_group_checksums_merge_to_table_checksum(spark):
     assert folded == total["checksum"] and total["n_rows"] == 30
 
 
+def test_checksum_distinguishes_null_placement(spark):
+    # concat_ws alone drops NULL+separator → ('a', NULL, 'b') and
+    # ('a', 'b', NULL) would collide; the ␀ sentinel must split them
+    df1 = spark.createDataFrame([("a", None, "b")], "x string, y string, z string")
+    df2 = spark.createDataFrame([("a", "b", None)], "x string, y string, z string")
+    c1 = content_checksum(df1, ["x", "y", "z"]).collect()[0]["checksum"]
+    c2 = content_checksum(df2, ["x", "y", "z"]).collect()[0]["checksum"]
+    assert c1 != c2 and c1 is not None and c2 is not None
+
+
 def test_file_audit_reproducible_over_warehouse_files(spark, tmp_path):
     wh = Warehouse(spark, str(tmp_path / "wh"))
     df = spark.createDataFrame([(i, f"v{i}") for i in range(100)], "id int, v string").repartition(4)

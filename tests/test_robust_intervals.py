@@ -122,6 +122,17 @@ def test_winsorize_clamps_to_discrete_percentiles(spark):
     assert got[42]["__p_lo"] == 5.0 and got[42]["__p_hi"] == 95.0
 
 
+def test_winsorize_nulls_stay_null_and_do_not_shift_bounds(spark):
+    rows = [(i, "g", float(i)) for i in range(1, 101)] + [(200, "g", None), (201, "g", None)]
+    df = spark.createDataFrame(rows, "id int, g string, v double")
+    got = {r["id"]: r for r in winsorize(df, "v", ["g"], "id", 5, 95, out_col="w").collect()}
+    # NULL rows winsorize to NULL — no fabricated p_lo values
+    assert got[200]["w"] is None and got[201]["w"] is None
+    # bounds computed over the 100 non-null values only
+    assert got[50]["__p_lo"] == 5.0 and got[50]["__p_hi"] == 95.0
+    assert got[1]["w"] == 5.0 and got[100]["w"] == 95.0
+
+
 def test_trailing_anomalies_flags_spike_not_baseline(spark):
     # flat 10s then a 100 spike; spike is flagged, flat days are not,
     # and the first rows (insufficient trailing points) are not

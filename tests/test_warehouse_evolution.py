@@ -64,6 +64,48 @@ def test_overwrite_partitions_bootstrap_and_column_order(spark, wh):
     assert got == {("m1", 1): "x", ("m2", 2): "y"}
 
 
+def test_overwrite_partitions_rejects_existing_unpartitioned_table(spark, wh):
+    wh.overwrite(spark.createDataFrame([(1, "a", "m1")], "id int, v string, p string"), "u")
+    with pytest.raises(ValueError, match="partitioned by"):
+        wh.overwrite_partitions(
+            spark.createDataFrame([(2, "b", "m2")], "id int, v string, p string"), "u", ["p"]
+        )
+    # prior rows untouched by the rejected call
+    assert [tuple(r) for r in wh.read("u").collect()] == [(1, "a", "m1")]
+
+
+def test_overwrite_partitions_preserves_evolved_columns(spark, wh):
+    wh.append_evolve(spark.createDataFrame([("m1", 1)], "p string, id int"), "t", ["p"])
+    wh.append_evolve(
+        spark.createDataFrame([("m2", 2, 0.9)], "p string, id int, score double"), "t", ["p"]
+    )
+    # reprocess m2 WITH the evolved column: it must survive the rewrite
+    wh.overwrite_partitions(
+        spark.createDataFrame([("m2", 3, 0.7)], "p string, id int, score double"), "t", ["p"]
+    )
+    merged = wh.read("t", merge_schema=True)
+    assert "score" in merged.columns
+    got = {r["id"]: r["score"] for r in merged.collect()}
+    assert got == {1: None, 3: 0.7}
+
+
+def test_snapshot_survives_lost_marker_history(spark, wh):
+    """An orphan dir (crash before the marker) is never served, never
+    renumbered over, and vacuum sweeps it once a newer commit exists."""
+    wh.snapshot_overwrite(spark.createDataFrame([(1,)], "id int"), "t")
+    wh.snapshot_overwrite(spark.createDataFrame([(2,)], "id int"), "t")
+    # simulate a crashed v3 write: dir exists, marker missing
+    spark.createDataFrame([(99,)], "id int").write.parquet(wh._snap_dir("t", 3))
+    assert wh.current_snapshot("t") == 2  # orphan not served
+    with pytest.raises(FileNotFoundError, match="not committed"):
+        wh.read_snapshot("t", 3)
+    # next commit numbers PAST the orphan — never overwrites it
+    assert wh.snapshot_overwrite(spark.createDataFrame([(4,)], "id int"), "t") == 4
+    assert [r["id"] for r in wh.read_snapshot("t").collect()] == [4]
+    removed = wh.vacuum_snapshots("t", keep=1)
+    assert 3 in removed and wh.current_snapshot("t") == 4
+
+
 def test_snapshot_versioning_time_travel_and_vacuum(spark, wh):
     v1 = spark.createDataFrame([(1, "a")], "id int, v string")
     v2 = spark.createDataFrame([(1, "A"), (2, "b")], "id int, v string")
