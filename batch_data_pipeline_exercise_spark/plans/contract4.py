@@ -502,6 +502,130 @@ def doc_normalized_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Regression / correlation aggregates + quantization
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "value_trend_by_type",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+      FROM events
+    ), s AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x*y) AS BIGINT) AS sxy,
+             CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(y*y) AS BIGINT) AS syy
+      FROM b GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(n*sxy - sx*sy AS DOUBLE) / (n*sxx - sx*sx) / 100.0
+             AS slope_per_day,
+           (CAST(sy AS DOUBLE) / n / 100.0)
+             - (CAST(n*sxy - sx*sy AS DOUBLE) / (n*sxx - sx*sx) / 100.0)
+               * (CAST(sx AS DOUBLE) / n) AS intercept,
+           CAST(n*sxy - sx*sy AS DOUBLE)
+             / sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE))
+             AS pearson_r
+    FROM s
+    """,
+    doc="Per-group least-squares trend + Pearson correlation of event "
+    "value against time, the closed-form normal-equation aggregate: "
+    "every moment (Sx, Sy, Sxy, Sxx, Syy) is an EXACT integer sum "
+    "(epoch-day x, cent y), so slope/intercept/r are a fixed sequence "
+    "of deterministic double ops (sqrt is IEEE correctly-rounded) — "
+    "regression as ONE distributive aggregate pass, no iterative "
+    "solver, map-side combinable at any scale.",
+)
+def value_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    b = e.select(
+        "event_type",
+        F.unix_date(F.col("ts").cast("date")).cast("bigint").alias("x"),
+        (dec("value") * 100).cast("bigint").alias("y"),
+    )
+    s = b.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy).cast("double") / (n * sxx - sx * sx) / F.lit(100.0)
+    return s.select(
+        "event_type",
+        "n",
+        slope.alias("slope_per_day"),
+        (
+            (sy.cast("double") / n / F.lit(100.0))
+            - slope * (sx.cast("double") / n)
+        ).alias("intercept"),
+        (
+            (n * sxy - sx * sy).cast("double")
+            / F.sqrt((n * sxx - sx * sx).cast("double") * (n * syy - sy * sy).cast("double"))
+        ).alias("pearson_r"),
+    )
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH m AS (
+      SELECT vec_id, embedding,
+             (SELECT MAX(abs(CAST(u.x AS DOUBLE))) FROM UNNEST(embedding) AS u(x)) AS max_abs
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id, max_abs,
+             list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * (127.0 / max_abs)) AS BIGINT)) AS qv
+      FROM m WHERE max_abs > 0
+    )
+    SELECT vec_id, CAST(127.0 / max_abs AS DOUBLE) AS scale,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           CAST(list_sum(list_transform(qv, v -> abs(v))) AS BIGINT) AS q_l1,
+           qv[1] AS q0, qv[2] AS q1, qv[3] AS q2, qv[4] AS q3
+    FROM q
+    """,
+    doc="Symmetric int8 quantization of embeddings (the ANN memory-"
+    "compression step: 4x smaller vectors, dot products in integer "
+    "SIMD): per-vector scale 127/max|x|, components floored after ONE "
+    "double multiply — float32→double is exact widening and each op "
+    "is a fixed deterministic sequence, so the quantized integers "
+    "hash identically cross-engine. Output pins the full vector via "
+    "exact integer sum/L1 plus the first 4 lanes. Pure higher-order "
+    "column functions (transform/aggregate), zero UDFs, no shuffle.",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    vd = F.col("embedding").cast("array<double>")
+    max_abs = F.aggregate(
+        vd, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    )
+    m = emb.select("vec_id", vd.alias("v"), max_abs.alias("max_abs")).filter(
+        F.col("max_abs") > 0
+    )
+    scale = F.lit(127.0) / F.col("max_abs")
+    qv = F.transform(F.col("v"), lambda x: F.floor(x * scale).cast("bigint"))
+    q = m.select("vec_id", (F.lit(127.0) / F.col("max_abs")).alias("scale"), qv.alias("qv"))
+    return q.select(
+        "vec_id",
+        "scale",
+        F.aggregate("qv", F.lit(0).cast("bigint"), lambda a, v: a + v).alias("q_sum"),
+        F.aggregate("qv", F.lit(0).cast("bigint"), lambda a, v: a + F.abs(v)).alias("q_l1"),
+        F.element_at("qv", 1).alias("q0"),
+        F.element_at("qv", 2).alias("q1"),
+        F.element_at("qv", 3).alias("q2"),
+        F.element_at("qv", 4).alias("q3"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Hopping windows + graph analytics
 # ---------------------------------------------------------------------------
 

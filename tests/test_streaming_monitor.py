@@ -76,6 +76,45 @@ def test_streaming_monitor_matches_batch_flags(spark, dirs):
     assert got == expect
 
 
+def test_streaming_hopping_window_matches_batch(spark, dirs):
+    """The hopping-window expression of event_hopping_window_counts run
+    under readStream (watermark + availableNow, update-to-memory)
+    produces the same final cells as the batch groupBy on the same
+    rows — streaming ≡ batch for the sliding-window aggregate."""
+    raw, _, ckpt = dirs
+    rows = _events({0: 7, 1: 5})
+    _drop(raw, "events_01.jsonl", rows)
+
+    stream = monitor.stream_events(spark, raw).withWatermark("ts", "1 hour")
+    agg = (
+        stream.groupBy("event_type", F.window("ts", "15 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("event_type", F.col("w.start").alias("ws"), "n_events")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("hopcells")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["event_type"], r["ws"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM hopcells").collect()
+    }
+    batch = (
+        spark.createDataFrame(rows, "event_id long, ts string, event_type string")
+        .withColumn("ts", F.to_timestamp("ts"))
+        .groupBy("event_type", F.window("ts", "15 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("event_type", F.col("w.start").alias("ws"), "n_events")
+    )
+    expect = {(r["event_type"], r["ws"]): r["n_events"] for r in batch.collect()}
+    assert got == expect and len(expect) > 0
+
+
 def test_streaming_monitor_replay_and_compaction(spark, dirs, tmp_path):
     raw, wh_dir, ckpt = dirs
     wh = Warehouse(spark, wh_dir)
