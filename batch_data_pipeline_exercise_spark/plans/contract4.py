@@ -502,6 +502,163 @@ def doc_normalized_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Behavioral analytics: rolling distinct, attribution credit, sequence checks
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rolling_7day_distinct_users",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT user_id, CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+      FROM events
+    ), bounds AS (SELECT MAX(d) AS dmax FROM du),
+    contrib AS (
+      SELECT du.user_id, du.d + u.o AS wd
+      FROM du, UNNEST(range(0, 7)) AS u(o), bounds
+      WHERE du.d + u.o <= bounds.dmax
+    )
+    SELECT strftime(DATE '1970-01-01' + CAST(wd AS INTEGER), '%Y-%m-%d') AS day,
+           COUNT(DISTINCT user_id) AS active_users_7d
+    FROM contrib GROUP BY wd
+    """,
+    doc="Exact trailing-7-day distinct users per day (the DAU/WAU "
+    "dashboard row; user_reach_by_type's HLL sketches are the "
+    "approximate scale twin). COUNT DISTINCT cannot window, so each "
+    "(user, day) pair is EXPLODED to the <=7 window-days it "
+    "contributes to — turning a windowed distinct into a plain "
+    "distinct aggregate, 7x linear instead of a per-day self-join; "
+    "days beyond the data's horizon are dropped so every reported "
+    "window is fully observed. Integer epoch-day arithmetic "
+    "throughout.",
+)
+def rolling_7day_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    du = e.select(
+        "user_id", F.unix_date(F.col("ts").cast("date")).cast("bigint").alias("d")
+    ).distinct().localCheckpoint()
+    dmax = du.agg(F.max("d")).first()[0]
+    contrib = du.select(
+        "user_id", F.explode(F.sequence(F.col("d"), F.col("d") + 6)).alias("wd")
+    ).filter(F.col("wd") <= dmax)
+    return (
+        contrib.groupBy("wd")
+        .agg(F.count_distinct("user_id").alias("active_users_7d"))
+        .select(
+            F.date_format(F.date_from_unix_date(F.col("wd").cast("int")), "yyyy-MM-dd").alias("day"),
+            "active_users_7d",
+        )
+    )
+
+
+@register(
+    "multi_touch_attribution",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, ts AS p_ts,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT event_id AS click_id, user_id, ts AS c_ts
+      FROM events WHERE event_type = 'click'
+    ), touch AS (
+      SELECT p.purchase_id, p.cents, c.click_id,
+             COUNT(*) OVER (PARTITION BY p.purchase_id) AS n_touches
+      FROM p JOIN c ON c.user_id = p.user_id
+       AND c.c_ts <= p.p_ts AND c.c_ts > p.p_ts - INTERVAL 1 HOUR
+    )
+    SELECT click_id,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases_touched,
+           CAST(SUM((cents * 1000000) // n_touches) AS DOUBLE) / 100000000.0
+             AS credited_revenue
+    FROM touch GROUP BY click_id
+    """,
+    doc="Linear multi-touch attribution: every click within the hour "
+    "before a same-user purchase shares the purchase value equally. "
+    "Credit is defined in integer MICRO-CENTS with floor division "
+    "((cents*1e6) div n_touches) so the per-click credit sum is an "
+    "exact, order-free bigint — a double credit (cents/n) would sum "
+    "in shuffle order and drift in the last ulp whenever a click "
+    "touches several purchases. One final division renders currency. "
+    "The event-time-bounded join is the streaming interval-join shape "
+    "run on batch — bounded state, never a full cross product.",
+)
+def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        (dec("value") * 100).cast("bigint").alias("cents"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts")
+    )
+    touch = (
+        p.join(c, "user_id")
+        .filter(
+            (F.col("c_ts") <= F.col("p_ts"))
+            & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        )
+        .withColumn("n_touches", F.count(F.lit(1)).over(Window.partitionBy("purchase_id")))
+    )
+    micro = F.expr("(cents * 1000000) div n_touches")
+    return touch.groupBy("click_id").agg(
+        F.count(F.lit(1)).alias("n_purchases_touched"),
+        (F.sum(micro).cast("double") / F.lit(100000000.0)).alias("credited_revenue"),
+    )
+
+
+@register(
+    "user_event_sequence_checks",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ), firsts AS (
+      SELECT user_id, MAX(CASE WHEN rn = 1 THEN event_type END) AS first_type FROM o GROUP BY user_id
+    ), mins AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT f.user_id,
+           f.first_type = 'signup' AS starts_with_signup,
+           COALESCE(m.first_purchase < m.first_click, m.first_purchase IS NOT NULL AND m.first_click IS NULL)
+             AS purchase_before_click
+    FROM firsts f JOIN mins m ON f.user_id = m.user_id
+    """,
+    doc="Behavioral sequence validation (the event-log data contract): "
+    "per user, does the log start with a signup, and does any purchase "
+    "precede the first click — the funnel-integrity flags an ingestion "
+    "bug trips first. One ranking window + one conditional aggregate, "
+    "both user-partitioned; boolean outputs are exact timestamp "
+    "comparisons.",
+)
+def user_event_sequence_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = e.withColumn("rn", F.row_number().over(w))
+    firsts = o.groupBy("user_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("event_type"))).alias("first_type")
+    )
+    mins = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("first_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("first_purchase"),
+    )
+    return firsts.join(mins, "user_id").select(
+        "user_id",
+        (F.col("first_type") == "signup").alias("starts_with_signup"),
+        F.coalesce(
+            F.col("first_purchase") < F.col("first_click"),
+            F.col("first_purchase").isNotNull() & F.col("first_click").isNull(),
+        ).alias("purchase_before_click"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Regression / correlation aggregates + quantization
 # ---------------------------------------------------------------------------
 
