@@ -502,6 +502,92 @@ def doc_normalized_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BI breadth: growth ratios, map-literal dimension decode
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "revenue_qoq_growth",
+    oracle="""
+    WITH q AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) * 4
+               + CAST(EXTRACT(quarter FROM o_orderdate) AS INTEGER) - 1 AS qidx,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1
+    )
+    SELECT cur.qidx // 4 AS yr, cur.qidx % 4 + 1 AS qtr,
+           CAST(cur.rev AS DOUBLE) AS revenue,
+           CAST(prev.rev AS DOUBLE) AS prev_revenue,
+           CAST(cur.rev AS DOUBLE) / CAST(prev.rev AS DOUBLE) - 1.0 AS qoq_growth
+    FROM q cur LEFT JOIN q prev ON prev.qidx = cur.qidx - 1
+    """,
+    doc="Quarter-over-quarter growth: decimal-exact quarterly revenue; "
+    "the previous period comes from a LEFT self-equi-join on the "
+    "linearized quarter index (yr*4+qtr-1 = qidx, prev at qidx-1) "
+    "rather than LAG over an UNPARTITIONED window — the plan gate "
+    "forbids global windows with zero exceptions, and the successor "
+    "equi-join is the same shape that stays key-partitioned when the "
+    "period grain is (tenant, quarter) at scale. Growth is one "
+    "division minus one on exact-decimal casts.",
+)
+def revenue_qoq_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    q = (
+        o.groupBy(
+            (
+                F.year("o_orderdate").cast("int") * 4 + F.quarter("o_orderdate").cast("int") - 1
+            ).alias("qidx")
+        )
+        .agg(F.sum(dec("o_totalprice")).alias("rev"))
+        .localCheckpoint()
+    )
+    cur, prev = q.alias("cur"), q.alias("prev")
+    j = cur.join(prev, F.col("prev.qidx") == F.col("cur.qidx") - 1, "left")
+    return j.select(
+        F.expr("cur.qidx div 4").cast("int").alias("yr"),
+        (F.col("cur.qidx") % 4 + 1).cast("int").alias("qtr"),
+        F.col("cur.rev").cast("double").alias("revenue"),
+        F.col("prev.rev").cast("double").alias("prev_revenue"),
+        (F.col("cur.rev").cast("double") / F.col("prev.rev").cast("double") - F.lit(1.0)).alias(
+            "qoq_growth"
+        ),
+    )
+
+
+@register(
+    "orders_priority_decoded",
+    oracle="""
+    SELECT o_orderkey,
+           CASE o_orderpriority
+             WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2 WHEN '3-MEDIUM' THEN 3
+             WHEN '4-NOT SPECIFIED' THEN 4 WHEN '5-LOW' THEN 5 ELSE 0
+           END AS priority_rank,
+           o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%' AS is_expedited
+    FROM orders
+    """,
+    doc="Dimension decode WITHOUT a join: a closed enum (5 priorities) "
+    "becomes a map literal evaluated inside the scan's codegen stage — "
+    "zero shuffle, zero broadcast, the right plan when the 'dimension' "
+    "is a static vocabulary. At 100 TB this beats even a broadcast "
+    "join: no build side, no hash probe, just a constant-folded "
+    "lookup per row.",
+)
+def orders_priority_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    ranks = {"1-URGENT": 1, "2-HIGH": 2, "3-MEDIUM": 3, "4-NOT SPECIFIED": 4, "5-LOW": 5}
+    m = F.create_map(*[F.lit(x) for kv in ranks.items() for x in kv])
+    return o.select(
+        "o_orderkey",
+        F.coalesce(F.element_at(m, F.col("o_orderpriority")), F.lit(0)).cast("int").alias(
+            "priority_rank"
+        ),
+        (
+            F.col("o_orderpriority").like("1-%") | F.col("o_orderpriority").like("2-%")
+        ).alias("is_expedited"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Behavioral analytics: rolling distinct, attribution credit, sequence checks
 # ---------------------------------------------------------------------------
 
