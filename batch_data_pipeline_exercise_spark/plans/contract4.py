@@ -502,6 +502,64 @@ def doc_normalized_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Tokenizer training substrate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_bpe_pair_counts",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split({{norm}}, ' ') AS tk FROM documents),
+    w AS (
+      SELECT u.t AS word, COUNT(*) AS n
+      FROM toks, UNNEST(tk) AS u(t) WHERE length(u.t) > 0 GROUP BY 1
+    ), bg AS (
+      SELECT substr(word, CAST(i AS INTEGER), 2) AS pair, n
+      FROM w, UNNEST(range(1, length(word))) AS r(i)
+      WHERE length(word) >= 2
+    )
+    SELECT pair, CAST(SUM(n) AS BIGINT) AS pair_count
+    FROM bg GROUP BY pair HAVING SUM(n) >= 100
+    """.replace("{norm}", norm_ws_sql("text")),
+    doc="BPE training's inner statistic: corpus-wide adjacent-character "
+    "pair counts weighted by word frequency — the argmax of this table "
+    "IS the first BPE merge, and re-running it over merged symbols "
+    "iterates the algorithm. Counting on the DISTINCT-word table "
+    "(thousands of rows) instead of raw text makes each round cheap "
+    "regardless of corpus size — the standard word-histogram trick "
+    "from the original BPE formulation. Threshold filter, no global "
+    "top-k window.",
+)
+def corpus_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    from batch_data_pipeline_exercise_spark.operators.text import tokenize
+
+    w = (
+        d.select(F.explode(tokenize("text")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bg = (
+        w.filter(F.length("word") >= 2)
+        .select(
+            "n",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word") - 1),
+                    lambda i: F.col("word").substr(i, F.lit(2)),
+                )
+            ).alias("pair"),
+        )
+    )
+    return (
+        bg.groupBy("pair")
+        .agg(F.sum("n").cast("bigint").alias("pair_count"))
+        .filter(F.col("pair_count") >= 100)
+    )
+
+
+# ---------------------------------------------------------------------------
 # BI breadth: growth ratios, map-literal dimension decode
 # ---------------------------------------------------------------------------
 
@@ -598,11 +656,11 @@ def orders_priority_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH du AS (
       SELECT DISTINCT user_id, CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
       FROM events
-    ), bounds AS (SELECT MAX(d) AS dmax FROM du),
+    ), bounds AS (SELECT MIN(d) AS dmin, MAX(d) AS dmax FROM du),
     contrib AS (
       SELECT du.user_id, du.d + u.o AS wd
       FROM du, UNNEST(range(0, 7)) AS u(o), bounds
-      WHERE du.d + u.o <= bounds.dmax
+      WHERE du.d + u.o <= bounds.dmax AND du.d + u.o >= bounds.dmin + 6
     )
     SELECT strftime(DATE '1970-01-01' + CAST(wd AS INTEGER), '%Y-%m-%d') AS day,
            COUNT(DISTINCT user_id) AS active_users_7d
@@ -613,9 +671,11 @@ def orders_priority_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
     "approximate scale twin). COUNT DISTINCT cannot window, so each "
     "(user, day) pair is EXPLODED to the <=7 window-days it "
     "contributes to — turning a windowed distinct into a plain "
-    "distinct aggregate, 7x linear instead of a per-day self-join; "
-    "days beyond the data's horizon are dropped so every reported "
-    "window is fully observed. Integer epoch-day arithmetic "
+    "distinct aggregate, 7x linear instead of a per-day self-join. "
+    "BOTH edges are truncated to fully-observed windows: days past "
+    "the data's horizon AND the first 6 days (whose trailing windows "
+    "reach before the first observed day and would read as a fake "
+    "ramp-up on a dashboard). Integer epoch-day arithmetic "
     "throughout.",
 )
 def rolling_7day_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -623,10 +683,10 @@ def rolling_7day_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     du = e.select(
         "user_id", F.unix_date(F.col("ts").cast("date")).cast("bigint").alias("d")
     ).distinct().localCheckpoint()
-    dmax = du.agg(F.max("d")).first()[0]
+    dmin, dmax = du.agg(F.min("d"), F.max("d")).first()
     contrib = du.select(
         "user_id", F.explode(F.sequence(F.col("d"), F.col("d") + 6)).alias("wd")
-    ).filter(F.col("wd") <= dmax)
+    ).filter((F.col("wd") <= dmax) & (F.col("wd") >= dmin + 6))
     return (
         contrib.groupBy("wd")
         .agg(F.count_distinct("user_id").alias("active_users_7d"))
@@ -752,24 +812,27 @@ def user_event_sequence_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "value_trend_by_type",
     oracle="""
-    WITH b AS (
+    WITH base AS (SELECT event_type, ts, value FROM events WHERE value IS NOT NULL),
+    bounds AS (SELECT MIN(CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)) AS d0 FROM base),
+    b AS (
       SELECT event_type,
-             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) - d0 AS x,
              CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
-      FROM events
+      FROM base, bounds
     ), s AS (
-      SELECT event_type, COUNT(*) AS n,
-             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-             CAST(SUM(x*y) AS BIGINT) AS sxy,
-             CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(y*y) AS BIGINT) AS syy
+      SELECT event_type,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(x*y) AS HUGEINT) AS sxy,
+             CAST(SUM(x*x) AS HUGEINT) AS sxx, CAST(SUM(y*y) AS HUGEINT) AS syy
       FROM b GROUP BY event_type
     )
-    SELECT event_type, n,
-           CAST(n*sxy - sx*sy AS DOUBLE) / (n*sxx - sx*sx) / 100.0
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) / 100.0
              AS slope_per_day,
-           (CAST(sy AS DOUBLE) / n / 100.0)
-             - (CAST(n*sxy - sx*sy AS DOUBLE) / (n*sxx - sx*sx) / 100.0)
-               * (CAST(sx AS DOUBLE) / n) AS intercept,
+           (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 100.0)
+             - (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) / 100.0)
+               * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS intercept_at_d0,
            CAST(n*sxy - sx*sy AS DOUBLE)
              / sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE))
              AS pearson_r
@@ -778,41 +841,48 @@ def user_event_sequence_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Per-group least-squares trend + Pearson correlation of event "
     "value against time, the closed-form normal-equation aggregate: "
     "every moment (Sx, Sy, Sxy, Sxx, Syy) is an EXACT integer sum "
-    "(epoch-day x, cent y), so slope/intercept/r are a fixed sequence "
-    "of deterministic double ops (sqrt is IEEE correctly-rounded) — "
-    "regression as ONE distributive aggregate pass, no iterative "
-    "solver, map-side combinable at any scale.",
+    "over NULL-free rows, with x CENTERED on the corpus's first day "
+    "(intercept_at_d0 is the fitted value there) and the moment "
+    "combinations computed in 128-bit integers (Spark DECIMAL(38,0) / "
+    "DuckDB HUGEINT) — int64 products n*Sxy overflow silently around "
+    "2e6 rows per group on uncentered epoch days. The float tail is a "
+    "fixed deterministic sequence (sqrt is IEEE correctly-rounded); "
+    "the r denominator's two ~1e20 factors convert to double BEFORE "
+    "their product, which would overflow even 128 bits. One "
+    "distributive aggregate pass, map-side combinable.",
 )
 def value_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
-    b = e.select(
+    base = e.filter(F.col("value").isNotNull()).select(
         "event_type",
-        F.unix_date(F.col("ts").cast("date")).cast("bigint").alias("x"),
+        F.unix_date(F.col("ts").cast("date")).cast("bigint").alias("d"),
         (dec("value") * 100).cast("bigint").alias("y"),
-    )
+    ).localCheckpoint()
+    d0 = base.agg(F.min("d")).first()[0]
+    b = base.select("event_type", (F.col("d") - F.lit(d0)).alias("x"), "y")
+    DEC = "decimal(38,0)"
     s = b.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.count(F.lit(1)).cast(DEC).alias("n"),
+        F.sum("x").cast(DEC).alias("sx"),
+        F.sum("y").cast(DEC).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast(DEC).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast(DEC).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast(DEC).alias("syy"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
-    slope = (n * sxy - sx * sy).cast("double") / (n * sxx - sx * sx) / F.lit(100.0)
+    num = (n * sxy - sx * sy).cast("double")
+    den = (n * sxx - sx * sx).cast("double")
+    slope = num / den / F.lit(100.0)
     return s.select(
         "event_type",
-        "n",
+        n.cast("bigint").alias("n"),
         slope.alias("slope_per_day"),
         (
-            (sy.cast("double") / n / F.lit(100.0))
-            - slope * (sx.cast("double") / n)
-        ).alias("intercept"),
-        (
-            (n * sxy - sx * sy).cast("double")
-            / F.sqrt((n * sxx - sx * sx).cast("double") * (n * syy - sy * sy).cast("double"))
-        ).alias("pearson_r"),
+            (sy.cast("double") / n.cast("double") / F.lit(100.0))
+            - slope * (sx.cast("double") / n.cast("double"))
+        ).alias("intercept_at_d0"),
+        (num / F.sqrt(den * (n * syy - sy * sy).cast("double"))).alias("pearson_r"),
     )
 
 
@@ -826,7 +896,9 @@ def value_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), q AS (
       SELECT vec_id, max_abs,
              list_transform(embedding,
-               x -> CAST(FLOOR(CAST(x AS DOUBLE) * (127.0 / max_abs)) AS BIGINT)) AS qv
+               x -> GREATEST(CAST(-127 AS BIGINT), LEAST(CAST(127 AS BIGINT),
+                      CAST(FLOOR(CAST(x AS DOUBLE) * (127.0 / max_abs) + 0.5) AS BIGINT))))
+               AS qv
       FROM m WHERE max_abs > 0
     )
     SELECT vec_id, CAST(127.0 / max_abs AS DOUBLE) AS scale,
@@ -837,12 +909,17 @@ def value_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Symmetric int8 quantization of embeddings (the ANN memory-"
     "compression step: 4x smaller vectors, dot products in integer "
-    "SIMD): per-vector scale 127/max|x|, components floored after ONE "
-    "double multiply — float32→double is exact widening and each op "
-    "is a fixed deterministic sequence, so the quantized integers "
-    "hash identically cross-engine. Output pins the full vector via "
-    "exact integer sum/L1 plus the first 4 lanes. Pure higher-order "
-    "column functions (transform/aggregate), zero UDFs, no shuffle.",
+    "SIMD): per-vector scale 127/max|x|, components rounded to "
+    "nearest (floor(x*s + 0.5) — deterministic, identical in both "
+    "engines) and CLAMPED to [-127, 127]: the rounded product of the "
+    "max-magnitude component can land at ±128/±126 depending on the "
+    "last ulp of 127/max_abs, and the clamp guarantees the symmetric "
+    "range a saturating int8 consumer assumes (|-128| overflows int8 "
+    "negation). float32→double is exact widening; every op is a fixed "
+    "deterministic sequence, so the integers hash identically "
+    "cross-engine. Output pins the full vector via exact integer "
+    "sum/L1 plus the first 4 lanes. Pure higher-order column "
+    "functions, zero UDFs, no shuffle.",
 )
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
@@ -854,8 +931,12 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("max_abs") > 0
     )
     scale = F.lit(127.0) / F.col("max_abs")
-    qv = F.transform(F.col("v"), lambda x: F.floor(x * scale).cast("bigint"))
-    q = m.select("vec_id", (F.lit(127.0) / F.col("max_abs")).alias("scale"), qv.alias("qv"))
+    lo, hi = F.lit(-127).cast("bigint"), F.lit(127).cast("bigint")
+    qv = F.transform(
+        F.col("v"),
+        lambda x: F.greatest(lo, F.least(hi, F.floor(x * scale + F.lit(0.5)).cast("bigint"))),
+    )
+    q = m.select("vec_id", scale.alias("scale"), qv.alias("qv"))
     return q.select(
         "vec_id",
         "scale",

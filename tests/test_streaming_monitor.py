@@ -78,7 +78,8 @@ def test_streaming_monitor_matches_batch_flags(spark, dirs):
 
 def test_streaming_hopping_window_matches_batch(spark, dirs):
     """The hopping-window expression of event_hopping_window_counts run
-    under readStream (watermark + availableNow, update-to-memory)
+    under readStream (watermark + availableNow, complete-to-memory —
+    complete mode is what makes the final dict comparison valid)
     produces the same final cells as the batch groupBy on the same
     rows — streaming ≡ batch for the sliding-window aggregate."""
     raw, _, ckpt = dirs
