@@ -110,6 +110,21 @@ def main(argv: list[str] | None = None) -> int:
     p_met.add_argument("--date-to", dest="date_to", default=None)
     p_met.add_argument("--warehouse", required=True)
 
+    p_aud = sub.add_parser(
+        "audit",
+        help="order-free table fingerprint: (n_rows, checksum) per group — "
+        "compare two warehouses by diffing the JSON lines",
+    )
+    p_aud.add_argument("--table", required=True)
+    p_aud.add_argument(
+        "--group-col",
+        dest="group_col",
+        default=None,
+        help="optional partition/group column to localize divergences",
+    )
+    p_aud.add_argument("--limit", type=int, default=10000, help="max group rows printed")
+    p_aud.add_argument("--warehouse", required=True)
+
     args = ap.parse_args(argv)
 
     if args.cmd == "run" and not _valid_ts(args.ts):
@@ -197,6 +212,24 @@ def main(argv: list[str] | None = None) -> int:
                     daily, wh.read("dim_products"), wh.read("dim_dates"), args.date_from, args.date_to
                 )
         _print_df(df, limit=args.limit)
+        return 0
+
+    if args.cmd == "audit":
+        from batch_data_pipeline_exercise_spark.operators.audit import content_checksum
+
+        wh = pipe.wh
+        if not wh.exists(args.table):
+            return _err(f"table {args.table!r} not found in warehouse")
+        df = wh.read(args.table)
+        if args.group_col and args.group_col not in df.columns:
+            return _err(f"--group-col {args.group_col!r} not in table columns {df.columns}")
+        # canonicalize every column as its string cast — sufficient for
+        # Spark-to-Spark replica comparison (both sides stringify
+        # identically); cross-engine audits go through the contract
+        # query's explicitly-canonicalized form instead
+        cols = [F.col(c).cast("string") for c in df.columns]
+        out = content_checksum(df, cols, group_cols=[args.group_col] if args.group_col else None)
+        _print_df(out, limit=args.limit)
         return 0
 
     return 1

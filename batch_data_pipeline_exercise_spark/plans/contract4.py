@@ -502,6 +502,63 @@ def doc_normalized_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Streaming operations support: lateness profiling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_lateness_profile",
+    oracle="""
+    WITH a AS (
+      SELECT event_type,
+             epoch_us(ts) - MAX(epoch_us(ts)) OVER (PARTITION BY event_type
+                                                    ORDER BY event_id
+                                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS late_us
+      FROM events
+    )
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN late_us < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_out_of_order,
+           CAST(SUM(CASE WHEN late_us <= -60000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late_1m,
+           CAST(SUM(CASE WHEN late_us <= -600000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late_10m,
+           CAST(SUM(CASE WHEN late_us <= -3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late_1h,
+           CAST(-MIN(late_us) AS BIGINT) AS max_lateness_us
+    FROM a GROUP BY event_type
+    """,
+    doc="Event-time lateness profile: per type, how far behind the "
+    "running event-time high-watermark each event arrives (arrival "
+    "order = event_id, the ingestion sequence) bucketed at 1m/10m/1h — "
+    "the measurement that SIZES a streaming watermark instead of "
+    "guessing it: pick the threshold whose drop count you can afford. "
+    "One event_type-partitioned running-max window over integer "
+    "microseconds, one counting aggregate; all decisions are integer "
+    "comparisons.",
+)
+def event_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    t_us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    a = e.select("event_type", (t_us - F.max(t_us).over(w)).alias("late_us"))
+    late = F.col("late_us")
+
+    def n_at(thresh_us: int, name: str):
+        return F.sum(F.when(late <= -thresh_us, 1).otherwise(0)).cast("bigint").alias(name)
+
+    return a.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(late < 0, 1).otherwise(0)).cast("bigint").alias("n_out_of_order"),
+        n_at(60_000_000, "n_late_1m"),
+        n_at(600_000_000, "n_late_10m"),
+        n_at(3_600_000_000, "n_late_1h"),
+        (-F.min(late)).cast("bigint").alias("max_lateness_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Tokenizer training substrate
 # ---------------------------------------------------------------------------
 

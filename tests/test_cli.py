@@ -47,3 +47,30 @@ def test_valid_ts_formats_pass_validation():
     assert _valid_ts("2021-03-01")
     assert not _valid_ts("01-03-2021")
     assert not _valid_ts("")
+
+
+def test_audit_subcommand_end_to_end(capsys, spark, tmp_path):
+    """audit prints per-group (n_rows, checksum) JSON lines; identical
+    tables fingerprint identically, a tampered one diverges."""
+    from batch_data_pipeline_exercise_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [("g1", 1, "a"), ("g1", 2, "b"), ("g2", 3, "c")], "g string, id int, v string"
+    )
+    wh.overwrite(df, "t")
+    code = main(["audit", "--table", "t", "--group-col", "g", "--warehouse", str(tmp_path / "wh")])
+    out1 = {json.loads(l)["g"]: json.loads(l) for l in capsys.readouterr().out.strip().splitlines()}
+    assert code == 0 and set(out1) == {"g1", "g2"} and out1["g1"]["n_rows"] == 2
+
+    # same data re-written in a different order/partitioning → same checksums
+    wh.overwrite(df.repartition(3), "t")
+    main(["audit", "--table", "t", "--group-col", "g", "--warehouse", str(tmp_path / "wh")])
+    out2 = {json.loads(l)["g"]: json.loads(l) for l in capsys.readouterr().out.strip().splitlines()}
+    assert {k: v["checksum"] for k, v in out1.items()} == {k: v["checksum"] for k, v in out2.items()}
+
+    # missing table / bad group col fail fast
+    assert main(["audit", "--table", "ghost", "--warehouse", str(tmp_path / "wh")]) == 2
+    capsys.readouterr()
+    assert main(["audit", "--table", "t", "--group-col", "nope", "--warehouse", str(tmp_path / "wh")]) == 2
+    capsys.readouterr()
