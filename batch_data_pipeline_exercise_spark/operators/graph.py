@@ -120,3 +120,53 @@ def dedup_clusters(
     drop. Documents in no pair form singleton clusters."""
     labels = connected_components(pairs, all_ids, id_col=id_col, src=pair_cols[0], dst=pair_cols[1])
     return labels.withColumnRenamed("comp", "cluster")
+
+
+def pagerank_scaled(
+    edges: DataFrame,
+    iterations: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = 10**12,
+) -> DataFrame:
+    """PageRank over an undirected edge list in EXACT scaled-integer
+    arithmetic: scores live in units of ``1/scale`` and every step is
+    integer floor division — ``s'(v) = (base*scale) div den +
+    (num * Σ_u (s(u) div deg(u))) div den`` — so the result is a
+    deterministic SPECIFICATION, reproducible bit-for-bit across runs,
+    partitionings, and engines (a float PageRank sums in shuffle order
+    and drifts in the last ulp every run; fine for ranking, useless for
+    a differential oracle or an incremental cache-validity check).
+
+    A FIXED iteration count (power iteration truncated at k) rather than
+    convergence detection: dedup/similarity graphs are near-cliques
+    where 2 hops already separate hubs from leaves, and a fixed k keeps
+    the job a static k-stage DAG — no per-round driver actions at all.
+    Per iteration: one equi join (scores→edges on src) + one groupBy
+    sum; only edge-incident vertices participate. With scale=1e12 and
+    degrees ≤ ~1e6 the accumulators stay far inside int64.
+    """
+    both = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    )
+    deg = both.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    base = ((damping_den - damping_num) * scale) // damping_den  # (1-d)*scale, exact
+    scores = deg.select("u", F.lit(scale).cast("bigint").alias("s"))
+    for _ in range(iterations):
+        contrib = (
+            scores.join(deg, "u")
+            .withColumn("__share", F.expr("s div deg"))
+            .join(both, "u")
+            .groupBy(F.col("v").alias("u"))
+            .agg(F.sum("__share").alias("__in"))
+        )
+        scores = deg.select("u").join(contrib, "u", "left").select(
+            "u",
+            (
+                F.lit(base).cast("bigint")
+                + F.expr(f"({damping_num} * coalesce(__in, 0)) div {damping_den}")
+            ).alias("s"),
+        ).localCheckpoint()
+    return scores.select(F.col("u").alias("id"), F.col("s").alias("score_scaled"))

@@ -1048,6 +1048,67 @@ def event_hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dup_graph_pagerank2",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split({{norm}}, ' ') AS tk FROM documents),
+    sh AS (SELECT DISTINCT doc_id, s FROM toks,
+           UNNEST(list_transform(range(0, greatest(len(tk)-5, 0)+1),
+                  i -> array_to_string(list_slice(tk, i+1, i+5), ' '))) AS u(s)
+           WHERE length(s) > 0),
+    e AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 5
+    ),
+    bidir AS (SELECT src AS u, dst AS v FROM e UNION ALL SELECT dst, src FROM e),
+    deg AS (SELECT u, COUNT(*) AS deg FROM bidir GROUP BY u),
+    s0 AS (SELECT u, CAST(1000000000000 AS BIGINT) AS s FROM deg),
+    c1 AS (
+      SELECT b.v AS u, SUM(s0.s // d.deg) AS inflow
+      FROM s0 JOIN deg d USING (u) JOIN bidir b USING (u) GROUP BY b.v
+    ),
+    s1 AS (
+      SELECT d.u, CAST(150000000000 + (85 * COALESCE(c1.inflow, 0)) // 100 AS BIGINT) AS s
+      FROM deg d LEFT JOIN c1 USING (u)
+    ),
+    c2 AS (
+      SELECT b.v AS u, SUM(s1.s // d.deg) AS inflow
+      FROM s1 JOIN deg d USING (u) JOIN bidir b USING (u) GROUP BY b.v
+    )
+    SELECT d.u AS doc_id,
+           CAST(150000000000 + (85 * COALESCE(c2.inflow, 0)) // 100 AS BIGINT) AS score_scaled
+    FROM deg d LEFT JOIN c2 USING (u)
+    """.replace("{norm}", _NORM4),
+    doc="PageRank (2 power iterations, damping 0.85) over the "
+    "shared-5-gram document graph in EXACT scaled-integer arithmetic "
+    "(operators/graph.py pagerank_scaled): every step is integer floor "
+    "division, so the scores are a deterministic specification — "
+    "reproducible across runs, partitionings, AND engines, which is "
+    "what lets an iterative graph algorithm carry a value-hash oracle "
+    "at all (float PageRank drifts in shuffle order). Per iteration: "
+    "one equi join + one sum; fixed k = a static k-stage DAG, no "
+    "driver-side rounds.",
+)
+def dup_graph_pagerank2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from batch_data_pipeline_exercise_spark.operators.dedup import word_shingles
+    from batch_data_pipeline_exercise_spark.operators.graph import pagerank_scaled
+
+    d = load(spark, sf_dir, "documents")
+    sh = word_shingles(d, "doc_id", n=5, distinct=True)
+    a, b = sh.alias("a"), sh.alias("b")
+    edges = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 5)
+        .select("src", "dst")
+        .localCheckpoint()
+    )
+    out = pagerank_scaled(edges, iterations=2)
+    return out.select(F.col("id").alias("doc_id"), "score_scaled")
+
+
+@register(
     "dup_graph_triangles",
     oracle=f"""
     WITH toks AS (SELECT doc_id, string_split({_NORM4}, ' ') AS tk
