@@ -110,6 +110,23 @@ def main(argv: list[str] | None = None) -> int:
     p_met.add_argument("--date-to", dest="date_to", default=None)
     p_met.add_argument("--warehouse", required=True)
 
+    p_bf = sub.add_parser(
+        "backfill",
+        help="re-run one feed over a date range from {csv-dir}/{feed}_{YYYY-MM-DD}.csv "
+        "drops — idempotent (the warehouse layers dedupe), the engine-side "
+        "analog of an orchestrator's backfill/catchup run",
+    )
+    p_bf.add_argument("--feed", required=True, choices=["products", "orders", "inventory"])
+    p_bf.add_argument("--csv-dir", dest="csv_dir", required=True)
+    p_bf.add_argument("--date-from", dest="date_from", required=True)
+    p_bf.add_argument("--date-to", dest="date_to", required=True)
+    p_bf.add_argument(
+        "--strict",
+        action="store_true",
+        help="fail on a missing day's file instead of skipping it",
+    )
+    p_bf.add_argument("--warehouse", required=True)
+
     p_aud = sub.add_parser(
         "audit",
         help="order-free table fingerprint: (n_rows, checksum) per group — "
@@ -129,6 +146,12 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "run" and not _valid_ts(args.ts):
         return _err(f"--ts must be 'YYYY-MM-DD [HH:MM:SS[.ffffff]]', got {args.ts!r}")
+    if args.cmd == "backfill":
+        for flag, val in (("--date-from", args.date_from), ("--date-to", args.date_to)):
+            if not _valid_date(val):
+                return _err(f"{flag} must be 'YYYY-MM-DD', got {val!r}")
+        if args.date_from > args.date_to:
+            return _err(f"--date-from {args.date_from} is after --date-to {args.date_to}")
     if args.cmd == "metric":
         if args.name in AS_OF_METRICS and not args.as_of:
             return _err(f"metric {args.name} requires --as-of")
@@ -212,6 +235,57 @@ def main(argv: list[str] | None = None) -> int:
                     daily, wh.read("dim_products"), wh.read("dim_dates"), args.date_from, args.date_to
                 )
         _print_df(df, limit=args.limit)
+        return 0
+
+    if args.cmd == "backfill":
+        import os
+        from datetime import timedelta
+
+        if not pipe.wh.exists("dim_dates"):
+            pipe.init_dates()
+        # task-instance bookkeeping, the orchestrator-catchup semantics:
+        # a (feed, ds) that already succeeded is NEVER re-run — replaying
+        # an OLD snapshot over newer SCD2 state would rewrite history
+        # (snapshot merges assume ts-ordered arrival); idempotency of a
+        # backfill comes from skipping done work, not re-doing it
+        log_table = "_backfill_log"
+        done: set[str] = set()
+        if pipe.wh.exists(log_table):
+            done = {
+                r["ds"]
+                for r in pipe.wh.read(log_table).filter(F.col("feed") == args.feed).collect()
+            }
+        day = datetime.strptime(args.date_from, "%Y-%m-%d")
+        end = datetime.strptime(args.date_to, "%Y-%m-%d")
+        ran, skipped, already = [], [], []
+        while day <= end:
+            ds = day.strftime("%Y-%m-%d")
+            path = os.path.join(args.csv_dir, f"{args.feed}_{ds}.csv")
+            if ds in done:
+                already.append(ds)
+            elif os.path.exists(path):
+                getattr(pipe, f"run_{args.feed}")(path, ts=f"{ds} 00:00:00")
+                mark = pipe.spark.createDataFrame(
+                    [(args.feed, ds)], "feed string, ds string"
+                )
+                pipe.wh.append(mark, log_table)
+                ran.append(ds)
+            elif args.strict:
+                return _err(f"missing drop for {ds}: {path}")
+            else:
+                skipped.append(ds)
+            day += timedelta(days=1)
+        print(
+            json.dumps(
+                {
+                    "ok": True,
+                    "feed": args.feed,
+                    "days_run": ran,
+                    "days_skipped": skipped,
+                    "days_already_done": already,
+                }
+            )
+        )
         return 0
 
     if args.cmd == "audit":

@@ -56,3 +56,20 @@ def test_partial_vertex_list_does_not_filter_edge_vertices(spark):
     verts = spark.createDataFrame([(1,), (5,)], "id int")
     out = comp_map(graph.connected_components(edges, verts))
     assert out == {1: 1, 2: 1, 5: 5}
+
+
+def test_pagerank_scaled_deterministic_and_ranks_hubs(spark):
+    from batch_data_pipeline_exercise_spark.operators.graph import pagerank_scaled
+
+    # star: hub 0 connected to 1..5, plus a detached pair 8-9
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)] + [(8, 9)], "src int, dst int"
+    )
+    a = {r["id"]: r["score_scaled"] for r in pagerank_scaled(edges, iterations=2).collect()}
+    b = {r["id"]: r["score_scaled"] for r in
+         pagerank_scaled(edges.repartition(7), iterations=2).collect()}
+    assert a == b  # bit-identical under repartitioning (integer spec)
+    assert a[0] > a[1]  # hub outranks its leaves
+    assert a[1] == a[2] == a[5]  # symmetric leaves tie exactly
+    assert a[8] == a[9]  # detached pair symmetric
+    assert all(v > 0 for v in a.values())
