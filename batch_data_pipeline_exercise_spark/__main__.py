@@ -31,6 +31,21 @@ def _err(msg: str) -> int:
     return 2
 
 
+def _done_days(pipe, feed: str) -> set[str]:
+    """Days recorded as successfully processed for ``feed`` (written by
+    both ``run`` and ``backfill``)."""
+    if not pipe.wh.exists("_backfill_log"):
+        return set()
+    return {
+        r["ds"] for r in pipe.wh.read("_backfill_log").filter(F.col("feed") == feed).collect()
+    }
+
+
+def _mark_done(pipe, feed: str, ds: str) -> None:
+    mark = pipe.spark.createDataFrame([(feed, ds)], "feed string, ds string")
+    pipe.wh.append(mark, "_backfill_log")
+
+
 def _valid_ts(val: str) -> bool:
     """Strict up-front parse: with ANSI mode off, a malformed timestamp
     would otherwise cast to NULL deep in the plan and silently produce
@@ -177,6 +192,9 @@ def main(argv: list[str] | None = None) -> int:
         if not pipe.wh.exists("dim_dates"):
             pipe.init_dates()
         getattr(pipe, f"run_{args.feed}")(args.csv, ts=args.ts)
+        # record the task instance so a later backfill can see this day
+        # ran and guard against out-of-order snapshot replay
+        _mark_done(pipe, args.feed, args.ts[:10])
         print(json.dumps({"ok": True, "feed": args.feed, "ts": args.ts}))
         return 0
 
@@ -244,49 +262,58 @@ def main(argv: list[str] | None = None) -> int:
         if not pipe.wh.exists("dim_dates"):
             pipe.init_dates()
         # task-instance bookkeeping, the orchestrator-catchup semantics:
-        # a (feed, ds) that already succeeded is NEVER re-run — replaying
-        # an OLD snapshot over newer SCD2 state would rewrite history
-        # (snapshot merges assume ts-ordered arrival); idempotency of a
-        # backfill comes from skipping done work, not re-doing it
-        log_table = "_backfill_log"
-        done: set[str] = set()
-        if pipe.wh.exists(log_table):
-            done = {
-                r["ds"]
-                for r in pipe.wh.read(log_table).filter(F.col("feed") == args.feed).collect()
-            }
+        # a (feed, ds) that already succeeded is NEVER re-run, and a day
+        # EARLIER than the feed's newest processed day is refused —
+        # replaying an OLD snapshot over newer SCD2 state would rewrite
+        # dimension history (snapshot merges assume ts-ordered arrival).
+        # Backfill idempotency comes from skipping done work; filling a
+        # hole behind the high-watermark needs a rebuild, not a replay.
+        # Marks are written PER DAY (not batched at the end): a crash
+        # mid-range must not leave run-but-unlogged days that a resume
+        # would replay out of order.
+        done = _done_days(pipe, args.feed)
+        max_done = max(done) if done else None
         day = datetime.strptime(args.date_from, "%Y-%m-%d")
         end = datetime.strptime(args.date_to, "%Y-%m-%d")
-        ran, skipped, already = [], [], []
+        ran, skipped, already, out_of_order = [], [], [], []
+        code = 0
+        error = None
         while day <= end:
             ds = day.strftime("%Y-%m-%d")
             path = os.path.join(args.csv_dir, f"{args.feed}_{ds}.csv")
             if ds in done:
                 already.append(ds)
+            elif max_done is not None and ds < max_done:
+                out_of_order.append(ds)
             elif os.path.exists(path):
                 getattr(pipe, f"run_{args.feed}")(path, ts=f"{ds} 00:00:00")
-                mark = pipe.spark.createDataFrame(
-                    [(args.feed, ds)], "feed string, ds string"
-                )
-                pipe.wh.append(mark, log_table)
+                _mark_done(pipe, args.feed, ds)
+                max_done = ds if max_done is None or ds > max_done else max_done
                 ran.append(ds)
             elif args.strict:
-                return _err(f"missing drop for {ds}: {path}")
+                code, error = 2, f"missing drop for {ds}: {path}"
+                break
             else:
                 skipped.append(ds)
             day += timedelta(days=1)
-        print(
-            json.dumps(
-                {
-                    "ok": True,
-                    "feed": args.feed,
-                    "days_run": ran,
-                    "days_skipped": skipped,
-                    "days_already_done": already,
-                }
-            )
-        )
-        return 0
+        if ran and pipe.wh.file_count("_backfill_log") > 64:
+            pipe.wh.compact("_backfill_log")  # one tiny file per mark otherwise
+        report = {
+            "ok": code == 0,
+            "feed": args.feed,
+            "days_run": ran,
+            "days_skipped": skipped,
+            "days_already_done": already,
+            "days_out_of_order_refused": out_of_order,
+        }
+        if error:
+            # the partial-run record rides the error: an operator must be
+            # able to tell a no-op failure from days already written
+            report["error"] = error
+            print(json.dumps(report), file=sys.stderr)
+        else:
+            print(json.dumps(report))
+        return code
 
     if args.cmd == "audit":
         from batch_data_pipeline_exercise_spark.operators.audit import content_checksum
@@ -300,8 +327,10 @@ def main(argv: list[str] | None = None) -> int:
         # canonicalize every column as its string cast — sufficient for
         # Spark-to-Spark replica comparison (both sides stringify
         # identically); cross-engine audits go through the contract
-        # query's explicitly-canonicalized form instead
-        cols = [F.col(c).cast("string") for c in df.columns]
+        # query's explicitly-canonicalized form instead. df[c] (not
+        # F.col) so a column literally named "a.b" resolves instead of
+        # parsing as struct-field access
+        cols = [df[c].cast("string") for c in df.columns]
         out = content_checksum(df, cols, group_cols=[args.group_col] if args.group_col else None)
         _print_df(out, limit=args.limit)
         return 0

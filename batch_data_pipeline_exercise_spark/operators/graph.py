@@ -145,8 +145,15 @@ def pagerank_scaled(
     where 2 hops already separate hubs from leaves, and a fixed k keeps
     the job a static k-stage DAG — no per-round driver actions at all.
     Per iteration: one equi join (scores→edges on src) + one groupBy
-    sum; only edge-incident vertices participate. With scale=1e12 and
-    degrees ≤ ~1e6 the accumulators stay far inside int64.
+    sum.
+
+    Overflow: per-edge shares are ≤ scale (bigint-safe), but a hub's
+    aggregate inflow is ≤ deg·scale and then multiplied by
+    ``damping_num`` — past int64 at ~1e5 degree-1 neighbors with
+    scale=1e12 (exactly the star shape a boilerplate cluster produces).
+    The inflow sum and damping product therefore run in DECIMAL(38,0)
+    (128-bit, exact), mirrored by HUGEINT in the SQL oracle; the final
+    per-vertex score divides back under scale and returns to bigint.
     """
     both = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
@@ -157,16 +164,24 @@ def pagerank_scaled(
     for _ in range(iterations):
         contrib = (
             scores.join(deg, "u")
-            .withColumn("__share", F.expr("s div deg"))
+            .withColumn("__share", F.expr("s div deg").cast("decimal(38,0)"))
             .join(both, "u")
             .groupBy(F.col("v").alias("u"))
             .agg(F.sum("__share").alias("__in"))
         )
+        # floor((num*in)/den) in exact decimals: the division's result
+        # scale (6) is ample for den ≤ 1e6, so the quotient is exact and
+        # floor over non-negative values equals integer floor division
+        # narrow literal types keep Spark's decimal result rules exact:
+        # (38,0)x(7,0) multiply stays scale-0 inside 38 digits, and the
+        # divide's quotient needs ~24 digits incl. its scale — a (38,0)
+        # divisor would push the result scale past the 38-digit cap and
+        # silently round
+        damped = F.floor(
+            (F.coalesce(F.col("__in"), F.lit(0).cast("decimal(38,0)")) * F.lit(damping_num).cast("decimal(7,0)"))
+            / F.lit(damping_den).cast("decimal(7,0)")
+        ).cast("bigint")
         scores = deg.select("u").join(contrib, "u", "left").select(
-            "u",
-            (
-                F.lit(base).cast("bigint")
-                + F.expr(f"({damping_num} * coalesce(__in, 0)) div {damping_den}")
-            ).alias("s"),
+            "u", (F.lit(base).cast("bigint") + damped).alias("s")
         ).localCheckpoint()
     return scores.select(F.col("u").alias("id"), F.col("s").alias("score_scaled"))

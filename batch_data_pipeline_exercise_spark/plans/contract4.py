@@ -1047,10 +1047,12 @@ def event_hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dup_graph_pagerank2",
-    oracle=f"""
-    WITH toks AS (SELECT doc_id, string_split({{norm}}, ' ') AS tk FROM documents),
+
+# Shared 5-gram document graph: edges between documents sharing >= 5
+# distinct word 5-grams — ONE definition (Spark builder + oracle CTE
+# prefix) reused by every graph query so the graph cannot silently
+# diverge between them.
+_EDGE_CTES = f"""toks AS (SELECT doc_id, string_split({_NORM4}, ' ') AS tk FROM documents),
     sh AS (SELECT DISTINCT doc_id, s FROM toks,
            UNNEST(list_transform(range(0, greatest(len(tk)-5, 0)+1),
                   i -> array_to_string(list_slice(tk, i+1, i+5), ' '))) AS u(s)
@@ -1059,7 +1061,30 @@ def event_hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT a.doc_id AS src, b.doc_id AS dst
       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY 1, 2 HAVING COUNT(*) >= 5
-    ),
+    )"""
+
+
+def _gram_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinned (src, dst) edge table of the shared-5-gram graph."""
+    from batch_data_pipeline_exercise_spark.operators.dedup import word_shingles
+
+    d = load(spark, sf_dir, "documents")
+    sh = word_shingles(d, "doc_id", n=5, distinct=True)
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 5)
+        .select("src", "dst")
+        .localCheckpoint()
+    )
+
+
+@register(
+    "dup_graph_pagerank2",
+    oracle="""
+    WITH {EDGES},
     bidir AS (SELECT src AS u, dst AS v FROM e UNION ALL SELECT dst, src FROM e),
     deg AS (SELECT u, COUNT(*) AS deg FROM bidir GROUP BY u),
     s0 AS (SELECT u, CAST(1000000000000 AS BIGINT) AS s FROM deg),
@@ -1078,7 +1103,7 @@ def event_hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.u AS doc_id,
            CAST(150000000000 + (85 * COALESCE(c2.inflow, 0)) // 100 AS BIGINT) AS score_scaled
     FROM deg d LEFT JOIN c2 USING (u)
-    """.replace("{norm}", _NORM4),
+    """.replace("{EDGES}", _EDGE_CTES),
     doc="PageRank (2 power iterations, damping 0.85) over the "
     "shared-5-gram document graph in EXACT scaled-integer arithmetic "
     "(operators/graph.py pagerank_scaled): every step is integer floor "
@@ -1090,41 +1115,19 @@ def event_hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "driver-side rounds.",
 )
 def dup_graph_pagerank2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from batch_data_pipeline_exercise_spark.operators.dedup import word_shingles
     from batch_data_pipeline_exercise_spark.operators.graph import pagerank_scaled
 
-    d = load(spark, sf_dir, "documents")
-    sh = word_shingles(d, "doc_id", n=5, distinct=True)
-    a, b = sh.alias("a"), sh.alias("b")
-    edges = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= 5)
-        .select("src", "dst")
-        .localCheckpoint()
-    )
-    out = pagerank_scaled(edges, iterations=2)
+    out = pagerank_scaled(_gram_edges(spark, sf_dir), iterations=2)
     return out.select(F.col("id").alias("doc_id"), "score_scaled")
 
 
 @register(
     "dup_graph_triangles",
-    oracle=f"""
-    WITH toks AS (SELECT doc_id, string_split({_NORM4}, ' ') AS tk
-                  FROM documents),
-    sh AS (SELECT DISTINCT doc_id, s FROM toks,
-           UNNEST(list_transform(range(0, greatest(len(tk)-5, 0)+1),
-                  i -> array_to_string(list_slice(tk, i+1, i+5), ' '))) AS u(s)
-           WHERE length(s) > 0),
-    e AS (
-      SELECT a.doc_id AS u, b.doc_id AS v
-      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-      GROUP BY 1, 2 HAVING COUNT(*) >= 5
-    )
-    SELECT e1.u AS doc_a, e1.v AS doc_b, e2.v AS doc_c
-    FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
-    """,
+    oracle="""
+    WITH {EDGES}
+    SELECT e1.src AS doc_a, e1.dst AS doc_b, e2.dst AS doc_c
+    FROM e e1 JOIN e e2 ON e1.dst = e2.src JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    """.replace("{EDGES}", _EDGE_CTES),
     doc="Triangle enumeration over the shared-5-gram document graph "
     "(edges: pairs sharing 5+ distinct 5-grams): triads of mutually "
     "similar documents — the tight-cluster signal dedup clustering "
@@ -1135,27 +1138,15 @@ def dup_graph_pagerank2(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the LSH paths.",
 )
 def dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from batch_data_pipeline_exercise_spark.operators.dedup import word_shingles
-
-    d = load(spark, sf_dir, "documents")
-    sh = word_shingles(d, "doc_id", n=5, distinct=True)
-    a, b = sh.alias("a"), sh.alias("b")
-    edges = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("u"), F.col("b.id").alias("v"))
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= 5)
-        .select("u", "v")
-        .localCheckpoint()
-    )
+    edges = _gram_edges(spark, sf_dir)
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     return (
-        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
-        .join(e3, (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")))
+        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
+        .join(e3, (F.col("e3.src") == F.col("e1.src")) & (F.col("e3.dst") == F.col("e2.dst")))
         .select(
-            F.col("e1.u").alias("doc_a"),
-            F.col("e1.v").alias("doc_b"),
-            F.col("e2.v").alias("doc_c"),
+            F.col("e1.src").alias("doc_a"),
+            F.col("e1.dst").alias("doc_b"),
+            F.col("e2.dst").alias("doc_c"),
         )
     )
 
