@@ -108,3 +108,22 @@ def test_backfill_validates_dates(capsys):
                                  "--date-from", "2021-03-05", "--date-to", "2021-03-01",
                                  "--warehouse", "/tmp/w"])
     assert code == 2 and "after" in err["error"]
+
+
+def test_backfill_refuses_out_of_order_days(capsys, spark, tmp_path):
+    """A day behind the feed's processed high-watermark is refused —
+    replaying an old snapshot over newer SCD2 state would rewrite
+    dimension history; the regular run command's log entry counts."""
+    wh_dir = str(tmp_path / "wh")
+    # process 03-02 via the regular run path first
+    main(["run", "--feed", "products", "--csv", "tests/fixtures/products_2021-03-02.csv",
+          "--ts", "2021-03-02 01:00:00", "--warehouse", wh_dir])
+    capsys.readouterr()
+    # backfilling 03-01 must now be refused, not replayed
+    code = main(["backfill", "--feed", "products", "--csv-dir", "tests/fixtures",
+                 "--date-from", "2021-03-01", "--date-to", "2021-03-02", "--warehouse", wh_dir])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert code == 0
+    assert out["days_out_of_order_refused"] == ["2021-03-01"]
+    assert out["days_already_done"] == ["2021-03-02"]
+    assert out["days_run"] == []
