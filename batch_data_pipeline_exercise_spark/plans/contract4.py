@@ -502,6 +502,93 @@ def doc_normalized_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Order statistics: weighted median, modal value
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "weighted_median_price_by_flag",
+    oracle="""
+    WITH b AS (
+      SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(18,2)) AS p,
+             CAST(l_quantity AS BIGINT) AS w
+      FROM lineitem
+    ), r AS (
+      SELECT *,
+             SUM(w) OVER (PARTITION BY l_returnflag ORDER BY p, w
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+      FROM b
+    )
+    SELECT l_returnflag,
+           CAST(MIN(CASE WHEN 2*cw >= tw THEN p END) AS DOUBLE) AS weighted_median_price,
+           CAST(MAX(tw) AS BIGINT) AS total_weight
+    FROM r GROUP BY l_returnflag
+    """,
+    doc="Weighted (lower) median: the smallest price whose cumulative "
+    "quantity weight reaches half the group total — selected, not "
+    "interpolated, via the integer test 2*cw >= tw, so cross-engine "
+    "exact like every percentile here. One key-partitioned running-sum "
+    "window + one aggregate; quantities are integral by construction "
+    "so all weights are exact bigints.",
+)
+def weighted_median_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        dec("l_extendedprice").alias("p"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+    )
+    wrun = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("p", "w")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("l_returnflag")
+    r = li.withColumn("cw", F.sum("w").over(wrun)).withColumn("tw", F.sum("w").over(wall))
+    return r.groupBy("l_returnflag").agg(
+        F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("p")))
+        .cast("double")
+        .alias("weighted_median_price"),
+        F.max("tw").cast("bigint").alias("total_weight"),
+    )
+
+
+@register(
+    "modal_priority_by_status",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+      FROM orders GROUP BY 1, 2
+    ), r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                   ORDER BY n DESC, o_orderpriority) AS rn
+      FROM c
+    )
+    SELECT o_orderstatus, o_orderpriority AS modal_priority, n AS modal_count
+    FROM r WHERE rn = 1
+    """,
+    doc="Per-group mode (most frequent value) with a deterministic "
+    "lexicographic tie-break — the categorical summary SQL's MODE() "
+    "leaves tie-nondeterministic (useless for a differential oracle). "
+    "One counting aggregate, then a ranking window over the TINY "
+    "(status x priority) count table, never the fact rows.",
+)
+def modal_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = o.groupBy("o_orderstatus", "o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("o_orderstatus").orderBy(F.col("n").desc(), "o_orderpriority")
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("modal_priority"),
+            F.col("n").alias("modal_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Streaming operations support: lateness profiling
 # ---------------------------------------------------------------------------
 
