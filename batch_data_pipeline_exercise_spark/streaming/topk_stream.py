@@ -40,28 +40,47 @@ def streaming_topk_orders(
     checkpoint_path: str,
     k: int = 3,
     table: str = "topk_orders_per_customer",
+    n_buckets: int = 64,
 ):
     """Start an availableNow stream folding order drops into the per-
     customer top-k table. Returns the started query.
 
-    Idempotency under replay: the batch is deduped on the unique order
-    key within itself AND anti-joined against the stored table — a
-    replayed row already sitting in the stored top-k must NOT enter the
-    fold twice (row_number would rank the duplicate into a second slot,
-    evicting a legitimate row); a replayed row that was evicted loses
-    the same deterministic comparisons again. Deletions/updates are out
-    of scope by the operator's documented algebra.
+    Per-batch cost is bounded by the TOUCHED key-buckets, not the
+    table: the table is hive-partitioned on a hash bucket of the
+    customer key, each micro-batch semi-joins the stored side down to
+    its touched buckets, ranks only those, and commits through the
+    dynamic partition overwrite — untouched buckets are neither read,
+    ranked, nor rewritten (the maintain_topk cost contract; a naive
+    stored∪batch fold re-ranks and rewrites every customer every
+    batch).
+
+    Idempotency under replay: NULL-key rows are dropped up front (an
+    anti-join guard cannot match NULL = NULL, so a replayed NULL-key
+    row would re-enter the fold and take a second slot — same rule as
+    ``Warehouse.append_once``); the batch is then deduped on the order
+    key and anti-joined against the stored touched buckets, so a
+    replayed row either is already in the stored top-k (skipped) or
+    was evicted (it loses the same deterministic comparisons again).
+    Deletions/updates are out of scope by the operator's algebra.
     """
     orders = stream_orders(spark, raw_dir)
     order_cols = [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()]
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
-        batch = batch_df.dropDuplicates(["o_orderkey"])
-        stored = warehouse.read(table) if warehouse.exists(table) else None
-        if stored is not None:
-            batch = batch.join(stored.select("o_orderkey"), "o_orderkey", "left_anti")
-        folded = maintain_topk(stored, batch, ["o_custkey"], order_cols, k=k)
-        warehouse.overwrite(folded.localCheckpoint(), table)
+        batch = (
+            batch_df.filter(F.col("o_orderkey").isNotNull() & F.col("o_custkey").isNotNull())
+            .dropDuplicates(["o_orderkey"])
+            .withColumn("__bucket", F.pmod(F.xxhash64("o_custkey"), F.lit(n_buckets)).cast("int"))
+        )
+        if warehouse.exists(table):
+            stored = warehouse.read(table)
+            touched = batch.select("__bucket").distinct()
+            stored_touched = stored.join(touched, "__bucket", "left_semi")
+            batch = batch.join(stored_touched.select("o_orderkey"), "o_orderkey", "left_anti")
+            folded = maintain_topk(stored_touched, batch, ["o_custkey"], order_cols, k=k)
+        else:
+            folded = maintain_topk(None, batch, ["o_custkey"], order_cols, k=k)
+        warehouse.overwrite_partitions(folded.localCheckpoint(), table, ["__bucket"])
 
     return (
         orders.writeStream.foreachBatch(_fold)

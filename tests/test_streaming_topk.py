@@ -71,6 +71,26 @@ def test_streaming_topk_folds_batches_and_matches_full(spark, dirs):
     } == got2
 
 
+def test_streaming_topk_drops_null_keys_and_rewrites_touched_buckets_only(spark, dirs):
+    raw, wh_dir, ckpt = dirs
+    wh = Warehouse(spark, wh_dir)
+    _drop(raw, "orders_01.jsonl", ROWS)
+    # a corrupt line: missing order key (PERMISSIVE json null-fills) —
+    # must be ignored, not ranked into a slot the anti-join can't guard
+    with open(f"{raw}/orders_01.jsonl", "a") as f:
+        f.write(json.dumps({"o_custkey": 10, "o_totalprice": 999.0}) + "\n")
+    q = topk_stream.streaming_topk_orders(spark, raw, wh, ckpt)
+    q.awaitTermination(120)
+    got = {
+        (r["o_custkey"], r["o_orderkey"], r["rnk"])
+        for r in wh.read("topk_orders_per_customer").collect()
+    }
+    assert got == _full_topk(spark, ROWS)  # null-key row absent
+    # the table is bucket-partitioned so later batches commit through
+    # the dynamic partition overwrite, touching only their buckets
+    assert wh.partition_columns("topk_orders_per_customer") == ["__bucket"]
+
+
 def test_streaming_topk_replay_converges(spark, dirs, tmp_path):
     """Fresh checkpoint over the same files (crash-replay worst case):
     deterministic ranking makes re-folding already-stored rows a
