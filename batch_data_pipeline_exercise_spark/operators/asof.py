@@ -117,6 +117,50 @@ def as_of_join(
     return out
 
 
+def as_of_join_cogroup(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_prefix: str = "",
+    strict: bool = False,
+) -> DataFrame:
+    """Cogrouped-map alternative: ``left.groupBy(key).cogroup(
+    right.groupBy(key)).applyInPandas(...)`` — Spark's native two-sided
+    per-key pandas operator, which is the DOCUMENTED home for
+    ``pd.merge_asof`` (no union/tag dance: each side arrives as its own
+    frame). Same semantics as ``as_of_join_pandas``; kept as the
+    cogroup-API exemplar and cross-check for the scalable union+window
+    implementation. Scale bound: one shuffle per side on the key, then
+    per-key pandas — each single key's rows must fit in memory; the
+    union+window form remains the default.
+    """
+    lcols, rvals = left.columns, [c for c in right.columns if c != on]
+    out_fields = [left.schema[c] for c in lcols] + [
+        T.StructField(f"{right_prefix}{c}", right.schema[c].dataType) for c in rvals
+    ]
+    schema = T.StructType(out_fields)
+
+    def per_key(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty:
+            return pd.DataFrame(columns=[f.name for f in out_fields])
+        merged = pd.merge_asof(
+            lpdf[lcols].sort_values(left_ts),
+            rpdf[[right_ts, *[c for c in rvals if c != right_ts]]].sort_values(right_ts)
+            if not rpdf.empty
+            else rpdf[[right_ts, *[c for c in rvals if c != right_ts]]],
+            left_on=left_ts,
+            right_on=right_ts,
+            allow_exact_matches=not strict,
+        )
+        merged = merged[[*lcols, *rvals]]
+        merged.columns = [f.name for f in out_fields]
+        return merged
+
+    return left.groupBy(on).cogroup(right.groupBy(on)).applyInPandas(per_key, schema=schema)
+
+
 def as_of_join_pandas(
     left: DataFrame,
     right: DataFrame,
