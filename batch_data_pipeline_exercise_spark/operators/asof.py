@@ -140,23 +140,40 @@ def as_of_join_cogroup(
     out_fields = [left.schema[c] for c in lcols] + [
         T.StructField(f"{right_prefix}{c}", right.schema[c].dataType) for c in rvals
     ]
+    out_names = [f.name for f in out_fields]
+    # right columns are renamed to their PREFIXED output names before the
+    # merge — pd.merge_asof would otherwise suffix a name shared with the
+    # left to v_x/v_y and the output selection would fail
+    pref = {c: f"{right_prefix}{c}" for c in rvals}
+    clash = set(lcols) & set(pref.values())
+    if clash:
+        raise ValueError(
+            f"as_of_join_cogroup: output name collision {sorted(clash)} — set right_prefix"
+        )
     schema = T.StructType(out_fields)
+    pref_ts = pref[right_ts]
 
     def per_key(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
         if lpdf.empty:
-            return pd.DataFrame(columns=[f.name for f in out_fields])
+            return pd.DataFrame(columns=out_names)
+        # merge_asof rejects NULL keys outright: NULL-ts rows on either
+        # side are unmatched by contract (left keeps NULL right values,
+        # right is ignored) — the union+window form makes the same call
+        # for left rows; filter-then-concat keeps every left row
+        lp = lpdf[lcols]
+        l_ok, l_null = lp[lp[left_ts].notna()], lp[lp[left_ts].isna()]
+        rp = rpdf[[on, *rvals]].rename(columns=pref)[list(pref.values())]
+        rp = rp[rp[pref_ts].notna()]
         merged = pd.merge_asof(
-            lpdf[lcols].sort_values(left_ts),
-            rpdf[[right_ts, *[c for c in rvals if c != right_ts]]].sort_values(right_ts)
-            if not rpdf.empty
-            else rpdf[[right_ts, *[c for c in rvals if c != right_ts]]],
+            l_ok.sort_values(left_ts),
+            rp.sort_values(pref_ts),
             left_on=left_ts,
-            right_on=right_ts,
+            right_on=pref_ts,
             allow_exact_matches=not strict,
         )
-        merged = merged[[*lcols, *rvals]]
-        merged.columns = [f.name for f in out_fields]
-        return merged
+        if not l_null.empty:
+            merged = pd.concat([merged, l_null.reindex(columns=out_names)])
+        return merged[out_names]
 
     return left.groupBy(on).cogroup(right.groupBy(on)).applyInPandas(per_key, schema=schema)
 

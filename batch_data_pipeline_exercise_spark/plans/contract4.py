@@ -880,17 +880,9 @@ def user_reach_rolling_7d_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows = daily.select(
         "hll_sketch", F.explode(F.sequence(F.col("d"), F.col("d") + 6)).alias("wd")
     ).filter((F.col("wd") <= dmax) & (F.col("wd") >= dmin + 6))
-    return (
-        windows.groupBy("wd")
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg(F.col("hll_sketch"), F.lit(True))).alias("reach_7d")
-        )
-        .select(
-            F.date_format(F.date_from_unix_date(F.col("wd").cast("int")), "yyyy-MM-dd").alias(
-                "day"
-            ),
-            "reach_7d",
-        )
+    return sketches.merge_distinct_counts(windows, ["wd"], out_col="reach_7d").select(
+        F.date_format(F.date_from_unix_date(F.col("wd").cast("int")), "yyyy-MM-dd").alias("day"),
+        "reach_7d",
     )
 
 

@@ -71,9 +71,33 @@ def streaming_topk_orders(
             batch_df.filter(F.col("o_orderkey").isNotNull() & F.col("o_custkey").isNotNull())
             .dropDuplicates(["o_orderkey"])
             .withColumn("__bucket", F.pmod(F.xxhash64("o_custkey"), F.lit(n_buckets)).cast("int"))
+            .localCheckpoint()
         )
+        # all-corrupt batch: nothing to fold — and on bootstrap an empty
+        # partitioned overwrite would write a schema-less table (root
+        # _SUCCESS, no part files) that poisons every later read
+        if batch.limit(1).count() == 0:
+            return
         if warehouse.exists(table):
             stored = warehouse.read(table)
+            # the bucket count is baked into the stored layout; a changed
+            # n_buckets would silently split customers across buckets —
+            # probabilistic guard: recompute the bucket of a few stored
+            # rows and demand agreement (false pass ~ n_buckets^-20)
+            mismatch = (
+                stored.select("o_custkey", "__bucket")
+                .limit(20)
+                .filter(
+                    F.pmod(F.xxhash64("o_custkey"), F.lit(n_buckets)).cast("int")
+                    != F.col("__bucket")
+                )
+                .count()
+            )
+            if mismatch:
+                raise ValueError(
+                    f"streaming_topk_orders: table {table!r} was written with a different "
+                    f"n_buckets than {n_buckets} — rebuild the table or pass the original value"
+                )
             touched = batch.select("__bucket").distinct()
             stored_touched = stored.join(touched, "__bucket", "left_semi")
             batch = batch.join(stored_touched.select("o_orderkey"), "o_orderkey", "left_anti")

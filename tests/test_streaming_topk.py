@@ -91,6 +91,42 @@ def test_streaming_topk_drops_null_keys_and_rewrites_touched_buckets_only(spark,
     assert wh.partition_columns("topk_orders_per_customer") == ["__bucket"]
 
 
+def test_streaming_topk_empty_bootstrap_does_not_poison_table(spark, dirs):
+    """An all-corrupt first drop must not create a schema-less table
+    that breaks every later read."""
+    raw, wh_dir, ckpt = dirs
+    wh = Warehouse(spark, wh_dir)
+    with open(f"{raw}/orders_01.jsonl", "w") as f:
+        f.write(json.dumps({"o_custkey": 10, "o_totalprice": 999.0}) + "\n")  # no key
+    q = topk_stream.streaming_topk_orders(spark, raw, wh, ckpt)
+    q.awaitTermination(120)
+    assert not wh.exists("topk_orders_per_customer")
+    # a later good drop bootstraps normally
+    _drop(raw, "orders_02.jsonl", ROWS)
+    q2 = topk_stream.streaming_topk_orders(spark, raw, wh, ckpt)
+    q2.awaitTermination(120)
+    got = {
+        (r["o_custkey"], r["o_orderkey"], r["rnk"])
+        for r in wh.read("topk_orders_per_customer").collect()
+    }
+    assert got == _full_topk(spark, ROWS)
+
+
+def test_streaming_topk_rejects_changed_bucket_count(spark, dirs, tmp_path):
+    raw, wh_dir, ckpt = dirs
+    wh = Warehouse(spark, wh_dir)
+    _drop(raw, "orders_01.jsonl", ROWS[:4])
+    q = topk_stream.streaming_topk_orders(spark, raw, wh, ckpt, n_buckets=64)
+    q.awaitTermination(120)
+    _drop(raw, "orders_02.jsonl", ROWS[4:])
+    q2 = topk_stream.streaming_topk_orders(
+        spark, raw, wh, str(tmp_path / "ckpt2"), n_buckets=7
+    )
+    with pytest.raises(Exception, match="n_buckets"):
+        q2.awaitTermination(120)
+        q2.processAllAvailable()
+
+
 def test_streaming_topk_replay_converges(spark, dirs, tmp_path):
     """Fresh checkpoint over the same files (crash-replay worst case):
     deterministic ranking makes re-folding already-stored rows a
