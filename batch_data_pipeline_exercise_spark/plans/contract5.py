@@ -1,0 +1,448 @@
+"""Fifth breadth batch of driver-contract queries — sequence analytics
+(Markov transition matrices), corpus drift detection (smoothed log-odds
+between splits), Bloom-filter runtime pruning for contamination screens,
+KMV theta-sketch set intersection (the "overlap between audiences"
+estimate HLL cannot give), integer-quantized centroid similarity, and
+Pareto-frontier document selection.
+
+Same determinism rules as ``plans/contract.py``: integer arithmetic for
+every decision, doubles only as a final cast or single division /
+multiplication chain with IDENTICAL operand order in both engines,
+alias parity with the oracle. Scale notes live on each query's doc.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from batch_data_pipeline_exercise_spark.operators import bloom
+from batch_data_pipeline_exercise_spark.operators import text
+from batch_data_pipeline_exercise_spark.plans.contract import load, register
+from batch_data_pipeline_exercise_spark.plans.contract3 import _stamp_global
+from batch_data_pipeline_exercise_spark.plans.contract_ext import _NORM, _quality_sql
+
+# ---------------------------------------------------------------------------
+# Sequence analytics: event-type Markov transitions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_type_markov",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      FROM events
+    )
+    SELECT event_type AS src, dst,
+           CAST(COUNT(*) AS BIGINT) AS transitions,
+           CAST(COUNT(*) AS DOUBLE)
+             / CAST(SUM(COUNT(*)) OVER (PARTITION BY event_type) AS DOUBLE) AS prob
+    FROM s WHERE dst IS NOT NULL
+    GROUP BY event_type, dst
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences — the behavioral-model / sequence-features substrate. "
+    "LEAD over (user, time) pairs each event with its successor; "
+    "row-normalized probability is one exact-integer division per "
+    "output row. Plan: one exchange on user_id for the sequence "
+    "window, one hash aggregate on (src,dst) — a few dozen rows — and "
+    "a src-partitioned window for the normalizer. Nothing global, "
+    "nothing quadratic; holds at any event count.",
+)
+def event_type_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(seq).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    t = s.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("transitions"))
+    norm = Window.partitionBy("src")
+    return t.select(
+        "src",
+        "dst",
+        "transitions",
+        (
+            F.col("transitions").cast("double")
+            / F.sum("transitions").over(norm).cast("double")
+        ).alias("prob"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus drift: smoothed odds ratio between two splits
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_token_drift",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS tk FROM documents),
+    tok AS (SELECT doc_id, u.t AS token FROM toks, UNNEST(tk) AS u(t) WHERE length(u.t) > 0),
+    c AS (
+      SELECT token,
+             CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      FROM tok GROUP BY token
+    ),
+    g AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb,
+                 CAST(COUNT(*) AS BIGINT) AS v
+          FROM c),
+    o AS (
+      SELECT c.token, c.ca, c.cb,
+             (CAST(c.ca + 1 AS DOUBLE) * CAST(g.nb + g.v AS DOUBLE))
+               / (CAST(c.cb + 1 AS DOUBLE) * CAST(g.na + g.v AS DOUBLE)) AS odds
+      FROM c CROSS JOIN g
+      WHERE c.ca + c.cb >= 5
+    )
+    SELECT token, ca, cb, odds, drift FROM (
+      SELECT token, ca, cb, odds, greatest(odds, 1.0 / odds) AS drift,
+             ROW_NUMBER() OVER (PARTITION BY substr(token, 1, 1)
+                                ORDER BY greatest(odds, 1.0 / odds) DESC, token) AS rnk
+      FROM o
+    ) WHERE rnk <= 3
+    """,
+    doc="Distribution-drift detector between two corpus splits (here the "
+    "deterministic doc_id parity split — in production, yesterday's "
+    "crawl vs today's): add-one-smoothed odds ratio of every token's "
+    "rate, surfacing the 3 most-drifted tokens per first-character "
+    "shard. The ratio is (ca+1)(nb+V) / (cb+1)(na+V) — all-integer "
+    "products, two correctly-rounded double multiplies and one "
+    "division in identical order both engines, so ranking keys are "
+    "bit-exact (ties break lexically). Plan: one explode + one hash "
+    "aggregate; global totals are a 1-row re-aggregate stamped back "
+    "via zero-key BroadcastHashJoin (no collect); the ranking window "
+    "is SHARDED by the token's first character — no global sort, same "
+    "scheme as the vocab head, parallel at any corpus size.",
+)
+def corpus_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(text.tokenize("text")).alias("token")).filter(
+        F.length("token") > 0
+    )
+    c = tok.groupBy("token").agg(
+        F.sum(F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("doc_id") % 2 == 1, 1).otherwise(0)).alias("cb"),
+    )
+    g = c.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb"), F.count(F.lit(1)).alias("v")
+    )
+    stamped = _stamp_global(c.filter(F.col("ca") + F.col("cb") >= 5), "token", g, "v")
+    odds = (F.col("ca").cast("bigint") + 1).cast("double") * (
+        F.col("nb") + F.col("v")
+    ).cast("double") / (
+        (F.col("cb").cast("bigint") + 1).cast("double")
+        * (F.col("na") + F.col("v")).cast("double")
+    )
+    o = stamped.withColumn("odds", odds).withColumn(
+        "drift", F.greatest(F.col("odds"), F.lit(1.0) / F.col("odds"))
+    )
+    w = Window.partitionBy(F.substring("token", 1, 1)).orderBy(
+        F.col("drift").desc(), "token"
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "token",
+            F.col("ca").cast("bigint").alias("ca"),
+            F.col("cb").cast("bigint").alias("cb"),
+            "odds",
+            "drift",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter runtime pruning: contamination screen
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "contamination_bloom_hits",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS tk FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, array_to_string(list_slice(tk, i + 1, i + 5), ' ') AS g
+      FROM toks, UNNEST(range(0, greatest(len(tk) - 5, 0) + 1)) AS u(i)
+      WHERE i + 5 <= len(tk)
+    ),
+    eval_grams AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0),
+    train AS (SELECT doc_id, g FROM grams WHERE doc_id % 10 <> 0)
+    SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS shared_grams
+    FROM train t JOIN eval_grams e ON e.g = t.g
+    GROUP BY t.doc_id
+    """,
+    doc="The train_eval_contamination join, executed through a broadcast "
+    "Bloom runtime filter (operators/bloom.py): eval 5-grams fold into "
+    "a <=16k-row bit-packed word table (256 KB regardless of eval "
+    "size), train grams are pruned map-side by 3 BroadcastHashJoin bit "
+    "probes, and only the survivors reach the exact gram join. Bloom "
+    "false positives are killed by that exact join, and the no-false-"
+    "negative property means the output is IDENTICAL to the plain "
+    "join — which is exactly what the oracle runs. At 100 TB the win "
+    "is shuffling ~2-5% of train grams instead of all of them.",
+    bench=True,
+)
+def contamination_bloom_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = text.tokenize("text")
+    n = 5
+    grams_arr = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.when(i + n <= F.size(toks), F.concat_ws(" ", F.slice(toks, i + 1, n))),
+        ),
+        lambda g: g.isNotNull(),
+    )
+    grams = d.select("doc_id", F.explode(grams_arr).alias("g")).distinct()
+    eval_grams = grams.filter(F.col("doc_id") % 10 == 0).select("g").distinct()
+    train = grams.filter(F.col("doc_id") % 10 != 0)
+    m_bits, k = 1 << 18, 3
+    words = bloom.bloom_words(eval_grams, "g", m_bits, k)
+    pruned = bloom.bloom_prune(train, "g", words, m_bits, k)
+    return (
+        pruned.join(eval_grams, "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV theta sketch: pairwise audience overlap between event types
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+_KMV_H = "1152921504606846976.0"  # 2^60 as an exact double literal
+
+
+@register(
+    "event_type_user_overlap_kmv",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      FROM events
+    ), r AS (
+      SELECT event_type, h, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM h
+    ), s AS (SELECT event_type, h FROM r WHERE rn <= {_KMV_K}),
+    th AS (SELECT event_type FROM s GROUP BY event_type),
+    pairs AS (
+      SELECT a.event_type AS ta, b.event_type AS tb
+      FROM th a JOIN th b ON a.event_type < b.event_type
+    ), e AS (
+      SELECT p.ta, p.tb, s.h,
+             CASE WHEN s.event_type = p.ta THEN 0 ELSE 1 END AS side
+      FROM s JOIN pairs p ON s.event_type = p.ta OR s.event_type = p.tb
+    ), u AS (
+      SELECT ta, tb, h, MIN(side) AS smin, MAX(side) AS smax FROM e GROUP BY ta, tb, h
+    ), ru AS (
+      SELECT ta, tb, h, smin, smax,
+             ROW_NUMBER() OVER (PARTITION BY ta, tb ORDER BY h) AS rn
+      FROM u
+    ), ku AS (SELECT ta, tb, h, smin, smax FROM ru WHERE rn <= {_KMV_K})
+    SELECT ta AS event_type_a, tb AS event_type_b,
+           CAST(COUNT(*) AS BIGINT) AS k_used,
+           CAST(SUM(CASE WHEN smin = 0 AND smax = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+           CAST(SUM(CASE WHEN smin = 0 AND smax = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS jaccard_est,
+           CASE WHEN COUNT(*) < {_KMV_K} THEN CAST(COUNT(*) AS DOUBLE)
+                ELSE CAST(COUNT(*) - 1 AS DOUBLE) * {_KMV_H} / CAST(MAX(h) AS DOUBLE)
+           END AS union_distinct_est
+    FROM ku GROUP BY ta, tb
+    """,
+    doc="KMV (k-minimum-values) theta-sketch set algebra: per event "
+    "type, the k=64 smallest md5-derived 60-bit user hashes ARE a "
+    "mergeable distinct sketch; unlike HLL, two KMV sketches support "
+    "INTERSECTION — union k-min + count of hashes present on both "
+    "sides gives a Jaccard estimate, and (k-1)*2^60/theta estimates "
+    "union cardinality. Every estimate is an exact-integer count plus "
+    "one fixed double expression, so cross-engine hash-exact (the "
+    "tolerance is pinned by construction, not asserted). Plan: one "
+    "distinct, two PARTITIONED rank windows, and pair expansion via a "
+    "zero-key-stamped type array — sketch size k*T rows bounds every "
+    "later stage no matter how many billions of events feed it.",
+)
+def event_type_user_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    k = _KMV_K
+    h = e.select(
+        "event_type",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    ).distinct()
+    wr = Window.partitionBy("event_type").orderBy("h")
+    s = h.withColumn("rn", F.row_number().over(wr)).filter(F.col("rn") <= k).drop("rn")
+    types = s.agg(
+        F.sort_array(F.collect_set("event_type")).alias("__types"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    st = _stamp_global(s, "h", types, "__n")
+    ex = (
+        st.select("event_type", "h", F.explode("__types").alias("other"))
+        .filter(F.col("other") != F.col("event_type"))
+        .select(
+            F.least("event_type", "other").alias("ta"),
+            F.greatest("event_type", "other").alias("tb"),
+            "h",
+            F.when(F.col("event_type") == F.least("event_type", "other"), 0)
+            .otherwise(1)
+            .alias("side"),
+        )
+    )
+    u = ex.groupBy("ta", "tb", "h").agg(F.min("side").alias("smin"), F.max("side").alias("smax"))
+    wu = Window.partitionBy("ta", "tb").orderBy("h")
+    ku = u.withColumn("rn", F.row_number().over(wu)).filter(F.col("rn") <= k)
+    common = F.sum(F.when((F.col("smin") == 0) & (F.col("smax") == 1), 1).otherwise(0))
+    cnt = F.count(F.lit(1))
+    return ku.groupBy(F.col("ta").alias("event_type_a"), F.col("tb").alias("event_type_b")).agg(
+        cnt.alias("k_used"),
+        common.cast("bigint").alias("n_common"),
+        (common.cast("double") / cnt.cast("double")).alias("jaccard_est"),
+        F.when(cnt < k, cnt.cast("double"))
+        .otherwise(
+            (cnt - 1).cast("double") * F.lit(float(_KMV_H)) / F.max("h").cast("double")
+        )
+        .alias("union_distinct_est"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Integer-quantized label-centroid similarity
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "label_centroid_similarity",
+    oracle="""
+    WITH m AS (
+      SELECT vec_id, label, embedding,
+             (SELECT MAX(abs(CAST(u.x AS DOUBLE))) FROM UNNEST(embedding) AS u(x)) AS max_abs
+      FROM embeddings
+    ), q AS (
+      SELECT label,
+             list_transform(embedding,
+               x -> GREATEST(CAST(-127 AS BIGINT), LEAST(CAST(127 AS BIGINT),
+                      CAST(FLOOR(CAST(x AS DOUBLE) * (127.0 / max_abs) + 0.5) AS BIGINT))))
+               AS qv
+      FROM m WHERE max_abs > 0
+    ), dims AS (
+      SELECT label, CAST(i AS INTEGER) AS dim, qv[CAST(i AS INTEGER)] AS v
+      FROM q, UNNEST(range(1, len(qv) + 1)) AS t(i)
+    ), sums AS (
+      SELECT label, dim, CAST(SUM(v) AS BIGINT) AS s FROM dims GROUP BY label, dim
+    ), norms AS (
+      SELECT label, CAST(SUM(s * s) AS BIGINT) AS n2 FROM sums GROUP BY label
+    ), dots AS (
+      SELECT a.label AS label_a, b.label AS label_b, CAST(SUM(a.s * b.s) AS BIGINT) AS dot_q
+      FROM sums a JOIN sums b ON a.dim = b.dim AND a.label < b.label
+      GROUP BY a.label, b.label
+    )
+    SELECT d.label_a, d.label_b, d.dot_q,
+           CAST(d.dot_q AS DOUBLE)
+             / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+    FROM dots d
+    JOIN norms na ON na.label = d.label_a
+    JOIN norms nb ON nb.label = d.label_b
+    """,
+    doc="Pairwise cosine similarity between per-label embedding "
+    "centroids, computed ENTIRELY in integers until the final "
+    "expression: vectors are symmetric-int8 quantized (the exact "
+    "embedding_quantize_int8 formula), per-(label,dim) integer sums "
+    "form unnormalized centroids (cosine is scale-invariant, so the "
+    "mean's division is skipped — no float accumulation anywhere), "
+    "integer dot products pair labels via a dim equi-join, and the "
+    "one double expression (dot / sqrt*sqrt, all correctly-rounded "
+    "IEEE ops) is bit-exact cross-engine. The label x dim sum table "
+    "is |labels|*dims rows — broadcastable at any vector count; "
+    "int64 headroom holds to ~10^9 vectors per label at 64 dims "
+    "(swap the sums to decimal(38,0) beyond that).",
+)
+def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    vd = F.col("embedding").cast("array<double>")
+    max_abs = F.aggregate(vd, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x)))
+    m = emb.select("label", vd.alias("v"), max_abs.alias("max_abs")).filter(
+        F.col("max_abs") > 0
+    )
+    scale = F.lit(127.0) / F.col("max_abs")
+    lo, hi = F.lit(-127).cast("bigint"), F.lit(127).cast("bigint")
+    qv = F.transform(
+        F.col("v"),
+        lambda x: F.greatest(lo, F.least(hi, F.floor(x * scale + F.lit(0.5)).cast("bigint"))),
+    )
+    dims = m.select("label", F.posexplode(qv).alias("dim", "v"))
+    sums = dims.groupBy("label", "dim").agg(F.sum("v").alias("s"))
+    norms = sums.groupBy("label").agg(F.sum(F.col("s") * F.col("s")).alias("n2"))
+    a, b = sums.alias("a"), sums.alias("b")
+    dots = (
+        a.join(b, (F.col("a.dim") == F.col("b.dim")) & (F.col("a.label") < F.col("b.label")))
+        .groupBy(F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b"))
+        .agg(F.sum(F.col("a.s") * F.col("b.s")).alias("dot_q"))
+    )
+    na = norms.select(F.col("label").alias("__la"), F.col("n2").alias("__n2a"))
+    nb = norms.select(F.col("label").alias("__lb"), F.col("n2").alias("__n2b"))
+    return (
+        dots.join(F.broadcast(na), F.col("label_a") == F.col("__la"))
+        .join(F.broadcast(nb), F.col("label_b") == F.col("__lb"))
+        .select(
+            "label_a",
+            "label_b",
+            "dot_q",
+            (
+                F.col("dot_q").cast("double")
+                / (F.sqrt(F.col("__n2a").cast("double")) * F.sqrt(F.col("__n2b").cast("double")))
+            ).alias("cosine"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pareto-frontier document selection
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_pareto_frontier",
+    oracle=f"""
+    WITH q AS ({_quality_sql()})
+    SELECT doc_id, lang, n_chars, quality_score FROM (
+      SELECT d.doc_id, d.lang, length(d.text) AS n_chars, q.quality_score,
+             MAX(q.quality_score) OVER (
+               PARTITION BY d.lang
+               ORDER BY length(d.text) ASC, q.quality_score DESC, d.doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx
+      FROM documents d JOIN q ON q.doc_id = d.doc_id
+    ) WHERE mx IS NULL OR quality_score > mx
+    """,
+    doc="Per-language Pareto frontier over (maximize quality_score, "
+    "minimize n_chars) — the multi-objective data-selection shape "
+    "('the best quality available at every length budget'). Classic "
+    "2D skyline as ONE partitioned window: sort by (length asc, "
+    "quality desc, doc_id), keep a row iff its quality strictly "
+    "exceeds the running max over all strictly-preceding rows — every "
+    "shorter-or-equal doc. Equal (length, quality) ties collapse to "
+    "the lowest doc_id. No self-join (the naive dominance query is "
+    "quadratic), no global sort — lang shards the window, and the "
+    "frontier property is local to each shard.",
+)
+def doc_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    q = text.with_quality_score(d).select(
+        "doc_id", "lang", F.length("text").alias("n_chars"), "quality_score"
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("n_chars").asc(), F.col("quality_score").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        q.withColumn("mx", F.max("quality_score").over(w))
+        .filter(F.col("mx").isNull() | (F.col("quality_score") > F.col("mx")))
+        .select("doc_id", "lang", "n_chars", "quality_score")
+    )

@@ -1,0 +1,106 @@
+"""Property tests for the fifth contract batch — invariants the DuckDB
+differential cannot express (probability normalization, sketch-vs-exact
+tolerance, Pareto dominance)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from batch_data_pipeline_exercise_spark.plans import contract
+from batch_data_pipeline_exercise_spark.plans import contract5  # noqa: F401 — registers queries
+
+
+def test_markov_rows_are_distributions(spark, sf_dir):
+    """Per-source transition probabilities sum to 1 (within fp dust) and
+    transition counts equal total successor pairs."""
+    out = contract.REGISTRY["event_type_markov"].fn(spark, sf_dir)
+    sums = out.groupBy("src").agg(F.sum("prob").alias("p"), F.sum("transitions").alias("n")).collect()
+    assert sums
+    for r in sums:
+        assert abs(r["p"] - 1.0) < 1e-9
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_events = events.count()
+    n_users = events.select("user_id").distinct().count()
+    assert sum(r["n"] for r in sums) == n_events - n_users  # one LEAD NULL per user
+
+
+def test_kmv_estimates_vs_exact(spark, sf_dir):
+    """KMV union/Jaccard estimates land within the standard ~1/sqrt(k)
+    error band of the exact values."""
+    out = {
+        (r["event_type_a"], r["event_type_b"]): r
+        for r in contract.REGISTRY["event_type_user_overlap_kmv"].fn(spark, sf_dir).collect()
+    }
+    assert out
+    e = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_type", "user_id")
+        .distinct()
+        .collect()
+    )
+    sets: dict[str, set] = {}
+    for r in e:
+        sets.setdefault(r["event_type"], set()).add(r["user_id"])
+    for (ta, tb), row in out.items():
+        exact_union = len(sets[ta] | sets[tb])
+        exact_j = len(sets[ta] & sets[tb]) / exact_union
+        # k=64 → relative standard error ~ 1/sqrt(63) ≈ 12.6%; allow 4σ
+        assert abs(row["union_distinct_est"] - exact_union) <= max(4 * exact_union / 7.9, 2.0)
+        assert abs(row["jaccard_est"] - exact_j) <= 0.5
+        assert 0 <= row["n_common"] <= row["k_used"] <= 64
+
+
+def test_pareto_frontier_is_undominated(spark, sf_dir):
+    """No frontier doc is strictly dominated by ANY doc in its language
+    (higher-or-equal quality and shorter-or-equal length, one strict)."""
+    from batch_data_pipeline_exercise_spark.operators import text
+    from batch_data_pipeline_exercise_spark.plans.contract import load
+
+    frontier = contract.REGISTRY["doc_pareto_frontier"].fn(spark, sf_dir).collect()
+    assert frontier
+    allq = (
+        text.with_quality_score(load(spark, sf_dir, "documents"))
+        .select("lang", F.length("text").alias("n"), "quality_score")
+        .collect()
+    )
+    by_lang: dict[str, list] = {}
+    for r in allq:
+        by_lang.setdefault(r["lang"], []).append((r["quality_score"], r["n"]))
+    for f in frontier:
+        for q, n in by_lang[f["lang"]]:
+            dominates = (
+                q >= f["quality_score"]
+                and n <= f["n_chars"]
+                and (q > f["quality_score"] or n < f["n_chars"])
+            )
+            assert not dominates, f"{f} dominated by (q={q}, n={n})"
+
+
+def test_token_drift_ranking_invariants(spark, sf_dir):
+    """Drift = max(odds, 1/odds) >= 1, count floor held, and at most 3
+    tokens per first-character shard."""
+    rows = contract.REGISTRY["corpus_token_drift"].fn(spark, sf_dir).collect()
+    assert rows
+    shard_counts: dict[str, int] = {}
+    for r in rows:
+        assert r["ca"] + r["cb"] >= 5
+        assert abs(r["drift"] - max(r["odds"], 1.0 / r["odds"])) == 0.0
+        assert r["drift"] >= 1.0
+        shard = r["token"][:1]
+        shard_counts[shard] = shard_counts.get(shard, 0) + 1
+    assert all(n <= 3 for n in shard_counts.values())
+
+
+def test_bloom_contamination_equals_plain_join(spark, sf_dir):
+    """The bloom-pruned contamination hits match the unpruned
+    train_eval_contamination on the shared-gram counts."""
+    bloomed = {
+        r["doc_id"]: r["shared_grams"]
+        for r in contract.REGISTRY["contamination_bloom_hits"].fn(spark, sf_dir).collect()
+    }
+    plain = {
+        r["doc_id"]: r["shared_grams"]
+        for r in contract.REGISTRY["train_eval_contamination"].fn(spark, sf_dir).collect()
+        if r["shared_grams"] > 0
+    }
+    assert bloomed == plain
