@@ -18,10 +18,16 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from batch_data_pipeline_exercise_spark.operators import bloom
+from batch_data_pipeline_exercise_spark.operators import dedup
 from batch_data_pipeline_exercise_spark.operators import text
-from batch_data_pipeline_exercise_spark.plans.contract import load, register
+from batch_data_pipeline_exercise_spark.plans.contract import dec, load, register
 from batch_data_pipeline_exercise_spark.plans.contract3 import _stamp_global
-from batch_data_pipeline_exercise_spark.plans.contract_ext import _NORM, _quality_sql
+from batch_data_pipeline_exercise_spark.plans.contract_ext import (
+    _NORM,
+    _SHINGLES_CTE,
+    _TOKS_CTE,
+    _quality_sql,
+)
 
 # ---------------------------------------------------------------------------
 # Sequence analytics: event-type Markov transitions
@@ -445,4 +451,217 @@ def doc_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.withColumn("mx", F.max("quality_score").over(w))
         .filter(F.col("mx").isNull() | (F.col("quality_score") > F.col("mx")))
         .select("doc_id", "lang", "n_chars", "quality_score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric near-dup: shingle containment (quote / inclusion detection)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_containment_pairs",
+    oracle="WITH "
+    + _TOKS_CTE
+    + ", "
+    + _SHINGLES_CTE
+    + """,
+    dfreq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+    keep AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfreq ON dfreq.s = sh.s WHERE dfreq.df <= 100),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM keep GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS ni
+      FROM keep a JOIN keep b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING COUNT(*) >= 5
+    )
+    SELECT i.id1, i.id2,
+           CAST(i.ni AS BIGINT) AS ni,
+           CAST(c1.n AS BIGINT) AS n1,
+           CAST(c2.n AS BIGINT) AS n2,
+           i.ni / c1.n AS containment_in_1,
+           i.ni / c2.n AS containment_in_2
+    FROM inter i
+    JOIN counts c1 ON c1.doc_id = i.id1
+    JOIN counts c2 ON c2.doc_id = i.id2
+    """,
+    doc="Asymmetric near-duplication via shingle CONTAINMENT "
+    "(|A∩B|/|A| per direction) — catches a short doc quoted inside a "
+    "long one, which symmetric Jaccard dilutes below any threshold. "
+    "Candidates come from an inverted shingle index (equi self-join "
+    "on the 3-shingle) with two scale guards: stop-shingles appearing "
+    "in >100 docs are dropped before the join (they contribute "
+    "quadratic pair blowup and no dedup signal — the classic "
+    "hot-posting cap), and pairs must share >=5 informative shingles. "
+    "Ratios are one integer division each, bit-exact cross-engine.",
+)
+def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(d, "doc_id").select(F.col("id").alias("doc_id"), F.col("shingle").alias("s"))
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    keep = sh.join(dfreq.filter(F.col("df") <= 100).select("s"), "s").localCheckpoint()
+    counts = keep.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = keep.select(F.col("doc_id").alias("id1"), "s")
+    b = keep.select(F.col("doc_id").alias("id2"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("ni"))
+        .filter(F.col("ni") >= 5)
+    )
+    c1 = counts.select(F.col("doc_id").alias("__d1"), F.col("n").alias("n1"))
+    c2 = counts.select(F.col("doc_id").alias("__d2"), F.col("n").alias("n2"))
+    return (
+        inter.join(c1, F.col("id1") == F.col("__d1"))
+        .join(c2, F.col("id2") == F.col("__d2"))
+        .select(
+            "id1",
+            "id2",
+            "ni",
+            "n1",
+            "n2",
+            (F.col("ni") / F.col("n1")).alias("containment_in_1"),
+            (F.col("ni") / F.col("n2")).alias("containment_in_2"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market concentration: HHI per nation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "supplier_revenue_hhi",
+    oracle="""
+    WITH per_supp AS (
+      SELECT s.s_nationkey, l.l_suppkey,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS rev
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY s.s_nationkey, l.l_suppkey
+    )
+    SELECT n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(SUM(p.rev) AS DOUBLE) AS total_revenue,
+           CAST(CAST(SUM(CAST(p.rev AS DECIMAL(28,2)) * CAST(p.rev AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+             / (CAST(SUM(p.rev) AS DOUBLE) * CAST(SUM(p.rev) AS DOUBLE)) AS hhi
+    FROM per_supp p JOIN nation n ON n.n_nationkey = p.s_nationkey
+    GROUP BY n.n_name
+    """,
+    doc="Herfindahl-Hirschman concentration index of supplier revenue "
+    "per nation — 'is this supply chain dominated by a few "
+    "suppliers?'. HHI = sum(share^2) is algebraically rewritten to "
+    "sum(rev^2)/total^2 so no per-supplier division happens, and the "
+    "squares are DECIMAL(18,2)x(18,2) products (scale-4, exact) summed "
+    "exactly — a double sum of squares would be order-dependent across "
+    "shuffle partitions and break the hash compare (the DuckDB side "
+    "widens one operand to DECIMAL(28,2) to leave the int64 multiply "
+    "path, and reads the >2^53 sum back through the VARCHAR bridge "
+    "for the correctly-rounded double, as in lineitem_moment_stats). "
+    "The only doubles "
+    "are the final casts and one division. Two hash aggregates "
+    "(lineitem shuffles on (nation,supplier), then nation); nation "
+    "broadcast. Headroom: per-supplier revenue to 10^16 before the "
+    "decimal square saturates — at bigger scales widen rev's cast.",
+)
+def supplier_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    per_supp = (
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(F.sum(dec("l_extendedprice")).alias("rev"))
+    )
+    return (
+        per_supp.join(F.broadcast(n), per_supp["s_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum("rev").cast("double").alias("total_revenue"),
+            (
+                F.sum(
+                    F.col("rev").cast("decimal(18,2)") * F.col("rev").cast("decimal(18,2)")
+                ).cast("double")
+                / (F.sum("rev").cast("double") * F.sum("rev").cast("double"))
+            ).alias("hhi"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session bounce analytics by entry event type
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "session_bounce_stats",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    ), sessions AS (
+      SELECT user_id, session_id,
+             MIN(struct_pack(ts := ts, event_id := event_id, event_type := event_type)).event_type AS entry_type,
+             COUNT(*) AS n_events,
+             date_diff('microsecond', MIN(ts), MAX(ts)) AS dur_us
+      FROM numbered GROUP BY user_id, session_id
+    )
+    SELECT entry_type,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS bounce_rate,
+           CAST(SUM(n_events) AS BIGINT) AS total_events,
+           CAST(SUM(dur_us) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_session_us
+    FROM sessions GROUP BY entry_type
+    """,
+    doc="Bounce-rate report by session ENTRY event type: 30-minute-gap "
+    "sessionization (identical lag/running-sum islands as "
+    "user_sessions, with the (ts, event_id) total order carried into "
+    "every window so ties cannot reorder), entry event via an arg-min "
+    "struct aggregate (no second window pass), bounce = single-event "
+    "session. Duration is an exact integer microsecond difference; "
+    "the two ratios are single divisions of exact integers. Plan: one "
+    "exchange on user_id reused by both windows, then two hash "
+    "aggregates that only ever shrink the data.",
+)
+def session_bounce_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = e.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "new_session",
+        F.when(F.expr("timestampdiff(MICROSECOND, prev_ts, ts)") > 30 * 60 * 1_000_000, 1)
+        .when(F.col("prev_ts").isNull(), 1)
+        .otherwise(0),
+    )
+    numbered = flagged.withColumn("session_id", F.sum("new_session").over(wrun))
+    sessions = numbered.groupBy("user_id", "session_id").agg(
+        F.min(F.struct("ts", "event_id", "event_type")).getField("event_type").alias("entry_type"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr("timestampdiff(MICROSECOND, min(ts), max(ts))").alias("dur_us"),
+    )
+    bounces = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    cnt = F.count(F.lit(1))
+    return sessions.groupBy("entry_type").agg(
+        cnt.alias("n_sessions"),
+        bounces.cast("bigint").alias("n_bounces"),
+        (bounces.cast("double") / cnt.cast("double")).alias("bounce_rate"),
+        F.sum("n_events").cast("bigint").alias("total_events"),
+        (F.sum("dur_us").cast("double") / cnt.cast("double")).alias("mean_session_us"),
     )
