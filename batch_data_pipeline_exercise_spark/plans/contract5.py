@@ -23,11 +23,22 @@ from batch_data_pipeline_exercise_spark.operators import text
 from batch_data_pipeline_exercise_spark.plans.contract import dec, load, register
 from batch_data_pipeline_exercise_spark.plans.contract3 import _stamp_global
 from batch_data_pipeline_exercise_spark.plans.contract_ext import (
+    _CAND_CTE,
+    _MH_SIG,
+    _MH_WORDS,
     _NORM,
     _SHINGLES_CTE,
     _TOKS_CTE,
     _quality_sql,
 )
+
+# Oracle fragment aliases: the minhash word/signature CTEs and the bands
+# half of the candidate CTE (the occupancy report needs buckets, not
+# pairs — the unused cand CTE is dropped by splitting at its marker).
+_MH_WORDS_SQL = _MH_WORDS
+_MH_SIG_SQL = _MH_SIG
+_BANDS_SQL = _CAND_CTE.split("), cand AS")[0] + ")"
+
 
 # ---------------------------------------------------------------------------
 # Sequence analytics: event-type Markov transitions
@@ -664,4 +675,129 @@ def session_bounce_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (bounces.cast("double") / cnt.cast("double")).alias("bounce_rate"),
         F.sum("n_events").cast("bigint").alias("total_events"),
         (F.sum("dur_us").cast("double") / cnt.cast("double")).alias("mean_session_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Operational meta-analytics: LSH band occupancy (the join-cost driver)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lsh_band_occupancy",
+    oracle="WITH "
+    + _TOKS_CTE
+    + ", "
+    + _SHINGLES_CTE
+    + ", "
+    + _MH_WORDS_SQL
+    + ", "
+    + _MH_SIG_SQL
+    + ", "
+    + _BANDS_SQL
+    + """,
+    buckets AS (
+      SELECT band, band_key, COUNT(*) AS c FROM bands GROUP BY band, band_key
+    )
+    SELECT band,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(c) AS BIGINT) AS n_docs,
+           CAST(MAX(c) AS BIGINT) AS max_bucket,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS singleton_buckets,
+           CAST(SUM((c * (c - 1)) // 2) AS BIGINT) AS candidate_pairs
+    FROM buckets GROUP BY band
+    """,
+    doc="Self-monitoring for the minhash-LSH dedup path: per band, the "
+    "bucket-occupancy profile that DETERMINES the banded self-join's "
+    "cost — candidate_pairs = sum(c*(c-1)/2) is exactly the row count "
+    "the join will produce, max_bucket is the skew ceiling, and the "
+    "singleton fraction shows how much of the corpus is join-inert. "
+    "The 10x-occupancy experiment in SCALE.md tracked these numbers "
+    "by hand; this query makes them a first-class, schedulable "
+    "observable so a production pipeline can alert on quadratic "
+    "blowup BEFORE launching the join. Integer-only arithmetic "
+    "(c*(c-1) is always even, so the integer halving is exact).",
+)
+def lsh_band_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(dedup.word_shingles(d, "doc_id", distinct=False), k=32)
+    bk = dedup.lsh_band_keys(sig, bands=8, rows=4)
+    buckets = bk.groupBy("band", "band_key").agg(F.count(F.lit(1)).alias("c"))
+    return buckets.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("c").alias("n_docs"),
+        F.max("c").alias("max_bucket"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("bigint").alias("singleton_buckets"),
+        F.sum(F.expr("(c * (c - 1)) div 2")).alias("candidate_pairs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Contingency analysis: chi-square cells over exact integer margins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "priority_status_chi2",
+    oracle="""
+    WITH cells AS (
+      SELECT o_orderpriority, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS observed
+      FROM orders GROUP BY o_orderpriority, o_orderstatus
+    ), margins AS (
+      SELECT o_orderpriority, o_orderstatus, observed,
+             SUM(observed) OVER (PARTITION BY o_orderpriority) AS r_tot,
+             SUM(observed) OVER (PARTITION BY o_orderstatus) AS c_tot
+      FROM cells
+    ), tot AS (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM cells)
+    SELECT m.o_orderpriority, m.o_orderstatus, m.observed,
+           CAST(m.r_tot AS BIGINT) AS row_total,
+           CAST(m.c_tot AS BIGINT) AS col_total,
+           CAST(m.r_tot * m.c_tot AS DOUBLE) / CAST(t.n AS DOUBLE) AS expected,
+           (CAST(m.observed * t.n - m.r_tot * m.c_tot AS DOUBLE)
+              * CAST(m.observed * t.n - m.r_tot * m.c_tot AS DOUBLE))
+             / (CAST(t.n AS DOUBLE) * CAST(m.r_tot AS DOUBLE) * CAST(m.c_tot AS DOUBLE))
+             AS chi2_contribution
+    FROM margins m CROSS JOIN tot t
+    """,
+    doc="Chi-square independence cells for order priority x order status "
+    "— the "
+    "data-validation shape 'did this categorical relationship shift?'. "
+    "Every margin is an exact integer; the per-cell statistic uses the "
+    "cross-multiplied form (O*N - R*C)^2 / (N*R*C) so no intermediate "
+    "expected-count rounding enters the numerator: the diff is one "
+    "exact bigint, then three correctly-rounded double ops in "
+    "identical order. PER-CELL contributions are emitted instead of "
+    "the chi2 total because a cross-cell double sum would be "
+    "accumulation-order-dependent; callers fold the handful of cells "
+    "client-side. Plan: one hash aggregate to cells (tiny), two "
+    "partitioned margin windows, zero-key total stamp.",
+)
+def priority_status_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    cells = o.groupBy("o_orderpriority", "o_orderstatus").agg(F.count(F.lit(1)).alias("observed"))
+    wr = Window.partitionBy("o_orderpriority")
+    wc = Window.partitionBy("o_orderstatus")
+    margins = cells.withColumn("r_tot", F.sum("observed").over(wr)).withColumn(
+        "c_tot", F.sum("observed").over(wc)
+    )
+    tot = cells.agg(F.sum("observed").alias("n"))
+    m = _stamp_global(margins, "o_orderpriority", tot, "n")
+    diff = (F.col("observed") * F.col("n") - F.col("r_tot") * F.col("c_tot")).cast("double")
+    return m.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        "observed",
+        F.col("r_tot").cast("bigint").alias("row_total"),
+        F.col("c_tot").cast("bigint").alias("col_total"),
+        ((F.col("r_tot") * F.col("c_tot")).cast("double") / F.col("n").cast("double")).alias(
+            "expected"
+        ),
+        (
+            (diff * diff)
+            / (
+                F.col("n").cast("double")
+                * F.col("r_tot").cast("double")
+                * F.col("c_tot").cast("double")
+            )
+        ).alias("chi2_contribution"),
     )

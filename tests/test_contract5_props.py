@@ -104,3 +104,49 @@ def test_bloom_contamination_equals_plain_join(spark, sf_dir):
         if r["shared_grams"] > 0
     }
     assert bloomed == plain
+
+
+def test_lsh_occupancy_predicts_join_size(spark, sf_dir):
+    """candidate_pairs summed over bands upper-bounds (and without
+    cross-band dedup, predicts) the banded self-join's row count —
+    the cost-model property the report exists to expose."""
+    from batch_data_pipeline_exercise_spark.operators import dedup
+    from batch_data_pipeline_exercise_spark.plans.contract import load
+
+    occ = contract.REGISTRY["lsh_band_occupancy"].fn(spark, sf_dir).collect()
+    assert len(occ) == 8
+    predicted = sum(r["candidate_pairs"] for r in occ)
+    d = load(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(dedup.word_shingles(d, "doc_id", distinct=False), k=32)
+    bk = dedup.lsh_band_keys(sig, bands=8, rows=4)
+    a = bk.select(F.col("id").alias("id1"), "band", "band_key")
+    b = bk.select(F.col("id").alias("id2"), "band", "band_key")
+    raw_pairs = a.join(b, ["band", "band_key"]).filter(F.col("id1") < F.col("id2")).count()
+    distinct_pairs = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+        .count()
+    )
+    assert raw_pairs == predicted
+    assert distinct_pairs <= predicted
+
+
+def test_chi2_margins_consistent(spark, sf_dir):
+    """Row/column totals agree with the cell counts they summarize, and
+    each contribution is non-negative with expected > 0."""
+    rows = contract.REGISTRY["priority_status_chi2"].fn(spark, sf_dir).collect()
+    assert rows
+    n = sum(r["observed"] for r in rows)
+    by_prio: dict[str, int] = {}
+    by_status: dict[str, int] = {}
+    for r in rows:
+        by_prio[r["o_orderpriority"]] = by_prio.get(r["o_orderpriority"], 0) + r["observed"]
+        by_status[r["o_orderstatus"]] = by_status.get(r["o_orderstatus"], 0) + r["observed"]
+    for r in rows:
+        assert r["row_total"] == by_prio[r["o_orderpriority"]]
+        assert r["col_total"] == by_status[r["o_orderstatus"]]
+        assert r["expected"] > 0
+        assert r["chi2_contribution"] >= 0
+        assert abs(r["expected"] - r["row_total"] * r["col_total"] / n) < 1e-9
