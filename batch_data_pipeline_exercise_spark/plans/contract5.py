@@ -801,3 +801,179 @@ def priority_status_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("chi2_contribution"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum novelty: fraction of first-seen n-grams per document
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_ngram_novelty",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS tk FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, array_to_string(list_slice(tk, i + 1, i + 5), ' ') AS g
+      FROM toks, UNNEST(range(0, greatest(len(tk) - 5, 0) + 1)) AS u(i)
+      WHERE i + 5 <= len(tk)
+    ),
+    firstg AS (SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g)
+    SELECT gr.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS novel_grams,
+           CAST(SUM(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS BIGINT) AS novelty
+    FROM grams gr JOIN firstg f ON f.g = gr.g
+    GROUP BY gr.doc_id
+    """,
+    doc="Per-document novelty score: the fraction of a doc's distinct "
+    "5-grams whose FIRST corpus occurrence (min doc_id — in production, "
+    "ingestion order) is this document. The dedup-aware curriculum "
+    "signal: low novelty marks content the model has already seen. "
+    "Plan: one explode + distinct, a gram-keyed min aggregate (the "
+    "first-occurrence index — reusable as a persisted table for "
+    "incremental novelty), one equi join back on the gram, one hash "
+    "aggregate per doc. All counts integer; one division per row.",
+)
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = text.tokenize("text")
+    n = 5
+    grams_arr = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.when(i + n <= F.size(toks), F.concat_ws(" ", F.slice(toks, i + 1, n))),
+        ),
+        lambda g: g.isNotNull(),
+    )
+    grams = d.select("doc_id", F.explode(grams_arr).alias("g")).distinct().localCheckpoint()
+    firstg = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+    return (
+        grams.join(firstg, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            novel.cast("bigint").alias("novel_grams"),
+            (novel.cast("double") / F.count(F.lit(1))).alias("novelty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket affinity: brand co-occurrence lift
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "brand_affinity_lift",
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey, p.p_brand
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    n_orders AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM ob),
+    brand_n AS (SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_b FROM ob GROUP BY p_brand),
+    pairs AS (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      GROUP BY a.p_brand, b.p_brand
+      HAVING COUNT(*) >= 5
+    )
+    SELECT p.brand_a, p.brand_b, p.n_ab, na.n_b AS n_a, nb.n_b AS n_b,
+           CAST(p.n_ab AS DOUBLE) / CAST(t.n AS DOUBLE) AS support,
+           CAST(p.n_ab * t.n AS DOUBLE) / CAST(na.n_b * nb.n_b AS DOUBLE) AS lift
+    FROM pairs p
+    JOIN brand_n na ON na.p_brand = p.brand_a
+    JOIN brand_n nb ON nb.p_brand = p.brand_b
+    CROSS JOIN n_orders t
+    """,
+    doc="Market-basket brand affinity: lift = P(a,b)/(P(a)P(b)) over "
+    "orders, computed as the cross-multiplied integer ratio "
+    "(n_ab*N)/(n_a*n_b) — one double division per pair, no "
+    "intermediate probabilities. The self-join is keyed on l_orderkey, "
+    "so the pair blowup is bounded by basket size squared per order "
+    "(baskets are small; a hot-basket cap like the containment query's "
+    "df filter would bolt on unchanged if they weren't). Support floor "
+    "n_ab>=5 keeps the output the interesting head. Brand margins "
+    "broadcast; the global order count stamps via zero-key join.",
+)
+def brand_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    ob = (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .select("l_orderkey", "p_brand")
+        .distinct()
+        .localCheckpoint()
+    )
+    tot = ob.agg(F.count_distinct("l_orderkey").alias("n"))
+    brand_n = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_b"))
+    a = ob.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("brand_a"))
+    b = ob.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("brand_b"))
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 5)
+    )
+    na = brand_n.select(F.col("p_brand").alias("__ba"), F.col("n_b").alias("n_a"))
+    nb = brand_n.select(F.col("p_brand").alias("__bb"), F.col("n_b").alias("__nb2"))
+    stamped = _stamp_global(
+        pairs.join(F.broadcast(na), F.col("brand_a") == F.col("__ba"))
+        .join(F.broadcast(nb), F.col("brand_b") == F.col("__bb")),
+        "brand_a",
+        tot,
+        "n",
+    )
+    return stamped.select(
+        "brand_a",
+        "brand_b",
+        "n_ab",
+        "n_a",
+        F.col("__nb2").alias("n_b"),
+        (F.col("n_ab").cast("double") / F.col("n").cast("double")).alias("support"),
+        (
+            (F.col("n_ab") * F.col("n")).cast("double")
+            / (F.col("n_a") * F.col("__nb2")).cast("double")
+        ).alias("lift"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Power-law profile: log2-bucketed events-per-user histogram
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "user_activity_power_curve",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY user_id
+    )
+    SELECT CAST(length(bin(c)) - 1 AS INTEGER) AS log2_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(MIN(c) AS BIGINT) AS min_events,
+           CAST(MAX(c) AS BIGINT) AS max_events,
+           CAST(SUM(c) AS BIGINT) AS total_events
+    FROM per_user GROUP BY 1
+    """,
+    doc="Power-law activity profile: users histogrammed into log2 "
+    "buckets of their event count (bucket = floor(log2 c), computed as "
+    "binary-string length minus one — pure integer arithmetic, immune "
+    "to the float log2 boundary jitter at exact powers of two). The "
+    "skew-diagnosis companion to the salting operators: the max bucket "
+    "IS the hot-key report. Two hash aggregates, nothing else.",
+)
+def user_activity_power_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    return per_user.groupBy(
+        (F.length(F.bin("c")) - 1).cast("int").alias("log2_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.min("c").alias("min_events"),
+        F.max("c").alias("max_events"),
+        F.sum("c").alias("total_events"),
+    )
