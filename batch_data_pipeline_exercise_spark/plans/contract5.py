@@ -19,6 +19,7 @@ from pyspark.sql.window import Window
 
 from batch_data_pipeline_exercise_spark.operators import bloom
 from batch_data_pipeline_exercise_spark.operators import dedup
+from batch_data_pipeline_exercise_spark.operators import similarity
 from batch_data_pipeline_exercise_spark.operators import text
 from batch_data_pipeline_exercise_spark.plans.contract import dec, load, register
 from batch_data_pipeline_exercise_spark.plans.contract3 import _stamp_global
@@ -976,4 +977,127 @@ def user_activity_power_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("c").alias("min_events"),
         F.max("c").alias("max_events"),
         F.sum("c").alias("total_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN index balance: IVF cell occupancy
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ivf_cell_occupancy",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cell, v AS c FROM e ORDER BY vec_id LIMIT 16),
+    asg_scored AS (
+      SELECT e.vec_id AS id, cent.cell,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+               list_dot_product(e.v, cent.c)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.c, cent.c))) DESC,
+               cent.cell) AS rn
+      FROM e CROSS JOIN cent
+    ),
+    asg AS (SELECT id, cell FROM asg_scored WHERE rn = 1),
+    counts AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vectors FROM asg GROUP BY cell),
+    tot AS (SELECT CAST(SUM(n_vectors) AS BIGINT) AS n FROM counts)
+    SELECT c.cell, c.n_vectors,
+           CAST((c.n_vectors * 16000) // t.n AS BIGINT) AS load_x1000
+    FROM counts c CROSS JOIN tot t
+    """,
+    doc="ANN-index balance report: per-IVF-cell vector counts plus an "
+    "integer load factor (1000 = perfectly balanced across the 16 "
+    "cells; floor division keeps it cross-engine exact). A skewed cell "
+    "is the ANN equivalent of a hot LSH bucket — probe latency at "
+    "100 TB is governed by the LARGEST probed cell, so this is the "
+    "pre-flight check before shipping an index, exactly parallel to "
+    "lsh_band_occupancy for the dedup join. Reuses ivf_assign's "
+    "deterministic seed-centroid assignment (bounded n x 16 broadcast "
+    "cross — linear, flagged like the IVF search queries).",
+    allow_quadratic=True,
+)
+def ivf_cell_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    assigned, _ = similarity.ivf_assign(emb, n_cells=16)
+    counts = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors"))
+    tot = counts.agg(F.sum("n_vectors").alias("n"))
+    stamped = _stamp_global(counts, "cell", tot, "n")
+    return stamped.select(
+        "cell",
+        "n_vectors",
+        F.expr("(n_vectors * 16000) div n").alias("load_x1000"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental novelty: new batch scored against the stored gram index
+# ---------------------------------------------------------------------------
+
+_NOVELTY_SPLIT = 40  # docs below are "already ingested", at/above are the new batch
+
+
+@register(
+    "doc_incremental_novelty",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS tk FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, array_to_string(list_slice(tk, i + 1, i + 5), ' ') AS g
+      FROM toks, UNNEST(range(0, greatest(len(tk) - 5, 0) + 1)) AS u(i)
+      WHERE i + 5 <= len(tk)
+    ),
+    firstg AS (SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g)
+    SELECT gr.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS novel_grams,
+           CAST(SUM(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS BIGINT) AS novelty
+    FROM grams gr JOIN firstg f ON f.g = gr.g
+    WHERE gr.doc_id >= {_NOVELTY_SPLIT}
+    GROUP BY gr.doc_id
+    """,
+    doc="Batch-over-batch novelty: the NEW batch (doc_id >= 40; in "
+    "production, today's drop) is scored against the persisted "
+    "first-occurrence gram index built from prior ingests — only the "
+    "new batch is tokenized, the index is probed with one left equi "
+    "join, and grams the index lacks resolve first-occurrence WITHIN "
+    "the batch. The oracle is the FULL-corpus novelty filtered to the "
+    "new docs: equivalence holds because prior doc_ids sort below the "
+    "batch (ingestion order), which is the rebuild-equals-incremental "
+    "proof in the same differential style as incremental LSH. History "
+    "cost: zero re-tokenization, index grows by exactly the novel "
+    "grams.",
+)
+def doc_incremental_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = text.tokenize("text")
+    n = 5
+    grams_arr = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.when(i + n <= F.size(toks), F.concat_ws(" ", F.slice(toks, i + 1, n))),
+        ),
+        lambda g: g.isNotNull(),
+    )
+    grams = d.select("doc_id", F.explode(grams_arr).alias("g")).distinct()
+    # the stored index a production pipeline would read from the warehouse
+    prior_index = (
+        grams.filter(F.col("doc_id") < _NOVELTY_SPLIT)
+        .groupBy("g")
+        .agg(F.min("doc_id").alias("prior_first"))
+    )
+    new_grams = grams.filter(F.col("doc_id") >= _NOVELTY_SPLIT).localCheckpoint()
+    first_new = new_grams.groupBy("g").agg(F.min("doc_id").alias("first_new"))
+    flagged = (
+        new_grams.join(first_new, "g")
+        .join(prior_index, "g", "left")
+        .withColumn(
+            "is_novel",
+            F.col("prior_first").isNull() & (F.col("first_new") == F.col("doc_id")),
+        )
+    )
+    novel = F.sum(F.when(F.col("is_novel"), 1).otherwise(0))
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        novel.cast("bigint").alias("novel_grams"),
+        (novel.cast("double") / F.count(F.lit(1))).alias("novelty"),
     )
