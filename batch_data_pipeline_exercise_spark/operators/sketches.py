@@ -25,6 +25,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# --- KMV (k-minimum-values) primitives -------------------------------------
+# Shared by the batch query (plans/contract5.py event_type_user_overlap_kmv)
+# and the streaming maintenance fold (streaming/kmv_stream.py): ONE hash and
+# ONE hash-space constant, so independently-maintained sketches stay
+# bit-compatible by construction.
+
+KMV_H = 1152921504606846976.0  # 2^60 — the hash-space size as exact double
+
+
+def kmv_hash(id_col: str) -> F.Column:
+    """60-bit uniform hash of an id: first 15 md5 hex digits, the
+    construction every SQL engine can replicate (the DuckDB twin is
+    CAST(('0x' || substr(md5(CAST(x AS VARCHAR)), 1, 15)) AS BIGINT))."""
+    return (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+    )
+
+
 
 def build_distinct_sketches(
     df: DataFrame,

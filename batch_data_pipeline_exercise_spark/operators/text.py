@@ -215,6 +215,22 @@ def tokenize(text_col: str = "text") -> Column:
     return F.split(normalize_ws(text_col), " ")
 
 
+def word_ngrams(text_col: str = "text", n: int = 5):
+    """Array of word n-grams over whitespace tokens; windows that would
+    run past the document end are dropped (no short tail grams). The
+    SINGLE definition behind every gram-based screen — contamination,
+    bloom pruning, novelty — and their oracles\' gram CTE; keep the
+    DuckDB twin (list_slice over range, i + n <= len(tk)) in lockstep."""
+    toks = tokenize(text_col)
+    return F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.when(i + n <= F.size(toks), F.concat_ws(" ", F.slice(toks, i + 1, n))),
+        ),
+        lambda g: g.isNotNull(),
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str = "doc_id",

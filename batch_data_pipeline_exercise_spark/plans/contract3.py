@@ -32,7 +32,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from batch_data_pipeline_exercise_spark.operators.text import tokenize
+from batch_data_pipeline_exercise_spark.operators.text import tokenize, word_ngrams
 from batch_data_pipeline_exercise_spark.plans.contract import dec, load, register
 
 # DuckDB-side text normalizer — identical to operators/text.tokenize
@@ -464,16 +464,8 @@ def rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def train_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    toks = tokenize("text")
     n = 5
-    grams_arr = F.filter(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-            lambda i: F.when(i + n <= F.size(toks), F.concat_ws(" ", F.slice(toks, i + 1, n))),
-        ),
-        lambda g: g.isNotNull(),
-    )
-    grams = d.select("doc_id", F.explode(grams_arr).alias("g")).distinct()
+    grams = d.select("doc_id", F.explode(word_ngrams("text", n)).alias("g")).distinct()
     eval_grams = grams.filter(F.col("doc_id") % 10 == 0).select("g").distinct()
     train = grams.filter(F.col("doc_id") % 10 != 0)
     hits = (

@@ -20,26 +20,37 @@ from pyspark.sql.window import Window
 from batch_data_pipeline_exercise_spark.operators import bloom
 from batch_data_pipeline_exercise_spark.operators import dedup
 from batch_data_pipeline_exercise_spark.operators import similarity
+from batch_data_pipeline_exercise_spark.operators import sketches
 from batch_data_pipeline_exercise_spark.operators import text
 from batch_data_pipeline_exercise_spark.plans.contract import dec, load, register
 from batch_data_pipeline_exercise_spark.plans.contract3 import _stamp_global
 from batch_data_pipeline_exercise_spark.plans.contract_ext import (
-    _CAND_CTE,
+    _BANDS_CTE,
     _MH_SIG,
     _MH_WORDS,
     _NORM,
+    _langid_oracle,
     _SHINGLES_CTE,
     _TOKS_CTE,
     _quality_sql,
 )
 
 # Oracle fragment aliases: the minhash word/signature CTEs and the bands
-# half of the candidate CTE (the occupancy report needs buckets, not
-# pairs — the unused cand CTE is dropped by splitting at its marker).
+# CTE (the occupancy report needs buckets, not pairs).
 _MH_WORDS_SQL = _MH_WORDS
 _MH_SIG_SQL = _MH_SIG
-_BANDS_SQL = _CAND_CTE.split("), cand AS")[0] + ")"
+_BANDS_SQL = _BANDS_CTE
 
+
+# The single DuckDB twin of ``text.word_ngrams(n=5)`` — composed by every
+# gram-based oracle below so the window arithmetic can never drift
+# between them (expects a preceding toks CTE providing (doc_id, tk)).
+_GRAMS5_CTE = (
+    "grams AS ("
+    "SELECT DISTINCT doc_id, array_to_string(list_slice(tk, i + 1, i + 5), ' ') AS g "
+    "FROM toks, UNNEST(range(0, greatest(len(tk) - 5, 0) + 1)) AS u(i) "
+    "WHERE i + 5 <= len(tk))"
+)
 
 # ---------------------------------------------------------------------------
 # Sequence analytics: event-type Markov transitions
@@ -183,11 +194,7 @@ def corpus_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "contamination_bloom_hits",
     oracle=f"""
     WITH toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS tk FROM documents),
-    grams AS (
-      SELECT DISTINCT doc_id, array_to_string(list_slice(tk, i + 1, i + 5), ' ') AS g
-      FROM toks, UNNEST(range(0, greatest(len(tk) - 5, 0) + 1)) AS u(i)
-      WHERE i + 5 <= len(tk)
-    ),
+    {_GRAMS5_CTE},
     eval_grams AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0),
     train AS (SELECT doc_id, g FROM grams WHERE doc_id % 10 <> 0)
     SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS shared_grams
@@ -207,21 +214,11 @@ def corpus_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def contamination_bloom_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    toks = text.tokenize("text")
-    n = 5
-    grams_arr = F.filter(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-            lambda i: F.when(i + n <= F.size(toks), F.concat_ws(" ", F.slice(toks, i + 1, n))),
-        ),
-        lambda g: g.isNotNull(),
-    )
-    grams = d.select("doc_id", F.explode(grams_arr).alias("g")).distinct()
+    grams = d.select("doc_id", F.explode(text.word_ngrams("text", 5)).alias("g")).distinct()
     eval_grams = grams.filter(F.col("doc_id") % 10 == 0).select("g").distinct()
     train = grams.filter(F.col("doc_id") % 10 != 0)
-    m_bits, k = 1 << 18, 3
-    words = bloom.bloom_words(eval_grams, "g", m_bits, k)
-    pruned = bloom.bloom_prune(train, "g", words, m_bits, k)
+    bf = bloom.bloom_build(eval_grams, "g", m_bits=1 << 18, k=3)
+    pruned = bloom.bloom_prune(train, "g", bf)
     return (
         pruned.join(eval_grams, "g")
         .groupBy("doc_id")
@@ -234,7 +231,9 @@ def contamination_bloom_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _KMV_K = 64
-_KMV_H = "1152921504606846976.0"  # 2^60 as an exact double literal
+# 2^60 as an exact double literal — MUST render sketches.KMV_H exactly
+_KMV_H = "%.1f" % sketches.KMV_H
+assert float(_KMV_H) == sketches.KMV_H
 
 
 @register(
@@ -288,12 +287,7 @@ _KMV_H = "1152921504606846976.0"  # 2^60 as an exact double literal
 def event_type_user_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     k = _KMV_K
-    h = e.select(
-        "event_type",
-        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
-        .cast("bigint")
-        .alias("h"),
-    ).distinct()
+    h = e.select("event_type", sketches.kmv_hash("user_id").alias("h")).distinct()
     wr = Window.partitionBy("event_type").orderBy("h")
     s = h.withColumn("rn", F.row_number().over(wr)).filter(F.col("rn") <= k).drop("rn")
     types = s.agg(
@@ -324,7 +318,7 @@ def event_type_user_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         (common.cast("double") / cnt.cast("double")).alias("jaccard_est"),
         F.when(cnt < k, cnt.cast("double"))
         .otherwise(
-            (cnt - 1).cast("double") * F.lit(float(_KMV_H)) / F.max("h").cast("double")
+            (cnt - 1).cast("double") * F.lit(sketches.KMV_H) / F.max("h").cast("double")
         )
         .alias("union_distinct_est"),
     )
@@ -555,9 +549,10 @@ def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n.n_name AS nation,
            CAST(COUNT(*) AS BIGINT) AS n_suppliers,
-           CAST(SUM(p.rev) AS DOUBLE) AS total_revenue,
+           CAST(CAST(SUM(p.rev) AS VARCHAR) AS DOUBLE) AS total_revenue,
            CAST(CAST(SUM(CAST(p.rev AS DECIMAL(28,2)) * CAST(p.rev AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
-             / (CAST(SUM(p.rev) AS DOUBLE) * CAST(SUM(p.rev) AS DOUBLE)) AS hhi
+             / (CAST(CAST(SUM(p.rev) AS VARCHAR) AS DOUBLE)
+                * CAST(CAST(SUM(p.rev) AS VARCHAR) AS DOUBLE)) AS hhi
     FROM per_supp p JOIN nation n ON n.n_nationkey = p.s_nationkey
     GROUP BY n.n_name
     """,
@@ -813,11 +808,7 @@ def priority_status_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_ngram_novelty",
     oracle=f"""
     WITH toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS tk FROM documents),
-    grams AS (
-      SELECT DISTINCT doc_id, array_to_string(list_slice(tk, i + 1, i + 5), ' ') AS g
-      FROM toks, UNNEST(range(0, greatest(len(tk) - 5, 0) + 1)) AS u(i)
-      WHERE i + 5 <= len(tk)
-    ),
+    {_GRAMS5_CTE},
     firstg AS (SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g)
     SELECT gr.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_grams,
@@ -838,16 +829,7 @@ def priority_status_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    toks = text.tokenize("text")
-    n = 5
-    grams_arr = F.filter(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-            lambda i: F.when(i + n <= F.size(toks), F.concat_ws(" ", F.slice(toks, i + 1, n))),
-        ),
-        lambda g: g.isNotNull(),
-    )
-    grams = d.select("doc_id", F.explode(grams_arr).alias("g")).distinct().localCheckpoint()
+    grams = d.select("doc_id", F.explode(text.word_ngrams("text", 5)).alias("g")).distinct().localCheckpoint()
     firstg = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
     novel = F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
     return (
@@ -1040,11 +1022,7 @@ _NOVELTY_SPLIT = 40  # docs below are "already ingested", at/above are the new b
     "doc_incremental_novelty",
     oracle=f"""
     WITH toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS tk FROM documents),
-    grams AS (
-      SELECT DISTINCT doc_id, array_to_string(list_slice(tk, i + 1, i + 5), ' ') AS g
-      FROM toks, UNNEST(range(0, greatest(len(tk) - 5, 0) + 1)) AS u(i)
-      WHERE i + 5 <= len(tk)
-    ),
+    {_GRAMS5_CTE},
     firstg AS (SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g)
     SELECT gr.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_grams,
@@ -1069,16 +1047,7 @@ _NOVELTY_SPLIT = 40  # docs below are "already ingested", at/above are the new b
 )
 def doc_incremental_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    toks = text.tokenize("text")
-    n = 5
-    grams_arr = F.filter(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-            lambda i: F.when(i + n <= F.size(toks), F.concat_ws(" ", F.slice(toks, i + 1, n))),
-        ),
-        lambda g: g.isNotNull(),
-    )
-    grams = d.select("doc_id", F.explode(grams_arr).alias("g")).distinct()
+    grams = d.select("doc_id", F.explode(text.word_ngrams("text", 5)).alias("g")).distinct()
     # the stored index a production pipeline would read from the warehouse
     prior_index = (
         grams.filter(F.col("doc_id") < _NOVELTY_SPLIT)
@@ -1100,4 +1069,47 @@ def doc_incremental_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_grams"),
         novel.cast("bigint").alias("novel_grams"),
         (novel.cast("double") / F.count(F.lit(1))).alias("novelty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Label-vs-prediction confusion matrix: declared lang x detected lang
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lang_confusion_matrix",
+    oracle=f"""
+    WITH pred AS ({_langid_oracle()})
+    SELECT d.lang AS declared, p.lang_pred AS predicted,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) AS DOUBLE)
+             / CAST(SUM(COUNT(*)) OVER (PARTITION BY d.lang) AS DOUBLE) AS row_frac
+    FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+    GROUP BY d.lang, p.lang_pred
+    """,
+    doc="Classifier-evaluation confusion matrix: the corpus's DECLARED "
+    "language label (metadata, often wrong in a real crawl) against "
+    "the marker-based lang-id prediction, with per-declared-row "
+    "fractions — the recall diagonal and its leakage in one table. "
+    "The shape generalizes to any label-vs-model audit. One join on "
+    "doc_id, one hash aggregate to a handful of cells, one "
+    "declared-partitioned window for row normalization; the fraction "
+    "is a single exact-integer division.",
+)
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    pred = text.with_lang_id(d).select("doc_id", "lang_pred")
+    cells = (
+        d.select("doc_id", F.col("lang").alias("declared"))
+        .join(pred, "doc_id")
+        .groupBy("declared", F.col("lang_pred").alias("predicted"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("declared")
+    return cells.select(
+        "declared",
+        "predicted",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(w).cast("double")).alias("row_frac"),
     )

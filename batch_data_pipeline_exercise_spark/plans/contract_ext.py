@@ -136,14 +136,18 @@ def doc_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (doc_minhash_lsh_pairs, doc_near_dup_verified, doc_dup_clusters,
 # corpus_prep_pipeline) composes THIS fragment, so banding parameters
 # can never silently drift between them.
-_CAND_CTE = (
+_BANDS_CTE = (
     "bands AS ("
     + " UNION ALL ".join(
         "SELECT doc_id, %d AS band, md5(%s) AS band_key FROM sig"
         % (b, " || ',' || ".join(f"h{b * 4 + r}" for r in range(4)))
         for b in range(8)
     )
-    + "), cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 FROM bands a JOIN bands b "
+    + ")"
+)
+_CAND_CTE = (
+    _BANDS_CTE
+    + ", cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 FROM bands a JOIN bands b "
     + "ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)"
 )
 

@@ -26,18 +26,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from batch_data_pipeline_exercise_spark.operators.sketches import KMV_H, kmv_hash
+
 EVENTS_SCHEMA = "event_id BIGINT, user_id BIGINT, event_type STRING"
-
-KMV_H = 1152921504606846976.0  # 2^60 — the hash-space size as exact double
-
-
-def kmv_hash(id_col: str) -> F.Column:
-    """60-bit uniform hash of an id — first 15 md5 hex digits, the same
-    construction as the batch KMV query (cross-checkable sketches)."""
-    return (
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
-        .cast("bigint")
-    )
 
 
 def fold_kmv(

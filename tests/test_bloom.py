@@ -15,8 +15,8 @@ def test_no_false_negatives(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     build = docs.filter(F.col("doc_id") % 10 == 0).select(F.col("source").alias("g")).distinct()
     probe = docs.select("doc_id", F.col("source").alias("g"))
-    words = bloom.bloom_words(build, "g", m_bits=1 << 12, k=3)
-    pruned = bloom.bloom_prune(probe, "g", words, m_bits=1 << 12, k=3)
+    bf = bloom.bloom_build(build, "g", m_bits=1 << 12, k=3)
+    pruned = bloom.bloom_prune(probe, "g", bf)
     exact = probe.join(build, "g")
     missed = exact.select("doc_id", "g").exceptAll(pruned.select("doc_id", "g"))
     assert missed.count() == 0
@@ -27,8 +27,8 @@ def test_prunes_non_members(spark):
     build = spark.range(100).select(F.concat(F.lit("key_"), F.col("id")).alias("v"))
     probe = spark.range(100, 5100).select(F.concat(F.lit("other_"), F.col("id")).alias("v"))
     m = 1 << 16
-    words = bloom.bloom_words(build, "v", m_bits=m, k=3)
-    survivors = bloom.bloom_prune(probe, "v", words, m_bits=m, k=3).count()
+    bf = bloom.bloom_build(build, "v", m_bits=m, k=3)
+    survivors = bloom.bloom_prune(probe, "v", bf).count()
     # 300 set bits in 65536 → per-probe FP rate ~ (300/65536)^3 ≈ 1e-7
     assert survivors <= 2
 
@@ -36,14 +36,16 @@ def test_prunes_non_members(spark):
 def test_empty_build_side(spark):
     build = spark.range(0).select(F.col("id").cast("string").alias("v"))
     probe = spark.range(10).select(F.col("id").cast("string").alias("v"))
-    words = bloom.bloom_words(build, "v")
-    assert bloom.bloom_prune(probe, "v", words).count() == 0
+    bf = bloom.bloom_build(build, "v")
+    assert bloom.bloom_prune(probe, "v", bf).count() == 0
 
 
 def test_word_table_bounded(spark):
     build = spark.range(10_000).select(F.col("id").cast("string").alias("v"))
     m = 1 << 12
-    words = bloom.bloom_words(build, "v", m_bits=m, k=3).collect()
+    bf = bloom.bloom_build(build, "v", m_bits=m, k=3)
+    words = bf.words.collect()
+    assert (bf.m_bits, bf.k) == (m, 3)
     assert len(words) <= m // 64
     assert all(0 <= r["word_idx"] < m // 64 for r in words)
 
@@ -53,4 +55,4 @@ def test_m_bits_validation(spark):
 
     df = spark.range(1).select(F.col("id").cast("string").alias("v"))
     with pytest.raises(ValueError):
-        bloom.bloom_words(df, "v", m_bits=100)
+        bloom.bloom_build(df, "v", m_bits=100)

@@ -73,4 +73,5 @@ def test_quadratic_allowlist_is_small():
         "ann_cosine_topk",          # brute-force baseline (quadratic by intent)
         "ann_cosine_topk_ivf",       # bounded n×n_cells broadcast expansion (linear)
         "ann_cosine_topk_ivf_kmeans",  # same bounded expansion, trained centroids
+        "ivf_cell_occupancy",        # the same bounded n×n_cells assignment, reported
     }
