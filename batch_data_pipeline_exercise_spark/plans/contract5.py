@@ -1113,3 +1113,154 @@ def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n").cast("double") / F.sum("n").over(w).cast("double")).alias("row_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence statistics: lag-1 autocorrelation of daily activity
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_daily_autocorr",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), pairs AS (
+      SELECT event_type, c AS y,
+             LAG(c) OVER (PARTITION BY event_type ORDER BY day) AS x
+      FROM daily
+    ), s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM pairs WHERE x IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, n AS n_pairs,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+             AS r_lag1
+    FROM s
+    """,
+    doc="Lag-1 autocorrelation of the daily event count per type — the "
+    "burstiness / trend-persistence signal behind capacity planning "
+    "and anomaly thresholds. Consecutive OBSERVED days pair via LAG "
+    "(a silent day contributes no pair; document-by-construction), "
+    "then the Pearson r comes from exact integer power sums with one "
+    "identical double formula both engines — the moment_stats recipe "
+    "applied to a self-lagged series. Daily counts ~1e9 still leave "
+    "int64 headroom for the squares at 100 TB (1e18 < 9.2e18); the "
+    "sums would move to DECIMAL(38,0) beyond that. One exchange on "
+    "event_type shared by the window and the aggregate.",
+)
+def event_daily_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    pairs = daily.select(
+        "event_type", F.col("c").alias("y"), F.lag("c").over(w).alias("x")
+    ).filter(F.col("x").isNotNull())
+    s = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return s.select(
+        "event_type",
+        n.alias("n_pairs"),
+        (
+            (n * sxy - sx * sy).cast("double")
+            / (F.sqrt((n * sxx - sx * sx).cast("double")) * F.sqrt((n * syy - sy * sy).cast("double")))
+        ).alias("r_lag1"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-prep funnel: survivor counts per pipeline stage
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_prep_funnel",
+    oracle=f"""
+    WITH quality AS ({_quality_sql()}),
+    langs AS ({_langid_oracle()}),
+    qpass AS (SELECT q.doc_id FROM quality q WHERE q.quality_score >= 0.6),
+    qlang AS (
+      SELECT q.doc_id FROM quality q JOIN langs l ON l.doc_id = q.doc_id
+      WHERE q.quality_score >= 0.6 AND l.lang_pred = 'en'
+    ),
+    ex AS (
+      SELECT d.doc_id, md5({_NORM}) AS k FROM documents d
+      JOIN qlang s ON s.doc_id = d.doc_id
+    ),
+    uniq AS (
+      SELECT e.doc_id FROM ex e
+      JOIN (SELECT k, MIN(doc_id) AS m FROM ex GROUP BY k) x
+        ON x.k = e.k AND x.m = e.doc_id
+    ),
+    stages AS (
+      SELECT 'input' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+      UNION ALL SELECT 'quality_pass', CAST(COUNT(*) AS BIGINT) FROM qpass
+      UNION ALL SELECT 'quality_and_lang', CAST(COUNT(*) AS BIGINT) FROM qlang
+      UNION ALL SELECT 'exact_unique', CAST(COUNT(*) AS BIGINT) FROM uniq
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_input FROM documents)
+    SELECT s.stage, s.n_docs,
+           CAST(s.n_docs AS DOUBLE) / CAST(t.n_input AS BIGINT) AS frac_of_input
+    FROM stages s CROSS JOIN tot t
+    """,
+    doc="Stage-by-stage survivor funnel through the corpus-prep filters "
+    "(input -> quality >= 0.6 -> +english -> exact-dedup unique) — the "
+    "yield report every data-curation run ships with. Each stage is "
+    "one scalar aggregate over the progressively-filtered doc set, "
+    "unioned into 4 rows and stamped with the input count via the "
+    "zero-key broadcast join (fractions are single exact-integer "
+    "divisions). Costs one pass per stage over an already-tiny "
+    "projection; the scorer columns are shared subtrees Catalyst "
+    "reuses under the union.",
+)
+def corpus_prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    scored = text.with_lang_id(text.with_quality_score(d)).select(
+        "doc_id", "text", "quality_score", "lang_pred"
+    )
+    qpass = scored.filter(F.col("quality_score") >= 0.6)
+    qlang = qpass.filter(F.col("lang_pred") == "en")
+    ex = qlang.select("doc_id", F.md5(text.normalize_ws("text")).alias("k"))
+    first = ex.groupBy("k").agg(F.min("doc_id").alias("m"))
+    uniq = ex.join(first, "k").filter(F.col("doc_id") == F.col("m"))
+    stages = (
+        d.agg(F.count(F.lit(1)).alias("n_docs")).select(F.lit("input").alias("stage"), "n_docs")
+        .unionByName(
+            qpass.agg(F.count(F.lit(1)).alias("n_docs")).select(
+                F.lit("quality_pass").alias("stage"), "n_docs"
+            )
+        )
+        .unionByName(
+            qlang.agg(F.count(F.lit(1)).alias("n_docs")).select(
+                F.lit("quality_and_lang").alias("stage"), "n_docs"
+            )
+        )
+        .unionByName(
+            uniq.agg(F.count(F.lit(1)).alias("n_docs")).select(
+                F.lit("exact_unique").alias("stage"), "n_docs"
+            )
+        )
+    )
+    tot = d.agg(F.count(F.lit(1)).alias("n_input"))
+    stamped = _stamp_global(stages, "stage", tot, "n_input")
+    return stamped.select(
+        "stage",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.col("n_input")).alias("frac_of_input"),
+    )
