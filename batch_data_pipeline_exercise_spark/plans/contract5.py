@@ -1264,3 +1264,126 @@ def corpus_prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         (F.col("n_docs").cast("double") / F.col("n_input")).alias("frac_of_input"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonality index: month revenue vs its year's mean month
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "revenue_seasonality_index",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS year,
+             CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS month,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT year, month, n_orders,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(rev * CAST(COUNT(*) OVER (PARTITION BY year) AS DECIMAL(4,0)) AS DOUBLE)
+             / CAST(SUM(rev) OVER (PARTITION BY year) AS DOUBLE) AS seasonality_index
+    FROM monthly
+    """,
+    doc="Seasonality index: each month's revenue relative to its year's "
+    "mean month (1.0 = average; computed as rev * months_in_year / "
+    "year_total so the only double op is one final division — the "
+    "months multiplier stays decimal-exact, the year total is an exact "
+    "decimal window sum). The pattern behind any 'vs the period "
+    "average' KPI without a second scan or a global window: the year "
+    "partition shards both window functions. One hash aggregate + one "
+    "exchange on year.",
+)
+def revenue_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.year("o_orderdate").cast("int").alias("year"),
+        F.month("o_orderdate").cast("int").alias("month"),
+    ).agg(F.sum(dec("o_totalprice")).alias("rev"), F.count(F.lit(1)).alias("n_orders"))
+    w = Window.partitionBy("year")
+    return monthly.select(
+        "year",
+        "month",
+        "n_orders",
+        F.col("rev").cast("double").alias("revenue"),
+        (
+            (F.col("rev") * F.count(F.lit(1)).over(w).cast("decimal(4,0)")).cast("double")
+            / F.sum("rev").over(w).cast("double")
+        ).alias("seasonality_index"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fulfillment lead time: discrete percentiles per supplier nation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lead_time_percentiles",
+    oracle="""
+    WITH lt AS (
+      SELECT s.s_nationkey, date_diff('day', o.o_orderdate, l.l_shipdate) AS lead_days,
+             l.l_orderkey, l.l_linenumber
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    ), r AS (
+      SELECT s_nationkey, lead_days,
+             ROW_NUMBER() OVER (PARTITION BY s_nationkey
+                                ORDER BY lead_days, l_orderkey, l_linenumber) AS rn,
+             COUNT(*) OVER (PARTITION BY s_nationkey) AS n
+      FROM lt
+    )
+    SELECT n.n_name AS nation,
+           CAST(MAX(r.n) AS BIGINT) AS n_shipments,
+           CAST(MAX(CASE WHEN rn = (n * 50 + 99) // 100 THEN lead_days END) AS BIGINT) AS p50_days,
+           CAST(MAX(CASE WHEN rn = (n * 90 + 99) // 100 THEN lead_days END) AS BIGINT) AS p90_days,
+           CAST(MAX(CASE WHEN rn = (n * 99 + 99) // 100 THEN lead_days END) AS BIGINT) AS p99_days,
+           CAST(MAX(lead_days) AS BIGINT) AS max_days
+    FROM r JOIN nation n ON n.n_nationkey = r.s_nationkey
+    GROUP BY n.n_name
+    """,
+    doc="Order-to-ship lead time SLO report per supplier nation: "
+    "p50/p90/p99 as DISCRETE order statistics (the value AT rank "
+    "ceil(p*n), selected by one ranking window + conditional max — "
+    "never interpolated, so integer-exact cross-engine; ties in "
+    "lead_days break on the (orderkey, linenumber) total order). "
+    "Integer day arithmetic end to end. One exchange on nationkey "
+    "shared by both windows and the final aggregate; nation broadcast.",
+)
+def lead_time_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    lt = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .select(
+            "s_nationkey",
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("lead_days"),
+            "l_orderkey",
+            "l_linenumber",
+        )
+    )
+    wr = Window.partitionBy("s_nationkey").orderBy("lead_days", "l_orderkey", "l_linenumber")
+    wn = Window.partitionBy("s_nationkey")
+    r = lt.withColumn("rn", F.row_number().over(wr)).withColumn("n", F.count(F.lit(1)).over(wn))
+
+    def at_pct(p: int):
+        rank = F.expr(f"(n * {p} + 99) div 100")
+        return F.max(F.when(F.col("rn") == rank, F.col("lead_days"))).cast("bigint")
+
+    return (
+        r.join(F.broadcast(n), r["s_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.max("n").cast("bigint").alias("n_shipments"),
+            at_pct(50).alias("p50_days"),
+            at_pct(90).alias("p90_days"),
+            at_pct(99).alias("p99_days"),
+            F.max("lead_days").cast("bigint").alias("max_days"),
+        )
+    )

@@ -127,3 +127,38 @@ def test_backfill_refuses_out_of_order_days(capsys, spark, tmp_path):
     assert out["days_out_of_order_refused"] == ["2021-03-01"]
     assert out["days_already_done"] == ["2021-03-02"]
     assert out["days_run"] == []
+
+
+def test_stream_novelty_subcommand_end_to_end(capsys, spark, tmp_path):
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    with open(raw / "docs_01.jsonl", "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": "alpha beta gamma delta epsilon zeta"}) + "\n")
+        f.write(json.dumps({"doc_id": 2, "text": "alpha beta gamma delta epsilon zeta"}) + "\n")
+    code = main([
+        "stream-novelty",
+        "--raw", str(raw),
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--warehouse", str(tmp_path / "wh"),
+    ])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert code == 0
+    assert out["ok"] and out["docs_scored"] == 2 and out["index_grams"] == 2
+
+
+def test_stream_kmv_subcommand_end_to_end(capsys, spark, tmp_path):
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    with open(raw / "events_01.jsonl", "w") as f:
+        for i in range(20):
+            f.write(json.dumps({"event_id": i, "user_id": 100 + i % 7, "event_type": "click"}) + "\n")
+    code = main([
+        "stream-kmv",
+        "--raw", str(raw),
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--warehouse", str(tmp_path / "wh"),
+    ])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert code == 0
+    # 7 distinct users, k=64 → exact regime
+    assert out["ok"] and out["distinct_est"] == {"click": 7.0}
