@@ -1225,22 +1225,28 @@ def event_daily_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     "one scalar aggregate over the progressively-filtered doc set, "
     "unioned into 4 rows and stamped with the input count via the "
     "zero-key broadcast join (fractions are single exact-integer "
-    "divisions). Costs one pass per stage over an already-tiny "
-    "projection; the scorer columns are shared subtrees Catalyst "
-    "reuses under the union.",
+    "divisions). The scored projection is pinned ONCE before the "
+    "union: Spark does no cross-branch common-subtree elimination, so "
+    "an unpinned funnel re-ran the 40-regexp scorer per stage "
+    "(measured 6 scans / 3.57 s -> 1 scan at sf0.1, SCALE.md).",
 )
 def corpus_prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
+    # Pin the scored projection ONCE: Spark performs no common-subtree
+    # elimination across union branches, so without this each of the 4
+    # stage aggregates re-runs the 40-regexp scorer over a fresh scan
+    # (measured: 6 parquet scans, 3.57 s at sf0.1 → 1 scan, see
+    # SCALE.md). The md5 dedup key is cheap enough to carry along.
     scored = text.with_lang_id(text.with_quality_score(d)).select(
-        "doc_id", "text", "quality_score", "lang_pred"
-    )
+        "doc_id", F.md5(text.normalize_ws("text")).alias("k"), "quality_score", "lang_pred"
+    ).localCheckpoint()
     qpass = scored.filter(F.col("quality_score") >= 0.6)
     qlang = qpass.filter(F.col("lang_pred") == "en")
-    ex = qlang.select("doc_id", F.md5(text.normalize_ws("text")).alias("k"))
+    ex = qlang.select("doc_id", "k")
     first = ex.groupBy("k").agg(F.min("doc_id").alias("m"))
     uniq = ex.join(first, "k").filter(F.col("doc_id") == F.col("m"))
     stages = (
-        d.agg(F.count(F.lit(1)).alias("n_docs")).select(F.lit("input").alias("stage"), "n_docs")
+        scored.agg(F.count(F.lit(1)).alias("n_docs")).select(F.lit("input").alias("stage"), "n_docs")
         .unionByName(
             qpass.agg(F.count(F.lit(1)).alias("n_docs")).select(
                 F.lit("quality_pass").alias("stage"), "n_docs"
@@ -1257,8 +1263,8 @@ def corpus_prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    tot = d.agg(F.count(F.lit(1)).alias("n_input"))
-    stamped = _stamp_global(stages, "stage", tot, "n_input")
+    tot2 = scored.agg(F.count(F.lit(1)).alias("n_input"))
+    stamped = _stamp_global(stages, "stage", tot2, "n_input")
     return stamped.select(
         "stage",
         "n_docs",
