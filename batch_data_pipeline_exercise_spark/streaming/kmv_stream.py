@@ -88,7 +88,10 @@ def streaming_kmv_reach(
     k: int = 64,
 ):
     """availableNow stream folding event drops into the per-group KMV
-    sketch table. Returns the started query.
+    sketch table. Returns the started query. The stored table carries
+    the ``k`` it was built with; folding with a different ``k`` raises
+    (a larger k cannot recover already-discarded hashes, so the
+    "exact below k" branch of the estimator would silently lie).
 
     The fold is idempotent (duplicate events contribute existing hashes,
     which the distinct + rank drop), so replay after a crash between the
@@ -98,9 +101,21 @@ def streaming_kmv_reach(
     events = stream_events(spark, raw_dir)
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
-        prior = warehouse.read(sketch_table) if warehouse.exists(sketch_table) else None
+        prior = None
+        if warehouse.exists(sketch_table):
+            prior = warehouse.read(sketch_table)
+            stored_k = prior.select("k").first()
+            if stored_k is not None and stored_k["k"] != k:
+                # raising k cannot resurrect hashes the stored sketch
+                # already discarded: the estimate would silently claim
+                # exactness over a truncated set. Refuse.
+                raise ValueError(
+                    f"sketch table {sketch_table!r} was built with k={stored_k['k']}; "
+                    f"refusing to fold with k={k}"
+                )
+            prior = prior.select(group_col, "h")
         updated = fold_kmv(prior, batch_df, group_col, id_col, k)
-        warehouse.overwrite(updated, sketch_table)
+        warehouse.overwrite(updated.withColumn("k", F.lit(k)), sketch_table)
 
     return (
         events.writeStream.foreachBatch(_fold)
