@@ -152,3 +152,61 @@ def with_global_dense_rank(
     dropped by a plain equi join."""
     m = dense_rank_map(df, col, out_col, num_partitions).withColumnRenamed(col, "__drk")
     return df.join(F.broadcast(m), F.col(col).eqNullSafe(F.col("__drk"))).drop("__drk")
+
+
+def with_global_prefix_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``SUM(value) OVER (ORDER BY order_cols ROWS UNBOUNDED PRECEDING)``
+    — the global running total — without an unpartitioned window.
+
+    Same two-pass scheme as the ranking helpers, with VALUE offsets
+    instead of row offsets: bucket by the ordering domain, running-sum
+    within each bucket (partitioned window), and add the cumulative
+    total of all earlier buckets via a broadcast join. The per-bucket
+    totals cross the driver as one row per bucket (metadata, like the
+    row-count offsets); their Python-side accumulation preserves
+    Decimal exactly, so a decimal ``value_col`` keeps exact prefix
+    sums end to end. Callers pass a TOTAL ordering, as with any window.
+    """
+    spark = df.sparkSession
+    p = num_partitions or spark.sparkContext.defaultParallelism
+    lead, dtype = order_cols[0], dict(df.dtypes)[order_cols[0]]
+    if p > 1 and dtype.startswith(_NUMERIC_PREFIXES):
+        key = _as_double(lead, dtype)
+        probs = [i / p for i in range(1, p)]
+        row = df.select(F.percentile_approx(key, probs, 10_000).alias("b")).first()
+        bounds = sorted({x for x in (row["b"] or []) if x is not None})
+        pid: Column = F.lit(0)
+        for x in bounds:
+            pid = pid + F.when(key > F.lit(float(x)), 1).otherwise(0)
+        ranged = df.withColumn("__pid", F.when(F.col(lead).isNull(), F.lit(0)).otherwise(pid).cast("int"))
+    else:
+        ranged = (
+            df.repartitionByRange(p, *[F.col(c) for c in order_cols])
+            .withColumn("__pid", F.spark_partition_id())
+            .localCheckpoint(eager=True)
+        )
+    sums_df = ranged.groupBy("__pid").agg(F.sum(value_col).alias("__v"))
+    vtype = dict(sums_df.dtypes)["__v"]
+    rows = sorted((r["__pid"], r["__v"]) for r in sums_df.collect())
+    offsets, running = [], None
+    for pid_val, v in rows:
+        offsets.append((pid_val, running))
+        if v is not None:
+            running = v if running is None else running + v
+    off_df = spark.createDataFrame(offsets, f"__pid int, __voff {vtype}")
+    w = Window.partitionBy("__pid").orderBy(*[F.col(c) for c in order_cols]).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        ranged.join(F.broadcast(off_df), "__pid")
+        .withColumn(
+            out_col, F.sum(F.col(value_col)).over(w) + F.coalesce(F.col("__voff"), F.lit(0))
+        )
+        .drop("__pid", "__voff")
+    )

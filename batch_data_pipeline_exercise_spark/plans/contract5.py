@@ -806,6 +806,7 @@ def priority_status_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_ngram_novelty",
+    bench=True,
     oracle=f"""
     WITH toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS tk FROM documents),
     {_GRAMS5_CTE},
@@ -1191,6 +1192,7 @@ def event_daily_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "corpus_prep_funnel",
+    bench=True,
     oracle=f"""
     WITH quality AS ({_quality_sql()}),
     langs AS ({_langid_oracle()}),
@@ -1392,4 +1394,62 @@ def lead_time_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             at_pct(99).alias("p99_days"),
             F.max("lead_days").cast("bigint").alias("max_days"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pareto concentration: cumulative revenue share without a global window
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_revenue_cumshare",
+    oracle="""
+    WITH pc AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY o_custkey
+    ), c AS (
+      SELECT o_custkey, rev,
+             SUM(rev) OVER (ORDER BY rev DESC, o_custkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(rev) OVER () AS tot
+      FROM pc
+    )
+    SELECT o_custkey,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(cum AS DOUBLE) AS cum_revenue,
+           CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) AS cum_share,
+           CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) <= 0.8 AS in_top80
+    FROM c
+    """,
+    doc="Pareto 80/20 concentration: customers in descending revenue "
+    "order with their exact CUMULATIVE revenue share — the 'how few "
+    "customers make 80% of revenue' report. The oracle writes the "
+    "textbook unpartitioned running sum; the engine side uses "
+    "ranking.with_global_prefix_sum — quantile-bucketed two-pass "
+    "prefix sums (bucket-local windows + broadcast decimal offsets), "
+    "because a global window is a one-task funnel at 100 TB and the "
+    "plan gate rightly rejects it. Decimal arithmetic keeps every "
+    "cumulative value exact (scaled totals stay under 2^53 through "
+    "sf~100, so the final double casts agree bit-for-bit); the share "
+    "is one division and the 0.8 flag compares identical doubles. "
+    "Ordering is (rev DESC, custkey) via a negated-decimal sort key.",
+)
+def customer_revenue_cumshare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from batch_data_pipeline_exercise_spark.operators.ranking import with_global_prefix_sum
+
+    o = load(spark, sf_dir, "orders")
+    pc = o.groupBy("o_custkey").agg(F.sum(dec("o_totalprice")).alias("rev"))
+    # ascending (-rev, custkey) == descending (rev) with custkey tiebreak
+    keyed = pc.withColumn("__negrev", (F.lit(0).cast("decimal(18,2)") - F.col("rev")))
+    cum = with_global_prefix_sum(keyed, ["__negrev", "o_custkey"], "rev", out_col="cum")
+    tot = pc.agg(F.sum("rev").alias("tot"))
+    stamped = _stamp_global(cum, "o_custkey", tot, "tot")
+    share = F.col("cum").cast("double") / F.col("tot").cast("double")
+    return stamped.select(
+        "o_custkey",
+        F.col("rev").cast("double").alias("revenue"),
+        F.col("cum").cast("double").alias("cum_revenue"),
+        share.alias("cum_share"),
+        (share <= 0.8).alias("in_top80"),
     )

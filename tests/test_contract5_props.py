@@ -151,3 +151,32 @@ def test_chi2_margins_consistent(spark, sf_dir):
         assert r["expected"] > 0
         assert r["chi2_contribution"] >= 0
         assert abs(r["expected"] - r["row_total"] * r["col_total"] / n) < 1e-9
+
+
+def test_global_prefix_sum_matches_naive_window(spark, sf_dir):
+    """The two-pass bucketed prefix sum equals the single-partition
+    global window on the same total ordering — exactly, decimals and
+    all — and the cumshare query's top-80 set is a prefix."""
+    from pyspark.sql.window import Window as W
+
+    from batch_data_pipeline_exercise_spark.operators.ranking import with_global_prefix_sum
+    from batch_data_pipeline_exercise_spark.plans.contract import dec, load
+
+    o = load(spark, sf_dir, "orders")
+    pc = o.groupBy("o_custkey").agg(F.sum(dec("o_totalprice")).alias("rev"))
+    keyed = pc.withColumn("__negrev", F.lit(0).cast("decimal(18,2)") - F.col("rev"))
+    fast = {
+        r["o_custkey"]: r["cum"]
+        for r in with_global_prefix_sum(
+            keyed, ["__negrev", "o_custkey"], "rev", out_col="cum", num_partitions=7
+        ).collect()
+    }
+    naive_w = W.orderBy("__negrev", "o_custkey").rowsBetween(W.unboundedPreceding, W.currentRow)
+    naive = {r["o_custkey"]: r["cum"] for r in keyed.withColumn("cum", F.sum("rev").over(naive_w)).collect()}
+    assert fast == naive
+
+    rows = contract.REGISTRY["customer_revenue_cumshare"].fn(spark, sf_dir).collect()
+    by_share = sorted(rows, key=lambda r: r["cum_share"])
+    flags = [r["in_top80"] for r in by_share]
+    assert True in flags and flags == sorted(flags, reverse=True)  # top80 is a prefix
+    assert abs(by_share[-1]["cum_share"] - 1.0) < 1e-9
