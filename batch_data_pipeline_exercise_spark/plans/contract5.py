@@ -1453,3 +1453,130 @@ def customer_revenue_cumshare(spark: SparkSession, sf_dir: str) -> DataFrame:
         share.alias("cum_share"),
         (share <= 0.8).alias("in_top80"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-coefficient FIR smoothing (deterministic EWMA truncation)
+# ---------------------------------------------------------------------------
+
+# 8-tap exponential kernel, alpha = 1/2, coefficients as EXACT dyadic
+# literals (1/2, 1/4, ... 1/128, 1/128-tail) summing to exactly 1.0 —
+# every product and the fixed-order addition chain are identical IEEE
+# ops in both engines.
+_FIR_COEFFS = [0.5, 0.25, 0.125, 0.0625, 0.03125, 0.015625, 0.0078125, 0.0078125]
+
+
+@register(
+    "daily_value_fir_smooth",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ), lagged AS (
+      SELECT event_type, day, v,
+             {", ".join(f"LAG(v, {i}) OVER (PARTITION BY event_type ORDER BY day) AS x{i}" for i in range(1, 8))},
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      FROM daily
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           CAST(v AS DOUBLE) AS raw_value,
+           {" + ".join(f"{c} * x{i}" if i else f"{c} * v" for i, c in enumerate(_FIR_COEFFS))} AS smoothed
+    FROM lagged WHERE rn >= 8
+    """,
+    doc="Deterministic trend smoothing: an 8-tap truncated-exponential "
+    "FIR filter over the daily value series per event type, written as "
+    "an explicit LAG-chain linear combination with dyadic literal "
+    "coefficients summing to exactly 1 — unlike a recursive EWMA, "
+    "whose rounding accumulates run-length-dependently, and unlike a "
+    "plain frame AVG, which cannot express per-offset weights, the "
+    "tap-by-tap a0*x0 + a1*x1 + ... chain "
+    "is a fixed IEEE evaluation order both engines share bit-for-bit. "
+    "Warm-up rows (rn < 8) are excluded so every output has all taps. "
+    "One exchange on event_type; the 7 LAGs share one window sort.",
+)
+def daily_value_fir_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("value").isNotNull())
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(dec("value")).cast("double").alias("v"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "day",
+        "v",
+        *[F.lag("v", i).over(w).alias(f"x{i}") for i in range(1, 8)],
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") >= 8)
+    smooth = F.lit(_FIR_COEFFS[0]) * F.col("v")
+    for i, c in enumerate(_FIR_COEFFS[1:], start=1):
+        smooth = smooth + F.lit(c) * F.col(f"x{i}")
+    return lagged.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("v").alias("raw_value"),
+        smooth.alias("smoothed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup graph degree distribution (log2 buckets)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dup_graph_degree_histogram",
+    oracle="WITH "
+    + _TOKS_CTE
+    + ", "
+    + _SHINGLES_CTE
+    + ", "
+    + _MH_WORDS_SQL
+    + ", "
+    + _MH_SIG_SQL
+    + ", "
+    + _BANDS_SQL
+    + """,
+    cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 FROM bands a JOIN bands b
+             ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    deg AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        SELECT id1 AS v FROM cand UNION ALL SELECT id2 FROM cand
+      ) GROUP BY v
+    )
+    SELECT CAST(length(bin(degree)) - 1 AS INTEGER) AS log2_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(degree) AS BIGINT) AS min_degree,
+           CAST(MAX(degree) AS BIGINT) AS max_degree
+    FROM deg GROUP BY 1
+    """,
+    doc="Degree distribution of the LSH near-dup candidate graph in "
+    "integer log2 buckets — the graph-shape companion to "
+    "lsh_band_occupancy: a heavy-tailed degree histogram means a few "
+    "template documents pair with everything (the connected-components "
+    "pass then sees giant clusters), while occupancy alone can look "
+    "benign. Bucket = binary-string length minus one, immune to float "
+    "log jitter; candidate edges come from the shared banded equi "
+    "self-join fragment, degrees from one explode + two aggregates.",
+)
+def dup_graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    keys = dedup.lsh_band_keys(
+        dedup.minhash_signatures(dedup.word_shingles(d, "doc_id", distinct=False), k=32), 8, 4
+    )
+    cand = dedup.lsh_candidate_pairs(keys)
+    deg = (
+        cand.select(F.col("id1").alias("v"))
+        .unionByName(cand.select(F.col("id2").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.groupBy(
+        (F.length(F.bin("degree")) - 1).cast("int").alias("log2_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("degree").alias("min_degree"),
+        F.max("degree").alias("max_degree"),
+    )
