@@ -43,12 +43,11 @@ def _as_double(col: str, dtype: str) -> Column:
     return F.col(col).cast("double")
 
 
-def _ranged_with_offsets(
-    df: DataFrame, order_cols: list[str], num_partitions: int | None
-) -> tuple[DataFrame, DataFrame, int]:
-    """Attach a ``__pid`` bucket id consistent with the global ordering;
-    return (bucketed df, broadcastable (__pid → __off) offset table,
-    total row count)."""
+def _bucketed(df: DataFrame, order_cols: list[str], num_partitions: int | None) -> DataFrame:
+    """Attach a ``__pid`` bucket id consistent with the global ordering —
+    the SHARED first pass of every two-pass global-ordering helper
+    (ranks, ntile, prefix sums), so the NULL-to-bucket-0 rule and the
+    checkpoint-frozen fallback can never diverge between them."""
     spark = df.sparkSession
     p = num_partitions or spark.sparkContext.defaultParallelism
     lead, dtype = order_cols[0], dict(df.dtypes)[order_cols[0]]
@@ -60,19 +59,28 @@ def _ranged_with_offsets(
         pid: Column = F.lit(0)
         for x in bounds:
             pid = pid + F.when(key > F.lit(float(x)), 1).otherwise(0)
-        ranged = df.withColumn("__pid", F.when(F.col(lead).isNull(), F.lit(0)).otherwise(pid).cast("int"))
-    else:
-        # strings etc.: materialize ONE range partitioning for both
-        # passes. localCheckpoint (not persist): it TRUNCATES lineage, so
-        # the nondeterministic range sampling can never be replayed — a
-        # lost block fails the job loudly instead of recomputing with
-        # fresh boundaries and silently mis-ranking; blocks are freed
-        # when the DataFrame is garbage-collected
-        ranged = (
-            df.repartitionByRange(p, *[F.col(c) for c in order_cols])
-            .withColumn("__pid", F.spark_partition_id())
-            .localCheckpoint(eager=True)
-        )
+        return df.withColumn("__pid", F.when(F.col(lead).isNull(), F.lit(0)).otherwise(pid).cast("int"))
+    # strings etc.: materialize ONE range partitioning for both
+    # passes. localCheckpoint (not persist): it TRUNCATES lineage, so
+    # the nondeterministic range sampling can never be replayed — a
+    # lost block fails the job loudly instead of recomputing with
+    # fresh boundaries and silently mis-ranking; blocks are freed
+    # when the DataFrame is garbage-collected
+    return (
+        df.repartitionByRange(p, *[F.col(c) for c in order_cols])
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+
+
+def _ranged_with_offsets(
+    df: DataFrame, order_cols: list[str], num_partitions: int | None
+) -> tuple[DataFrame, DataFrame, int]:
+    """Attach a ``__pid`` bucket id consistent with the global ordering;
+    return (bucketed df, broadcastable (__pid → __off) offset table,
+    total row count)."""
+    spark = df.sparkSession
+    ranged = _bucketed(df, order_cols, num_partitions)
     counts = sorted(
         (r["__pid"], r["n"])
         for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
@@ -174,23 +182,7 @@ def with_global_prefix_sum(
     sums end to end. Callers pass a TOTAL ordering, as with any window.
     """
     spark = df.sparkSession
-    p = num_partitions or spark.sparkContext.defaultParallelism
-    lead, dtype = order_cols[0], dict(df.dtypes)[order_cols[0]]
-    if p > 1 and dtype.startswith(_NUMERIC_PREFIXES):
-        key = _as_double(lead, dtype)
-        probs = [i / p for i in range(1, p)]
-        row = df.select(F.percentile_approx(key, probs, 10_000).alias("b")).first()
-        bounds = sorted({x for x in (row["b"] or []) if x is not None})
-        pid: Column = F.lit(0)
-        for x in bounds:
-            pid = pid + F.when(key > F.lit(float(x)), 1).otherwise(0)
-        ranged = df.withColumn("__pid", F.when(F.col(lead).isNull(), F.lit(0)).otherwise(pid).cast("int"))
-    else:
-        ranged = (
-            df.repartitionByRange(p, *[F.col(c) for c in order_cols])
-            .withColumn("__pid", F.spark_partition_id())
-            .localCheckpoint(eager=True)
-        )
+    ranged = _bucketed(df, order_cols, num_partitions)
     sums_df = ranged.groupBy("__pid").agg(F.sum(value_col).alias("__v"))
     vtype = dict(sums_df.dtypes)["__v"]
     rows = sorted((r["__pid"], r["__v"]) for r in sums_df.collect())
@@ -203,10 +195,16 @@ def with_global_prefix_sum(
     w = Window.partitionBy("__pid").orderBy(*[F.col(c) for c in order_cols]).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
+    winsum = F.sum(F.col(value_col)).over(w)
+    # NULL semantics must match the global window: a row whose in-bucket
+    # prefix is all-NULL carries the earlier buckets' total (itself NULL
+    # only if ALL earlier values were NULL too) — never NULL-poisoned by
+    # the bucket-local sum
+    cum = F.when(winsum.isNull(), F.col("__voff")).otherwise(
+        winsum + F.coalesce(F.col("__voff"), F.lit(0))
+    )
     return (
         ranged.join(F.broadcast(off_df), "__pid")
-        .withColumn(
-            out_col, F.sum(F.col(value_col)).over(w) + F.coalesce(F.col("__voff"), F.lit(0))
-        )
+        .withColumn(out_col, cum)
         .drop("__pid", "__voff")
     )

@@ -26,6 +26,7 @@ from batch_data_pipeline_exercise_spark.plans.contract import dec, load, registe
 from batch_data_pipeline_exercise_spark.plans.contract3 import _stamp_global
 from batch_data_pipeline_exercise_spark.plans.contract_ext import (
     _BANDS_CTE,
+    _CAND_CTE,
     _MH_SIG,
     _MH_WORDS,
     _NORM,
@@ -1537,10 +1538,8 @@ def daily_value_fir_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     + ", "
     + _MH_SIG_SQL
     + ", "
-    + _BANDS_SQL
+    + _CAND_CTE
     + """,
-    cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 FROM bands a JOIN bands b
-             ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
     deg AS (
       SELECT v, CAST(COUNT(*) AS BIGINT) AS degree FROM (
         SELECT id1 AS v FROM cand UNION ALL SELECT id2 FROM cand
@@ -1567,9 +1566,11 @@ def dup_graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup.minhash_signatures(dedup.word_shingles(d, "doc_id", distinct=False), k=32), 8, 4
     )
     cand = dedup.lsh_candidate_pairs(keys)
+    # one pass over cand: explode each edge to both endpoints instead of
+    # unioning two selects (two non-identical subtrees above the pinned
+    # band keys would run the self-join + distinct twice)
     deg = (
-        cand.select(F.col("id1").alias("v"))
-        .unionByName(cand.select(F.col("id2").alias("v")))
+        cand.select(F.explode(F.array("id1", "id2")).alias("v"))
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("degree"))
     )

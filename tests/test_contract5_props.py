@@ -180,3 +180,31 @@ def test_global_prefix_sum_matches_naive_window(spark, sf_dir):
     flags = [r["in_top80"] for r in by_share]
     assert True in flags and flags == sorted(flags, reverse=True)  # top80 is a prefix
     assert abs(by_share[-1]["cum_share"] - 1.0) < 1e-9
+
+
+def test_global_prefix_sum_string_lead_and_nulls(spark):
+    """The repartitionByRange fallback (string leading order column) and
+    NULL value semantics both match the naive global window exactly."""
+    from pyspark.sql.window import Window as W
+
+    from batch_data_pipeline_exercise_spark.operators.ranking import with_global_prefix_sum
+
+    rows = [
+        ("a", 1, None),
+        ("b", 2, 10),
+        ("c", 3, None),
+        ("d", 4, 5),
+        ("e", 5, None),
+        ("f", 6, 7),
+        ("g", 7, None),
+        ("h", 8, 1),
+    ]
+    df = spark.createDataFrame(rows, "k string, id int, v int")
+    fast = {
+        r["k"]: r["cum"]
+        for r in with_global_prefix_sum(df, ["k", "id"], "v", num_partitions=4).collect()
+    }
+    w = W.orderBy("k", "id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    naive = {r["k"]: r["cum"] for r in df.withColumn("cum", F.sum("v").over(w)).collect()}
+    assert fast == naive
+    assert naive["a"] is None and naive["c"] == 10  # the NULL-carry edge itself
