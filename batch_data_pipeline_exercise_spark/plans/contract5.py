@@ -266,19 +266,31 @@ assert float(_KMV_H) == sketches.KMV_H
     SELECT ta AS event_type_a, tb AS event_type_b,
            CAST(COUNT(*) AS BIGINT) AS k_used,
            CAST(SUM(CASE WHEN smin = 0 AND smax = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+           CAST(SUM(CASE WHEN smin = 0 AND smax = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_only_a,
+           CAST(SUM(CASE WHEN smin = 1 AND smax = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_only_b,
            CAST(SUM(CASE WHEN smin = 0 AND smax = 1 THEN 1 ELSE 0 END) AS DOUBLE)
              / CAST(COUNT(*) AS DOUBLE) AS jaccard_est,
            CASE WHEN COUNT(*) < {_KMV_K} THEN CAST(COUNT(*) AS DOUBLE)
                 ELSE CAST(COUNT(*) - 1 AS DOUBLE) * {_KMV_H} / CAST(MAX(h) AS DOUBLE)
-           END AS union_distinct_est
+           END AS union_distinct_est,
+           CAST(SUM(CASE WHEN smin = 0 AND smax = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE)
+             * (CASE WHEN COUNT(*) < {_KMV_K} THEN CAST(COUNT(*) AS DOUBLE)
+                     ELSE CAST(COUNT(*) - 1 AS DOUBLE) * {_KMV_H} / CAST(MAX(h) AS DOUBLE) END)
+             AS excl_a_est,
+           CAST(SUM(CASE WHEN smin = 1 AND smax = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE)
+             * (CASE WHEN COUNT(*) < {_KMV_K} THEN CAST(COUNT(*) AS DOUBLE)
+                     ELSE CAST(COUNT(*) - 1 AS DOUBLE) * {_KMV_H} / CAST(MAX(h) AS DOUBLE) END)
+             AS excl_b_est
     FROM ku GROUP BY ta, tb
     """,
     doc="KMV (k-minimum-values) theta-sketch set algebra: per event "
     "type, the k=64 smallest md5-derived 60-bit user hashes ARE a "
     "mergeable distinct sketch; unlike HLL, two KMV sketches support "
-    "INTERSECTION — union k-min + count of hashes present on both "
-    "sides gives a Jaccard estimate, and (k-1)*2^60/theta estimates "
-    "union cardinality. Every estimate is an exact-integer count plus "
+    "INTERSECTION and DIFFERENCE — union k-min + per-hash side flags "
+    "give Jaccard, A-not-B and B-not-A estimates in one aggregate, and "
+    "(k-1)*2^60/theta estimates union cardinality. Every estimate is an exact-integer count plus "
     "one fixed double expression, so cross-engine hash-exact (the "
     "tolerance is pinned by construction, not asserted). Plan: one "
     "distinct, two PARTITIONED rank windows, and pair expansion via a "
@@ -312,16 +324,21 @@ def event_type_user_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     wu = Window.partitionBy("ta", "tb").orderBy("h")
     ku = u.withColumn("rn", F.row_number().over(wu)).filter(F.col("rn") <= k)
     common = F.sum(F.when((F.col("smin") == 0) & (F.col("smax") == 1), 1).otherwise(0))
+    only_a = F.sum(F.when((F.col("smin") == 0) & (F.col("smax") == 0), 1).otherwise(0))
+    only_b = F.sum(F.when((F.col("smin") == 1) & (F.col("smax") == 1), 1).otherwise(0))
     cnt = F.count(F.lit(1))
+    union_est = F.when(cnt < k, cnt.cast("double")).otherwise(
+        (cnt - 1).cast("double") * F.lit(sketches.KMV_H) / F.max("h").cast("double")
+    )
     return ku.groupBy(F.col("ta").alias("event_type_a"), F.col("tb").alias("event_type_b")).agg(
         cnt.alias("k_used"),
         common.cast("bigint").alias("n_common"),
+        only_a.cast("bigint").alias("n_only_a"),
+        only_b.cast("bigint").alias("n_only_b"),
         (common.cast("double") / cnt.cast("double")).alias("jaccard_est"),
-        F.when(cnt < k, cnt.cast("double"))
-        .otherwise(
-            (cnt - 1).cast("double") * F.lit(sketches.KMV_H) / F.max("h").cast("double")
-        )
-        .alias("union_distinct_est"),
+        union_est.alias("union_distinct_est"),
+        (only_a.cast("double") / cnt.cast("double") * union_est).alias("excl_a_est"),
+        (only_b.cast("double") / cnt.cast("double") * union_est).alias("excl_b_est"),
     )
 
 

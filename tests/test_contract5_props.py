@@ -49,6 +49,9 @@ def test_kmv_estimates_vs_exact(spark, sf_dir):
         # se = sqrt(j(1-j)/k) <= 0.0625 at k=64 → 4σ = 0.25
         assert abs(row["jaccard_est"] - exact_j) <= 0.25
         assert 0 <= row["n_common"] <= row["k_used"] <= 64
+        assert row["n_common"] + row["n_only_a"] + row["n_only_b"] == row["k_used"]
+        exact_a_excl = len(sets[ta] - sets[tb])
+        assert abs(row["excl_a_est"] - exact_a_excl) <= max(4 * exact_union / 7.9, 2.0)
 
 
 def test_pareto_frontier_is_undominated(spark, sf_dir):
@@ -208,3 +211,38 @@ def test_global_prefix_sum_string_lead_and_nulls(spark):
     naive = {r["k"]: r["cum"] for r in df.withColumn("cum", F.sum("v").over(w)).collect()}
     assert fast == naive
     assert naive["a"] is None and naive["c"] == 10  # the NULL-carry edge itself
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_prefix_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=50),  # lead order key (dup-heavy)
+        st.one_of(st.none(), st.integers(min_value=-100, max_value=100)),  # value
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=_prefix_rows)
+def test_global_prefix_sum_equals_window_randomized(spark, rows):
+    """Randomized: bucketed prefix sums == the naive global window for
+    arbitrary duplicate-heavy keys and NULL patterns, at several bucket
+    counts (1 exercises the no-bounds path, 7 forces multi-bucket)."""
+    from pyspark.sql.window import Window as W
+
+    from batch_data_pipeline_exercise_spark.operators.ranking import with_global_prefix_sum
+
+    data = [(k, i, v) for i, (k, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k int, id int, v int")
+    w = W.orderBy("k", "id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    naive = {r["id"]: r["cum"] for r in df.withColumn("cum", F.sum("v").over(w)).collect()}
+    for p in (1, 7):
+        fast = {
+            r["id"]: r["cum"]
+            for r in with_global_prefix_sum(df, ["k", "id"], "v", num_partitions=p).collect()
+        }
+        assert fast == naive
