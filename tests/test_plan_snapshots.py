@@ -1,0 +1,77 @@
+"""Plan-shape snapshot regression net for the headline queries.
+
+`test_plan_quality.py` guards against absolute scale-killers
+(cartesian joins, unpartitioned windows). This file pins the EXPECTED
+physical-plan composition of every bench-flagged query — join strategy
+counts and exchange counts — so a quieter class of regression fails CI
+too: a broadcast hint lost in a refactor (BroadcastHashJoin silently
+becoming SortMergeJoin), an accidental extra shuffle, or a pushdown
+change that adds a scan.
+
+The fixture is data-INDEPENDENT (plan shape at sf0.001 equals the shape
+at any sf under the same conf, because the session pins AQE and
+autoBroadcastJoinThreshold via `session.get_spark` and every broadcast
+in the repo is an explicit hint, not a size-based choice). When a plan
+improves on purpose, update `fixtures/plan_shapes.json` in the same
+commit and say why.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+
+from batch_data_pipeline_exercise_spark.plans import contract
+from batch_data_pipeline_exercise_spark.plans import (  # noqa: F401 — register
+    contract2,
+    contract3,
+    contract4,
+    contract5,
+    contract_ext,
+)
+
+FIXTURE = Path(__file__).parent / "fixtures" / "plan_shapes.json"
+
+# operators whose counts characterize a plan's shuffle/join structure
+MARKERS = [
+    "BroadcastHashJoin",
+    "SortMergeJoin",
+    "ShuffledHashJoin",
+    "BroadcastNestedLoopJoin",
+    "CartesianProduct",
+    "Exchange hashpartitioning",
+    "Exchange rangepartitioning",
+    "Exchange SinglePartition",
+]
+
+
+def plan_shape(plan: str) -> dict[str, int]:
+    return {m: plan.count(m) for m in MARKERS if plan.count(m) > 0}
+
+
+def _headline_names() -> list[str]:
+    return sorted(n for n, q in contract.REGISTRY.items() if q.bench)
+
+
+@pytest.mark.parametrize("name", _headline_names())
+def test_headline_plan_shape_is_pinned(spark, sf_dir, name):
+    expected = json.loads(FIXTURE.read_text())
+    assert name in expected, (
+        f"{name} is bench-flagged but has no plan-shape fixture — run "
+        f"tests/regen_plan_shapes.py (or add it by hand) in the same commit"
+    )
+    plan = contract.REGISTRY[name].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    got = plan_shape(plan)
+    assert got == expected[name], (
+        f"{name}: physical plan shape changed.\n  pinned:  {expected[name]}\n"
+        f"  current: {got}\nIf the change is intentional (an optimization "
+        f"landed), update fixtures/plan_shapes.json in the same commit."
+    )
+
+
+def test_fixture_has_no_stale_entries():
+    expected = json.loads(FIXTURE.read_text())
+    stale = set(expected) - set(_headline_names())
+    assert not stale, f"fixture entries for non-bench queries: {sorted(stale)}"
