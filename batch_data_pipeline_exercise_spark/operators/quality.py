@@ -121,3 +121,33 @@ def referential_check(
         F.col("n").cast("bigint").alias("n_violations"),
         (F.col("n") == 0).alias("passed"),
     )
+
+
+def observe_load_metrics(
+    df: DataFrame, metrics: dict[str, Column], name: str = "load_metrics"
+):
+    """Attach IN-FLIGHT metrics to a DataFrame via Spark's Observation
+    API: the metric aggregates are computed by the SAME job that
+    materializes ``df`` (accumulator-style, merged per task), so a
+    write-plus-audit costs ONE scan instead of the write plus a second
+    metrics pass — at 100 TB that second pass is the entire input read
+    again.
+
+    Returns ``(observed_df, observation)``; run any action on
+    ``observed_df``, then read ``observation.get`` for the metric dict.
+    Use aggregates only (count/sum/min/max/avg — the merge is
+    order-insensitive for these, so values are deterministic); the
+    check-suite semantics of ``validate`` can ride along by passing its
+    conditional counts, e.g. ``{"null_keys": F.sum(F.when(
+    F.col("k").isNull(), 1).otherwise(0))}``.
+
+    Complement, not replacement: ``validate`` produces a per-check
+    result TABLE a gate can act on row-by-row; this produces driver-side
+    numbers with zero extra cost, the right shape for emit-metrics-on-
+    every-load telemetry.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    observed = df.observe(obs, *[c.alias(n) for n, c in metrics.items()])
+    return observed, obs

@@ -66,3 +66,30 @@ def test_referential_check(spark):
 
     ok = _report(Q.referential_check(child.filter(F.col("fk").isin(10, 11)), "fk", parent, "pk"))
     assert ok[("referential", "fk")] == (0, True)
+
+
+def test_observe_load_metrics_single_pass(spark, tmp_path):
+    """Observation metrics computed during the write equal a direct
+    aggregate — and the metrics job IS the write job (no second scan)."""
+    from pyspark.sql import functions as F
+
+    from batch_data_pipeline_exercise_spark.operators import quality
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.0), (4, None), (5, 50.0)], "id int, v double"
+    )
+    observed, obs = quality.observe_load_metrics(
+        df,
+        {
+            "n_rows": F.count(F.lit(1)),
+            "null_v": F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)),
+            "v_sum": F.sum("v"),
+            "id_max": F.max("id"),
+        },
+    )
+    observed.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    got = obs.get
+    assert got["n_rows"] == 5 and got["null_v"] == 2
+    assert got["v_sum"] == 90.0 and got["id_max"] == 5
+    # the written data is untouched by the observation
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 5
