@@ -69,7 +69,11 @@ def as_of_join(
     # semantics — the left row "sees" it; flipped when strict.
     r_side, l_side = (0, 1) if not strict else (1, 0)
 
-    rtagged = right.select(
+    # a NULL right_ts satisfies neither <= nor >= any left_ts, so the
+    # row can never match — and left unfiltered it would sort FIRST in
+    # the ascending (backward) scan and be carried into left rows by
+    # last(ignorenulls). The cogroup variant drops these rows too.
+    rtagged = right.filter(F.col(right_ts).isNotNull()).select(
         *keys,
         F.col(right_ts).alias("__ts"),
         F.lit(r_side).alias("__side"),
@@ -199,6 +203,13 @@ def as_of_join_pandas(
     union+window form has no such per-key bound and stays the default.
     """
     lcols, rvals = left.columns, [c for c in right.columns if c != on]
+    clash = set(lcols) & {f"{right_prefix}{c}" for c in rvals}
+    if clash:
+        # same guard as as_of_join_cogroup: duplicate output field names
+        # would otherwise surface later as AMBIGUOUS_REFERENCE downstream
+        raise ValueError(
+            f"as_of_join_pandas: output name collision {sorted(clash)} — set right_prefix"
+        )
     out_fields = [left.schema[c] for c in lcols] + [
         T.StructField(f"{right_prefix}{c}", right.schema[c].dataType) for c in rvals
     ]

@@ -51,7 +51,9 @@ def _bucketed(df: DataFrame, order_cols: list[str], num_partitions: int | None) 
     spark = df.sparkSession
     p = num_partitions or spark.sparkContext.defaultParallelism
     lead, dtype = order_cols[0], dict(df.dtypes)[order_cols[0]]
-    if p > 1 and dtype.startswith(_NUMERIC_PREFIXES):
+    # 'interval day to second' startswith-matches 'int' but cannot cast
+    # to double — route intervals to the range-partitioning fallback
+    if p > 1 and dtype.startswith(_NUMERIC_PREFIXES) and not dtype.startswith("interval"):
         key = _as_double(lead, dtype)
         probs = [i / p for i in range(1, p)]
         row = df.select(F.percentile_approx(key, probs, 10_000).alias("b")).first()

@@ -109,8 +109,14 @@ def trailing_count_anomalies(
     k = F.count(count_col).over(w)
     m = F.sum(x).over(w)
     s2 = F.sum(x * x).over(w)
-    dev = k * x - m
-    flag = (k >= min_points) & (dev * dev > F.lit(z * z) * (k * s2 - m * m))
+    # squares widen to DECIMAL(38,0): daily counts ~5e8 give k·x − m up
+    # to ~3.5e9 whose bigint square wraps negative (and k·s2 earlier) —
+    # the same int64 ceiling pagerank_scaled hit; decimal keeps the
+    # inequality exact to ~10^19-scale counts
+    d38 = "decimal(38,0)"
+    dev = (k * x - m).cast(d38)
+    spread = (k.cast(d38) * s2.cast(d38)) - (m.cast(d38) * m.cast(d38))
+    flag = (k >= min_points) & (dev * dev > F.lit(z * z).cast(d38) * spread)
     return (
         counts.withColumn("trailing_n", k)
         .withColumn("trailing_sum", m)

@@ -150,7 +150,14 @@ def weighted_priority_sample(
     on the key. Same shape as ``stratified_sample_topk``: one
     partitioned ranking window, no global sort.
     """
-    h = F.conv(F.substring(F.md5(F.concat_ws("§", F.lit(seed), F.col(key_col).cast("string"))), 1, 8), 16, 10).cast("bigint")
+    # NULL-key guard mirrors hash_uniform: SQL `||` propagates NULL while
+    # concat_ws silently skips it — without the when(), NULL-key rows
+    # would share one seed-only hash, compete for quota, and diverge
+    # from the ||-based oracle (which ranks them last via xi = NULL)
+    h_raw = F.conv(
+        F.substring(F.md5(F.concat_ws("§", F.lit(seed), F.col(key_col).cast("string"))), 1, 8), 16, 10
+    ).cast("bigint")
+    h = F.when(F.col(key_col).isNull(), F.lit(None).cast("bigint")).otherwise(h_raw)
     xi = (h * 2 + 1) / (F.col(weight_col).cast("bigint") * F.lit(2 ** 34))
     w = Window.partitionBy(*strata_cols).orderBy(
         F.col("__xi").asc_nulls_last(), F.col(key_col).asc_nulls_last()

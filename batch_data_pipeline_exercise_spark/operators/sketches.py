@@ -184,6 +184,7 @@ def compact_sketch_table(
     group_cols: list[str],
     max_rows_per_group: int = 64,
     sketch_col: str | None = None,
+    kind: str | None = None,
 ) -> bool:
     """Maintenance entry point for a persisted sketch table: when any
     group has accumulated more than ``max_rows_per_group`` increment
@@ -191,17 +192,41 @@ def compact_sketch_table(
     via ``Warehouse.overwrite``'s swap). The gate is a cheap aggregate
     over the sketch table itself — O(stored groups), the same cadence
     economics as ``Pipeline.maintain``'s file-count gate. Returns
-    whether a rewrite happened. Sketch kind is inferred from the column
-    name (``hll_sketch`` / ``kll_sketch``) unless given."""
+    whether a rewrite happened.
+
+    ``kind`` ('hll' | 'kll') selects the merge; when omitted it is
+    inferred from the sketch column's NAME PREFIX, and an
+    unrecognisable prefix raises instead of guessing — routing HLL
+    bytes through the KLL merge (or vice versa) would fail or corrupt
+    deep inside the rewrite."""
     if not wh.exists(table):
         return False
     df = wh.read(table)
-    col = sketch_col or next(c for c in df.columns if c.endswith("_sketch"))
+    if sketch_col is None:
+        candidates = [c for c in df.columns if c.endswith("_sketch")]
+        if not candidates:
+            raise ValueError(
+                f"compact_sketch_table: no *_sketch column in {table!r} "
+                f"(columns: {df.columns}) — pass sketch_col"
+            )
+        sketch_col = candidates[0]
+    if kind is None:
+        if sketch_col.startswith("hll"):
+            kind = "hll"
+        elif sketch_col.startswith("kll"):
+            kind = "kll"
+        else:
+            raise ValueError(
+                f"compact_sketch_table: cannot infer sketch kind from column "
+                f"{sketch_col!r} — pass kind='hll' or kind='kll'"
+            )
+    if kind not in ("hll", "kll"):
+        raise ValueError(f"compact_sketch_table: kind must be 'hll' or 'kll', got {kind!r}")
     worst = (
         df.groupBy(*group_cols).count().agg(F.max("count").alias("m")).collect()[0]["m"]
     )
     if worst is None or worst <= max_rows_per_group:
         return False
-    compactor = compact_distinct_sketches if col.startswith("hll") else compact_quantile_sketches
-    wh.overwrite(compactor(df, group_cols, sketch_col=col), table)
+    compactor = compact_distinct_sketches if kind == "hll" else compact_quantile_sketches
+    wh.overwrite(compactor(df, group_cols, sketch_col=sketch_col), table)
     return True

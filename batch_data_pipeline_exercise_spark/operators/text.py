@@ -281,8 +281,6 @@ def top_tokens(
     group (ties broken lexically — deterministic). One explode + one hash
     aggregate + one partitioned window; the group-by keys shard the
     window, so no global sort at any corpus size."""
-    from pyspark.sql.window import Window
-
     counts = (
         df.select(*by, F.explode(tokenize(text_col)).alias("token"))
         .filter(F.length("token") > 0)
@@ -365,14 +363,9 @@ def with_repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str =
     no windows over more than one doc's n-grams, no UDF. Ratios are one
     integer division each, bit-reproducible cross-engine.
     """
-    toks = tokenize(text_col)
-    grams = F.filter(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-            lambda i: F.when(i + n <= F.size(toks), F.concat_ws(" ", F.slice(toks, i + 1, n))),
-        ),
-        lambda g: g.isNotNull() & (F.length(g) > 0),
-    )
+    # the shared gram definition plus an empty-gram filter (empty docs
+    # produce "" windows the stats must not count)
+    grams = F.filter(word_ngrams(text_col, n), lambda g: F.length(g) > 0)
     exploded = df.select(F.col(id_col).alias("__id"), F.explode(grams).alias("__g"))
     per_gram = exploded.groupBy("__id", "__g").agg(F.count(F.lit(1)).alias("__c"))
     # argmax without a second join: rank n-grams within each doc

@@ -154,3 +154,31 @@ def test_merge_partial_aggs_rejects_empty_parts(spark):
 
     with pytest.raises(ValueError, match="non-empty"):
         merge_partial_aggs([], ["k"], {"v": "sum"})
+
+
+def test_asof_null_right_ts_never_matches(spark):
+    """A right row with NULL timestamp satisfies no as-of predicate and
+    must not be carried into left rows (ascending NULLs-first ordering
+    would otherwise surface it as a phantom backward match)."""
+    from batch_data_pipeline_exercise_spark.operators.asof import as_of_join
+
+    left = spark.createDataFrame([(1, 10)], "k int, lt int").selectExpr(
+        "k", "timestamp_seconds(lt) AS lt"
+    )
+    right = spark.createDataFrame([(1, None, "stale")], "k int, rt int, v string").selectExpr(
+        "k", "timestamp_seconds(rt) AS rt", "v"
+    )
+    for direction in ("backward", "forward"):
+        out = as_of_join(left, right, "k", "lt", "rt", direction=direction).collect()
+        assert len(out) == 1 and out[0]["v"] is None, direction
+
+
+def test_asof_pandas_collision_guard(spark):
+    import pytest
+
+    from batch_data_pipeline_exercise_spark.operators.asof import as_of_join_pandas
+
+    left = spark.createDataFrame([(1, 10, "x")], "k int, ts int, v string")
+    right = spark.createDataFrame([(1, 5, "y")], "k int, rts int, v string")
+    with pytest.raises(ValueError, match="output name collision"):
+        as_of_join_pandas(left, right, "k", "ts", "rts")
