@@ -164,7 +164,10 @@ class Warehouse:
         nondeterministic. Values are always name-resolved; this keeps the
         schema presentation stable too."""
         if self.exists(table):
-            df = df.select(*self.read(table).columns)
+            # merge_schema: a single sampled footer from before an
+            # append_evolve widening would silently strip the evolved
+            # columns from the incoming rows
+            df = df.select(*self.read(table, merge_schema=True).columns)
         w = df.write.mode("append")
         if partition_by:
             w = w.partitionBy(*partition_by)
@@ -370,7 +373,10 @@ class Warehouse:
         partitioning is detected and preserved."""
         n = target_partitions or self.spark.sparkContext.defaultParallelism
         parts = self.partition_columns(table)
-        df = self.read(table)
+        # merge_schema: compacting an append_evolve-widened table from a
+        # stale sampled footer would rewrite the whole table WITHOUT the
+        # evolved columns — permanent data loss, not a display quirk
+        df = self.read(table, merge_schema=True)
         if parts:
             # hash on (partition cols + a row-content split) so a skewed
             # partition value spreads over several of the n shuffle tasks

@@ -57,10 +57,12 @@ def streaming_incremental_dedup(
     docs = stream_documents(spark, raw_dir)
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
-        # drop duplicate doc ids WITHIN the batch (at-least-once file
-        # listing can hand the same row twice); prior-index membership
-        # handles duplicates ACROSS batches below
-        batch = batch_df.dropDuplicates(["doc_id"])
+        # drop NULL ids (the anti-join replay guard cannot match NULL,
+        # so they would re-append on every crash replay) and duplicate
+        # doc ids WITHIN the batch (at-least-once file listing can hand
+        # the same row twice); prior-index membership handles duplicates
+        # ACROSS batches below
+        batch = batch_df.filter(F.col("doc_id").isNotNull()).dropDuplicates(["doc_id"])
         prior = warehouse.read(index_table) if warehouse.exists(index_table) else None
         if prior is not None:
             # replay guard: a doc already in the index contributes no new
@@ -74,7 +76,16 @@ def streaming_incremental_dedup(
             warehouse.append(fresh, pairs_table)
         else:
             warehouse.overwrite(pairs, pairs_table)
-        warehouse.overwrite(updated, index_table)
+        # index rows are immutable and the batch is disjoint from prior
+        # (anti-join above), so APPEND the batch's keys instead of
+        # rewriting the whole history each micro-batch — per-batch index
+        # IO is O(batch), which is the entire point of the incremental
+        # fold (novelty_stream's append-only protocol, applied here)
+        if prior is not None:
+            fresh_keys = updated.join(batch.select(F.col("doc_id").alias("id")), "id", "semi")
+            warehouse.append(fresh_keys, index_table)
+        else:
+            warehouse.overwrite(updated, index_table)
 
     return (
         docs.writeStream.foreachBatch(_fold)
@@ -128,7 +139,7 @@ def streaming_embedding_dedup(
     vecs = stream_embeddings(spark, raw_dir)
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
-        batch = batch_df.dropDuplicates(["vec_id"])
+        batch = batch_df.filter(F.col("vec_id").isNotNull()).dropDuplicates(["vec_id"])
         prior = warehouse.read(index_table) if warehouse.exists(index_table) else None
         if prior is not None:
             batch = batch.join(
@@ -144,7 +155,12 @@ def streaming_embedding_dedup(
             warehouse.append(fresh, pairs_table)
         else:
             warehouse.overwrite(pairs, pairs_table)
-        warehouse.overwrite(updated, index_table)
+        # append-only index update, same O(batch) argument as the text fold
+        if prior is not None:
+            fresh_keys = updated.join(batch.select(F.col("vec_id").alias("id")), "id", "semi")
+            warehouse.append(fresh_keys, index_table)
+        else:
+            warehouse.overwrite(updated, index_table)
 
     return (
         vecs.writeStream.foreachBatch(_fold)

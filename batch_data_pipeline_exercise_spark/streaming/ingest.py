@@ -186,7 +186,12 @@ def upsert_order_state(
                 key="id",
                 update_set={c: F.col(f"s.{c}") for c in data_cols},
                 update_condition=(
-                    (F.col("s.event_time") > F.col("t.event_time"))
+                    # a stored NULL event_time (unparseable first arrival)
+                    # must always lose to a timestamped update: without
+                    # the IS NULL arm both comparisons are NULL and the
+                    # merge would freeze the order in its broken state
+                    F.col("t.event_time").isNull()
+                    | (F.col("s.event_time") > F.col("t.event_time"))
                     | (
                         (F.col("s.event_time") == F.col("t.event_time"))
                         & (F.col("s.status") >= F.col("t.status"))

@@ -45,7 +45,13 @@ def fold_kmv(
     idempotent: re-folding rows already represented changes nothing,
     and any batch slicing yields the same table.
     """
-    new = batch.select(F.col(group_col), kmv_hash(id_col).alias("h")).distinct()
+    # NULL ids produce NULL hashes that would sort FIRST and permanently
+    # occupy a k-min slot (an evicted hash can never return) — drop them
+    new = (
+        batch.filter(F.col(id_col).isNotNull())
+        .select(F.col(group_col), kmv_hash(id_col).alias("h"))
+        .distinct()
+    )
     allrows = new if prior is None else new.unionByName(prior.select(group_col, "h")).distinct()
     w = Window.partitionBy(group_col).orderBy("h")
     return (

@@ -60,8 +60,14 @@ def streaming_volume_monitor(
     ev = stream_events(spark, raw_dir)
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        # dropDuplicates treats NULLs as EQUAL: a malformed drop where
+        # many rows lack event_id would collapse them all to one row and
+        # undercount precisely when the volume canary matters most —
+        # dedup only identified rows, pass NULL-id rows through intact
+        with_id = batch_df.filter(F.col("event_id").isNotNull()).dropDuplicates(["event_id"])
+        no_id = batch_df.filter(F.col("event_id").isNull())
         delta = (
-            batch_df.dropDuplicates(["event_id"])  # at-least-once file re-reads
+            with_id.unionByName(no_id)
             .groupBy(
                 "event_type",
                 F.unix_date(F.col("ts").cast("date")).cast("bigint").alias("d"),

@@ -125,7 +125,8 @@ def streaming_novelty(
     docs = stream_documents(spark, raw_dir)
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
-        batch = batch_df.dropDuplicates(["doc_id"])
+        # NULL doc_ids defeat the scored-docs anti-join replay guard
+        batch = batch_df.filter(F.col("doc_id").isNotNull()).dropDuplicates(["doc_id"])
         if warehouse.exists(novelty_table):
             seen = warehouse.read(novelty_table).select("doc_id")
             batch = batch.join(seen, "doc_id", "left_anti")

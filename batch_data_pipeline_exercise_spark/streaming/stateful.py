@@ -52,8 +52,15 @@ def _update_order_state(
         n, last_status, first_ts, last_ts = 0, None, None, None
 
     for pdf in pdfs:
-        pdf = pdf.sort_values("event_time")
+        # NaT event_times cannot win any first/last comparison, but on
+        # a key's FIRST batch "last_ts is None" would let a NaT row
+        # become the state's last event and poison every later
+        # comparison (ts > NaT is always False) — count them, then
+        # exclude them from the ordering entirely
         n += len(pdf)
+        pdf = pdf[pdf["event_time"].notna()].sort_values("event_time")
+        if pdf.empty:
+            continue
         last = pdf.iloc[-1]
         first = pdf.iloc[0]
         if first_ts is None or first["event_time"] < first_ts:

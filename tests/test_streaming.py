@@ -180,3 +180,36 @@ def test_upsert_cross_batch_equal_timestamp_converges(spark, tmp_path):
     ingest.upsert_order_state(spark, str(raw), wh, str(tmp_path / "c1")).awaitTermination(120)
     incremental = {r["id"]: r["status"] for r in wh.read("silver_orders").collect()}
     assert incremental == {"oX": "deleted"}
+
+
+def test_upsert_merge_unfreezes_null_timestamp_rows(spark, tmp_path):
+    """A stored row whose first arrival had an unparseable (NULL)
+    event_time must still accept later timestamped updates — without
+    the IS NULL arm the merge condition is NULL and the row freezes."""
+    from pyspark.sql import functions as F
+
+    from batch_data_pipeline_exercise_spark.operators.merge import merge_into
+
+    target = spark.createDataFrame(
+        [("o1", "created", None)], "id string, status string, event_time timestamp"
+    )
+    source = spark.createDataFrame(
+        [("o1", "completed", "2021-03-01 00:00:00")],
+        "id string, status string, event_time string",
+    ).withColumn("event_time", F.col("event_time").cast("timestamp"))
+    merged = merge_into(
+        target,
+        source,
+        key="id",
+        update_set={"status": F.col("s.status"), "event_time": F.col("s.event_time")},
+        update_condition=(
+            F.col("t.event_time").isNull()
+            | (F.col("s.event_time") > F.col("t.event_time"))
+            | (
+                (F.col("s.event_time") == F.col("t.event_time"))
+                & (F.col("s.status") >= F.col("t.status"))
+            )
+        ),
+    )
+    row = merged.collect()[0]
+    assert row["status"] == "completed" and row["event_time"] is not None

@@ -94,3 +94,15 @@ def test_streaming_matches_direct_fold(spark, dirs):
     q3 = kmv_stream.streaming_kmv_reach(spark, raw, wh, str(dirs[2]) + "_fresh")
     q3.awaitTermination(120)
     assert _sketch_set(wh.read("kmv_user_sketch")) == expected
+
+
+def test_null_ids_never_occupy_sketch_slots(spark):
+    """A NULL id hashes to NULL, which would sort first and permanently
+    evict a real hash — the fold must drop NULL ids up front."""
+    rows = [(1, 100, "click"), (2, None, "click"), (3, 200, "click")]
+    df = spark.createDataFrame(rows, "event_id int, user_id int, event_type string")
+    stored = kmv_stream.fold_kmv(None, df, "event_type", "user_id", k=4)
+    got = stored.collect()
+    assert len(got) == 2 and all(r["h"] is not None for r in got)
+    est = kmv_stream.kmv_estimates(stored, "event_type", k=4).collect()[0]
+    assert est["distinct_est"] == 2.0  # cnt < k: exact regime, both real users

@@ -146,3 +146,36 @@ def test_append_evolve_adds_and_backfills_columns(spark, wh):
     assert got == {1: ("a", None), 2: ("b", 0.5), 3: (None, None)}
     # plain read stays cheap and still sees the original columns
     assert set(wh.read("t").columns) >= {"id", "v"}
+
+
+def test_compact_preserves_evolved_columns(spark, tmp_path):
+    """compact() must read the MERGED schema: rewriting an
+    append_evolve-widened table from a stale sampled footer would
+    permanently drop the evolved columns."""
+    from pyspark.sql import functions as F
+
+    from batch_data_pipeline_exercise_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.overwrite(spark.range(50).select("id"), "t")
+    wh.append_evolve(spark.range(50, 100).select("id", (F.col("id") * 2).alias("b")), "t")
+    for _ in range(4):  # several trials: footer sampling order varies
+        wh.compact("t", target_partitions=2)
+        df = wh.read("t", merge_schema=True)
+        assert "b" in df.columns, "compact dropped the evolved column"
+        assert df.filter(F.col("b").isNotNull()).count() == 50
+
+
+def test_append_conforms_to_merged_schema(spark, tmp_path):
+    """append() after append_evolve must keep the evolved column in the
+    incoming rows regardless of which footer gets sampled."""
+    from pyspark.sql import functions as F
+
+    from batch_data_pipeline_exercise_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.overwrite(spark.range(10).select("id"), "t2")
+    wh.append_evolve(spark.range(10, 20).select("id", (F.col("id") * 3).alias("c")), "t2")
+    wh.append(spark.range(20, 30).select("id", (F.col("id") * 3).alias("c")), "t2")
+    got = wh.read("t2", merge_schema=True).filter(F.col("id") >= 20)
+    assert got.filter(F.col("c").isNotNull()).count() == 10
