@@ -41,8 +41,17 @@ def _done_days(pipe, feed: str) -> set[str]:
     }
 
 
+def _norm_ds(ts: str) -> str:
+    """Normalize a validated timestamp/date string to zero-padded
+    YYYY-MM-DD: strptime leniently accepts '2021-3-2 1:00:00', whose raw
+    [:10] slice would poison the backfill watermark's lexicographic
+    comparison."""
+    head = ts.strip().split(" ")[0].split("T")[0]
+    return datetime.strptime(head, "%Y-%m-%d").strftime("%Y-%m-%d")
+
+
 def _mark_done(pipe, feed: str, ds: str) -> None:
-    mark = pipe.spark.createDataFrame([(feed, ds)], "feed string, ds string")
+    mark = pipe.spark.createDataFrame([(feed, _norm_ds(ds))], "feed string, ds string")
     pipe.wh.append(mark, "_backfill_log")
 
 
@@ -213,10 +222,22 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "run":
         if not pipe.wh.exists("dim_dates"):
             pipe.init_dates()
+        # same out-of-order rule as backfill: replaying an OLD snapshot
+        # over newer SCD2 state would close open rows with end < start
+        # and silently corrupt dimension history. A day behind the
+        # feed's high-watermark needs a rebuild, not a replay.
+        ds = _norm_ds(args.ts)
+        done = _done_days(pipe, args.feed)
+        max_done = max(done) if done else None
+        if max_done is not None and ds < max_done:
+            return _err(
+                f"out-of-order drop refused: {args.feed} already processed "
+                f"through {max_done}, got {ds} — rebuild instead of replaying"
+            )
         getattr(pipe, f"run_{args.feed}")(args.csv, ts=args.ts)
         # record the task instance so a later backfill can see this day
         # ran and guard against out-of-order snapshot replay
-        _mark_done(pipe, args.feed, args.ts[:10])
+        _mark_done(pipe, args.feed, ds)
         print(json.dumps({"ok": True, "feed": args.feed, "ts": args.ts}))
         return 0
 
@@ -262,12 +283,30 @@ def main(argv: list[str] | None = None) -> int:
         elif name == "monthly_created_not_completed":
             df = metrics.monthly_created_not_completed(wh.read("fact_orders_created"), wh.read("dim_orders"))
         else:
-            daily = forward_fill_daily(
-                wh.read("fact_inventory").select(
-                    "product_id", F.col("snapshot_date").alias("date"), "amount"
-                ),
-                horizon=args.date_to,
+            # prune to the query window instead of densifying all of
+            # history: snapshots after date_to are irrelevant (partition
+            # pruning on snapshot_date), and everything before date_from
+            # collapses to one seed row per product (its latest amount,
+            # re-dated to the day before the window) — the forward fill
+            # then spans only [date_from - 1, date_to]
+            d_from = F.lit(args.date_from).cast("date")
+            base = (
+                wh.read("fact_inventory")
+                .filter(F.col("snapshot_date") <= F.lit(args.date_to).cast("date"))
+                .select("product_id", F.col("snapshot_date").alias("date"), "amount")
             )
+            in_win = base.filter(F.col("date") >= d_from)
+            seed = (
+                base.filter(F.col("date") < d_from)
+                .groupBy("product_id")
+                .agg(F.max(F.struct("date", "amount")).alias("__s"))
+                .select(
+                    "product_id",
+                    F.date_sub(d_from, 1).alias("date"),
+                    F.col("__s.amount").alias("amount"),
+                )
+            )
+            daily = forward_fill_daily(in_win.unionByName(seed), horizon=args.date_to)
             if name == "daily_stock_by_category":
                 df = metrics.daily_stock_by_category(daily, wh.read("dim_products"), args.date_from, args.date_to)
             else:

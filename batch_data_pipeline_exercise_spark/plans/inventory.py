@@ -39,12 +39,19 @@ def forward_fill_daily(snapshots: DataFrame, horizon: str) -> DataFrame:
         .select("product_id", "date", "amount")
     )
 
+    # sequence(a, b) with b < a generates a DESCENDING range (verified on
+    # Spark 4): a horizon before a product's first snapshot would
+    # fabricate pre-history spine rows with NULL amounts. Emit no spine
+    # for such products instead (explode of NULL produces no rows).
+    hz = F.lit(horizon).cast("date")
     spine = (
         sparse.groupBy("product_id")
         .agg(F.min("date").alias("__first"))
         .select(
             "product_id",
-            F.explode(F.sequence(F.col("__first"), F.lit(horizon).cast("date"))).alias("date"),
+            F.explode(
+                F.when(hz >= F.col("__first"), F.sequence(F.col("__first"), hz))
+            ).alias("date"),
         )
     )
 

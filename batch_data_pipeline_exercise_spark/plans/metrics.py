@@ -20,7 +20,7 @@ from datetime import datetime
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from batch_data_pipeline_exercise_spark.functions.core import ts_lit
+from batch_data_pipeline_exercise_spark.functions.core import ts_lit, current_at
 from batch_data_pipeline_exercise_spark.operators.scd2 import current_slice
 
 
@@ -54,7 +54,7 @@ def orders_created_per_quarter_category(
     join, so dangling product ids and pre-dim creations drop (reference
     semantics)."""
     f, d = fact_orders.alias("f"), dim_products.alias("d")
-    pit = (F.col("f.created_time") >= F.col("d.start_time")) & (F.col("f.created_time") < F.col("d.end_time"))
+    pit = current_at(F.col("f.created_time"), "d.start_time", "d.end_time")
     return (
         f.join(d, (F.col("f.product_id") == F.col("d.id")) & pit)
         .join(F.broadcast(dim_dates), F.col("f.created_date_id") == dim_dates.id)

@@ -53,6 +53,15 @@ class Pipeline:
 
     def run_products(self, csv_path: str, ts: datetime | str) -> None:
         stg = read_csv_feed(self.spark, csv_path, schemas.PRODUCTS_FEED, ts)
+        # a duplicate id within one snapshot drop would match the open
+        # dim row TWICE in the full-outer merge and emit overlapping
+        # validity intervals; keep one row per id deterministically
+        # (greatest attribute struct — content-stable, not file-order)
+        stg = (
+            stg.groupBy("id")
+            .agg(F.max(F.struct("title", "category", "price", "processed_time")).alias("__r"))
+            .select("id", "__r.title", "__r.category", "__r.price", "__r.processed_time")
+        )
         self.wh.overwrite(stg, "stg_products")
 
         dim_prev = self.wh.read("dim_products") if self.wh.exists("dim_products") else None
@@ -111,6 +120,15 @@ class Pipeline:
                 "processed_time",
             )
         )
+        # events outside dim_dates' calendar (pre-1970 / post-2049 — an
+        # upstream timestamp bug) would vanish from the fact while still
+        # counting in dim_orders; dead-letter them so the divergence is
+        # visible instead of silent
+        rejects = stg.join(
+            F.broadcast(dates.select("datum")), F.to_date(stg.event_time) == F.col("datum"), "left_anti"
+        )
+        if rejects.limit(1).count() > 0:
+            self.wh.append(rejects, "_fact_dates_rejects")
         existing = self.wh.read("fact_orders_created") if self.wh.exists("fact_orders_created") else None
         rows = idempotent_append_rows(existing, candidates, key="order_id", order_cols=["created_time"])
         # date-partitioned for pruning: metric queries filter by creation
@@ -164,7 +182,10 @@ class Pipeline:
                 continue
             budget = max_files_per_partition * self.wh.partition_dir_count(table)
             if self.wh.file_count(table) > budget:
-                self.wh.compact(table)
+                # target the BUDGET, not defaultParallelism: compacting
+                # to more files than the gate allows would re-trigger a
+                # full rewrite + ANALYZE every night forever
+                self.wh.compact(table, target_partitions=max(1, budget))
                 self.wh.analyze(table)
                 compacted.append(table)
         # mergeable-sketch tables ride the same cadence: when a group has

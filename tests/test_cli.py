@@ -198,3 +198,46 @@ def test_stream_kmv_k_mismatch_refused(capsys, spark, tmp_path):
         "--checkpoint", str(tmp_path / "c1"), "--warehouse", str(tmp_path / "wh"),
     ])
     assert code == 2 and "built with k=64" in err["error"]
+
+
+def test_run_refuses_out_of_order_snapshot(capsys, spark, tmp_path):
+    """run must apply the same high-watermark rule as backfill: an old
+    snapshot replayed over newer SCD2 state corrupts dimension history."""
+    import csv as _csv
+
+    wh = str(tmp_path / "wh")
+
+    def drop(path, rows):
+        with open(path, "w", newline="") as f:
+            w = _csv.writer(f)
+            w.writerow(["id", "title", "category", "price"])
+            w.writerows(rows)
+
+    p1 = tmp_path / "p1.csv"
+    drop(p1, [["a", "T", "C", "1.00"]])
+    assert main(["run", "--feed", "products", "--csv", str(p1), "--ts", "2021-03-05 00:00:00", "--warehouse", wh]) == 0
+    capsys.readouterr()
+    code, err = run_cli(capsys, [
+        "run", "--feed", "products", "--csv", str(p1), "--ts", "2021-03-02 00:00:00", "--warehouse", wh,
+    ])
+    assert code == 2 and "out-of-order" in err["error"]
+
+
+def test_mark_done_normalizes_lenient_timestamps(capsys, spark, tmp_path):
+    """strptime accepts '2021-3-2 1:00:00'; the recorded ds must still be
+    zero-padded or the backfill watermark's lexicographic compare breaks."""
+    import csv as _csv
+
+    wh = str(tmp_path / "wh")
+    p1 = tmp_path / "p1.csv"
+    with open(p1, "w", newline="") as f:
+        w = _csv.writer(f)
+        w.writerow(["id", "title", "category", "price"])
+        w.writerow(["a", "T", "C", "1.00"])
+    assert main(["run", "--feed", "products", "--csv", str(p1), "--ts", "2021-3-2 1:00:00", "--warehouse", wh]) == 0
+    capsys.readouterr()
+    from batch_data_pipeline_exercise_spark.__main__ import _done_days
+    from batch_data_pipeline_exercise_spark.plans.pipeline import Pipeline
+
+    days = _done_days(Pipeline(spark, wh), "products")
+    assert days == {"2021-03-02"}

@@ -158,3 +158,38 @@ def test_maintain_compacts_and_preserves_results(wh):
 def test_catalog_partitioned_registration_sees_all_rows(wh, spark):
     wh.wh.register_catalog("fact_orders_created", "foc_cat")
     assert spark.sql("SELECT COUNT(*) FROM foc_cat").first()[0] == wh.wh.read("fact_orders_created").count()
+
+
+def test_forward_fill_horizon_before_first_snapshot_is_empty(spark):
+    """A horizon earlier than a product's first snapshot must produce no
+    spine rows (sequence(a, b) with b < a would otherwise generate a
+    DESCENDING pre-history range with NULL amounts)."""
+    from batch_data_pipeline_exercise_spark.plans.inventory import forward_fill_daily
+
+    snaps = spark.createDataFrame(
+        [("p1", "2021-03-01", 5)], "product_id string, date string, amount int"
+    ).withColumn("date", F.col("date").cast("date"))
+    out = forward_fill_daily(snaps, horizon="2021-02-20")
+    assert out.count() == 0
+
+
+def test_run_products_duplicate_ids_collapse_deterministically(spark, tmp_path):
+    """A duplicate id in one snapshot drop must yield ONE open SCD2 row,
+    not overlapping validity intervals."""
+    import csv as _csv
+
+    from batch_data_pipeline_exercise_spark.plans.pipeline import Pipeline
+
+    p = Pipeline(spark, str(tmp_path / "wh"))
+    path = tmp_path / "products.csv"
+    with open(path, "w", newline="") as f:
+        w = _csv.writer(f)
+        w.writerow(["id", "title", "category", "price"])
+        w.writerow(["p1", "A", "C", "1.00"])
+        w.writerow(["p1", "B", "C", "2.00"])
+    p.run_products(str(path), ts="2021-03-01 00:00:00")
+    dim = p.wh.read("dim_products")
+    open_rows = dim.filter(F.col("end_time") > F.lit("2900-01-01").cast("timestamp")).collect()
+    assert len(open_rows) == 1
+    # greatest attribute struct wins: title B, price 2.00
+    assert open_rows[0]["title"] == "B"
