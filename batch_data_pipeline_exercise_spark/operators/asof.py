@@ -73,7 +73,14 @@ def as_of_join(
     # row can never match — and left unfiltered it would sort FIRST in
     # the ascending (backward) scan and be carried into left rows by
     # last(ignorenulls). The cogroup variant drops these rows too.
-    rtagged = right.filter(F.col(right_ts).isNotNull()).select(
+    # NULL join KEYS likewise: Window.partitionBy groups NULLs into one
+    # partition, but the equi-join semantics this operator mirrors (and
+    # every SQL oracle) never match NULL = NULL — drop NULL-key rights
+    # so NULL-key left rows return unmatched instead of phantom-matched.
+    null_key_guard = F.lit(True)
+    for kcol in keys:
+        null_key_guard = null_key_guard & F.col(kcol).isNotNull()
+    rtagged = right.filter(null_key_guard & F.col(right_ts).isNotNull()).select(
         *keys,
         F.col(right_ts).alias("__ts"),
         F.lit(r_side).alias("__side"),

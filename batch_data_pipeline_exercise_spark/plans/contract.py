@@ -25,7 +25,7 @@ value-hash matches bit-for-bit):
 from __future__ import annotations
 
 from collections.abc import Callable
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -36,7 +36,6 @@ from batch_data_pipeline_exercise_spark.operators.scd2 import scd2_from_events
 from batch_data_pipeline_exercise_spark.plans.dates import build_dim_dates
 
 TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
-TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
 SENTINEL = "2999-12-31 23:59:59"
 
 
@@ -58,6 +57,11 @@ REGISTRY: dict[str, ContractQuery] = {}
 
 def register(name: str, oracle: str | None, doc: str = "", bench: bool = False, allow_quadratic: bool = False):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in REGISTRY:
+            # six contract modules share this dict; a silent overwrite
+            # would make the shadowed query's oracle test disappear
+            # instead of fail
+            raise ValueError(f"duplicate contract query name: {name!r}")
         REGISTRY[name] = ContractQuery(name, fn, oracle, doc, bench, allow_quadratic)
         return fn
 

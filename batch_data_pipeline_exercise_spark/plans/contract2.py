@@ -61,7 +61,9 @@ def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy("user_id")
         .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
         .agg(F.count(F.lit(1)))
-        .na.fill(0)
+        # subset: an unsubsetted fill would also rewrite a NULL user_id
+        # group key to 0, diverging from the oracle's NULL group
+        .na.fill(0, subset=["click", "view", "purchase", "signup", "error"])
     )
 
 

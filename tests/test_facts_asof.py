@@ -182,3 +182,19 @@ def test_asof_pandas_collision_guard(spark):
     right = spark.createDataFrame([(1, 5, "y")], "k int, rts int, v string")
     with pytest.raises(ValueError, match="output name collision"):
         as_of_join_pandas(left, right, "k", "ts", "rts")
+
+
+def test_asof_null_key_never_matches(spark):
+    """NULL join keys share a window partition but equi-join semantics
+    (and every SQL oracle) never match NULL = NULL — a NULL-key left
+    row must come back unmatched."""
+    from batch_data_pipeline_exercise_spark.operators.asof import as_of_join
+
+    left = spark.createDataFrame([(None, 10)], "k int, lt int").selectExpr(
+        "k", "timestamp_seconds(lt) AS lt"
+    )
+    right = spark.createDataFrame([(None, 5, "phantom")], "k int, rt int, v string").selectExpr(
+        "k", "timestamp_seconds(rt) AS rt", "v"
+    )
+    out = as_of_join(left, right, "k", "lt", "rt").collect()
+    assert len(out) == 1 and out[0]["v"] is None
