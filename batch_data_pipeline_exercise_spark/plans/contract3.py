@@ -35,8 +35,10 @@ from pyspark.sql.window import Window
 from batch_data_pipeline_exercise_spark.operators.text import tokenize, word_ngrams
 from batch_data_pipeline_exercise_spark.plans.contract import dec, load, register
 
-# DuckDB-side text normalizer — identical to operators/text.tokenize
-_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+from batch_data_pipeline_exercise_spark.operators.text import norm_ws_sql
+
+# DuckDB-side text normalizer — THE shared SQL twin of text.normalize_ws
+_NORM = norm_ws_sql("text")
 
 
 def _zero_key(col: Column) -> Column:
@@ -1134,4 +1136,10 @@ def user_reach_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         table = s if table is None else table.unionByName(s)
     merged = sketches.merge_distinct_counts(table.select("event_type", "hll_sketch"), ["event_type"])
     counts = table.groupBy("event_type").agg(F.sum("__n").alias("n_events"))
-    return merged.join(counts, "event_type").select("event_type", "n_distinct", "n_events")
+    # null-safe join: a NULL event_type group survives aggregation on
+    # both sides but a plain equi join would drop it (oracle keeps it)
+    c = counts.select(F.col("event_type").alias("__et"), "n_events")
+    return (
+        merged.join(c, merged["event_type"].eqNullSafe(c["__et"]))
+        .select("event_type", "n_distinct", "n_events")
+    )

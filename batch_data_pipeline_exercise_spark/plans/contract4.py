@@ -794,10 +794,11 @@ def orders_priority_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "rolling_7day_distinct_users",
-    oracle="""
-    WITH du AS (
+# ONE definition of the trailing-7-day contribution CTEs — the exact
+# rolling-distinct query and its HLL sketch twin are pinned to the SAME
+# windowed-distinct spec (same edge truncation), so an edit to one
+# cannot silently diverge the other (the _EDGE_CTES pattern).
+_ROLLING7_CTES = """du AS (
       SELECT DISTINCT user_id, CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
       FROM events
     ), bounds AS (SELECT MIN(d) AS dmin, MAX(d) AS dmax FROM du),
@@ -805,7 +806,13 @@ def orders_priority_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT du.user_id, du.d + u.o AS wd
       FROM du, UNNEST(range(0, 7)) AS u(o), bounds
       WHERE du.d + u.o <= bounds.dmax AND du.d + u.o >= bounds.dmin + 6
-    )
+    )"""
+
+
+@register(
+    "rolling_7day_distinct_users",
+    oracle=f"""
+    WITH {_ROLLING7_CTES}
     SELECT strftime(DATE '1970-01-01' + CAST(wd AS INTEGER), '%Y-%m-%d') AS day,
            COUNT(DISTINCT user_id) AS active_users_7d
     FROM contrib GROUP BY wd
@@ -843,16 +850,8 @@ def rolling_7day_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "user_reach_rolling_7d_hll",
-    oracle="""
-    WITH du AS (
-      SELECT DISTINCT user_id, CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
-      FROM events
-    ), bounds AS (SELECT MIN(d) AS dmin, MAX(d) AS dmax FROM du),
-    contrib AS (
-      SELECT du.user_id, du.d + u.o AS wd
-      FROM du, UNNEST(range(0, 7)) AS u(o), bounds
-      WHERE du.d + u.o <= bounds.dmax AND du.d + u.o >= bounds.dmin + 6
-    )
+    oracle=f"""
+    WITH {_ROLLING7_CTES}
     SELECT strftime(DATE '1970-01-01' + CAST(wd AS INTEGER), '%Y-%m-%d') AS day,
            COUNT(DISTINCT user_id) AS reach_7d
     FROM contrib GROUP BY wd
@@ -1512,11 +1511,16 @@ def incremental_top3_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice", "o_orderdate")
     order_cols = [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()]
     stored = None
-    for lo, hi in (("1990-01-01", "1997-01-01"), ("1997-01-01", "1999-01-01"), ("1999-01-01", "2003-01-01")):
-        batch = o.filter(
-            (F.col("o_orderdate") >= F.lit(lo).cast("timestamp"))
-            & (F.col("o_orderdate") < F.lit(hi).cast("timestamp"))
-        )
+    # first batch lower-unbounded, last upper-unbounded: hard-coded
+    # outer bounds would silently drop orders if the testdata's date
+    # span ever widened, diverging from the full-recompute oracle
+    for lo, hi in ((None, "1997-01-01"), ("1997-01-01", "1999-01-01"), ("1999-01-01", None)):
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col("o_orderdate") >= F.lit(lo).cast("timestamp"))
+        if hi is not None:
+            cond = cond & (F.col("o_orderdate") < F.lit(hi).cast("timestamp"))
+        batch = o.filter(cond)
         stored = maintain_topk(stored, batch, ["o_custkey"], order_cols, k=3)
         # pin each fold: the next batch must rank against the MAINTAINED
         # table, not a re-derivation of the whole lineage
@@ -1584,8 +1588,12 @@ def doc_prefix_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return cand.filter(F.levenshtein("pre_a", "pre_b") <= 2).select(
-        "doc_a", "doc_b", F.levenshtein("pre_a", "pre_b").cast("bigint").alias("edit_distance")
+    # compute the DP once: Filter and Project are separate operators, so
+    # codegen does not share a repeated levenshtein call between them
+    return cand.withColumn("edit_distance", F.levenshtein("pre_a", "pre_b").cast("bigint")).filter(
+        F.col("edit_distance") <= 2
+    ).select(
+        "doc_a", "doc_b", "edit_distance"
     )
 
 

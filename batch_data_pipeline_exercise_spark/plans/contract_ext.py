@@ -38,7 +38,7 @@ from batch_data_pipeline_exercise_spark.plans.contract import load, register
 # shared oracle SQL fragments (DuckDB)
 # ---------------------------------------------------------------------------
 
-_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_NORM = text.norm_ws_sql("text")  # THE shared SQL twin of text.normalize_ws
 
 
 def _toks_cte(src: str = "documents") -> str:
@@ -1399,14 +1399,18 @@ def training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            n AS n_tokens,
-           CAST(s AS DOUBLE) / CAST(n * total AS DOUBLE) AS fluency
+           CAST(s AS DOUBLE)
+             / CAST(CAST(CAST(n AS DECIMAL(38,0)) * CAST(total AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE)
+             AS fluency
     FROM ds, tot
     """,
     doc="Unigram language-model fluency proxy: a document's mean corpus "
     "unigram probability — sum of its tokens' corpus frequencies over "
     "(doc tokens x corpus tokens). The classic cheap perplexity stand-"
     "in for corpus quality filtering, computed with EXACT integer "
-    "arithmetic (one double division of two bigints at the end) so the "
+    "arithmetic (the n*total product runs in DECIMAL(38,0) — at corpus "
+    "scale a 2e13-token total times a long document wraps int64 — and "
+    "one double division at the end) so the "
     "score hashes identically cross-engine — no logs, no float "
     "accumulation order. Plan: explode -> token hash agg (the vocab "
     "table) -> hash join back on token -> per-doc agg; the corpus "
@@ -1418,22 +1422,23 @@ def doc_unigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("token") > 0
     )
     freq = occ.groupBy("token").agg(F.count(F.lit(1)).alias("f"))
-    # one-row corpus total, attached via the always-zero COLUMN-derived
-    # key broadcast join (contract3._stamp_global shape) — a LITERAL
-    # zero key constant-folds and degrades the join to
-    # BroadcastNestedLoopJoin, which the plan-quality gate forbids
-    zk = lambda c: F.pmod(F.crc32(F.col(c).cast("string")), F.lit(1))  # noqa: E731
-    tot = freq.agg(F.sum("f").alias("total")).withColumn("__z", zk("total"))
+    from batch_data_pipeline_exercise_spark.plans.contract3 import _stamp_global
+
+    tot = freq.agg(F.sum("f").alias("total"))
     ds = (
         occ.join(freq, "token")
         .groupBy("doc_id")
         .agg(F.sum("f").alias("s"), F.count(F.lit(1)).alias("n"))
-        .withColumn("__z", zk("s"))
     )
-    return ds.join(F.broadcast(tot), "__z").select(
+    stamped = _stamp_global(ds, "s", tot, "total")
+    d38 = "decimal(38,0)"
+    return stamped.select(
         "doc_id",
         F.col("n").alias("n_tokens"),
-        (F.col("s").cast("double") / (F.col("n") * F.col("total")).cast("double")).alias("fluency"),
+        (
+            F.col("s").cast("double")
+            / (F.col("n").cast(d38) * F.col("total").cast(d38)).cast("double")
+        ).alias("fluency"),
     )
 
 
