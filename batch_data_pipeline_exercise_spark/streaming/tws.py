@@ -1,0 +1,83 @@
+"""Per-order summary on Spark 4's ``transformWithStateInPandas`` — the
+successor arbitrary-state API to ``applyInPandasWithState``
+(streaming/stateful.py keeps the classic twin; both compute the same
+summary, which the parity test pins).
+
+Why carry both: transformWithState is where Structured Streaming's
+custom-state investment is going — typed state handles (value/list/map
+state instead of one tuple), explicit processor lifecycle, timers, TTL,
+and the RocksDB state store requirement that makes state spillable
+instead of heap-bound. At 100 TB-scale key counts that last property is
+the difference between a stateful operator that runs and one that OOMs:
+the classic API's HDFS-backed store keeps every key's state on the JVM
+heap, while RocksDB pages cold keys to local SSD.
+
+Same NULL discipline as the classic twin: NaT event times are counted
+but excluded from first/last ordering (a NaT row must never become the
+state's "last" event, and NaT > comparisons are always false).
+
+Environment note: the transformWithState protocol speaks protobuf
+between the JVM and the Python state client; this container ships no
+``google.protobuf``, so the parity test skips here (the classic twin's
+tests still pin the semantics) — the module is the swap-ready exemplar,
+the same honest boundary as the multimodal codec stubs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor, StatefulProcessorHandle
+
+from batch_data_pipeline_exercise_spark.streaming.stateful import OUTPUT_SCHEMA, STATE_SCHEMA
+
+ROCKSDB_PROVIDER = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+
+class OrderStateProcessor(StatefulProcessor):
+    """Running (n_events, last_status, first_ts, last_ts) per order id."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._state = handle.getValueState("order_summary", STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows: Iterator[pd.DataFrame], timer_values) -> Iterator[pd.DataFrame]:
+        (order_id,) = key
+        if self._state.exists():
+            n, last_status, first_ts, last_ts = self._state.get()
+        else:
+            n, last_status, first_ts, last_ts = 0, None, None, None
+        for pdf in rows:
+            n += len(pdf)
+            pdf = pdf[pdf["event_time"].notna()].sort_values("event_time")
+            if pdf.empty:
+                continue
+            first, last = pdf.iloc[0], pdf.iloc[-1]
+            if first_ts is None or first["event_time"] < first_ts:
+                first_ts = first["event_time"]
+            if last_ts is None or last["event_time"] > last_ts:
+                last_ts = last["event_time"]
+                last_status = last["status"]
+        self._state.update((n, last_status, first_ts, last_ts))
+        yield pd.DataFrame(
+            [(order_id, n, last_status, first_ts, last_ts)],
+            columns=["id", "n_events", "last_status", "first_ts", "last_ts"],
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def order_state_stream_tws(events: DataFrame) -> DataFrame:
+    """Attach the transformWithState per-order summary to an order-event
+    stream (columns: id, status, event_time). The session must run the
+    RocksDB state store provider (``ROCKSDB_PROVIDER``) — the API
+    requires it, and it is the scale story (state spills to local disk
+    instead of living on the heap)."""
+    return events.groupBy("id").transformWithStateInPandas(
+        statefulProcessor=OrderStateProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -213,3 +213,36 @@ def test_upsert_merge_unfreezes_null_timestamp_rows(spark, tmp_path):
     )
     row = merged.collect()[0]
     assert row["status"] == "completed" and row["event_time"] is not None
+
+
+def test_tws_order_summary_matches_classic(spark, stream_dirs):
+    """transformWithStateInPandas twin: same per-order summary as the
+    applyInPandasWithState operator on the same drop (requires the
+    RocksDB state store provider AND protobuf, which the TWS state
+    protocol speaks — skip where the container lacks it)."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from batch_data_pipeline_exercise_spark.streaming import tws
+
+    raw, _, _ = stream_dirs
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", tws.ROCKSDB_PROVIDER)
+    try:
+        ev = ingest.stream_order_events(spark, raw).select("id", "status", "event_time")
+        out = tws.order_state_stream_tws(ev)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("order_state_tws")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        rows = {r["id"]: r for r in spark.sql("SELECT * FROM order_state_tws").collect()}
+        assert rows["o1"]["n_events"] == 2 and rows["o1"]["last_status"] == "completed"
+        assert rows["o4"]["n_events"] == 3 and rows["o4"]["last_status"] == "deleted"
+        assert str(rows["o5"]["first_ts"]).startswith("2019-12-31")
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
