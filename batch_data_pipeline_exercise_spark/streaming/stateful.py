@@ -42,21 +42,19 @@ OUTPUT_SCHEMA = T.StructType(
 )
 
 
-def _update_order_state(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    (order_id,) = key
-    if state.exists:
-        n, last_status, first_ts, last_ts = state.get
-    else:
-        n, last_status, first_ts, last_ts = 0, None, None, None
+def fold_order_summary(state_tuple, pdfs: Iterator[pd.DataFrame]):
+    """THE pure per-key summary fold, shared by the classic
+    applyInPandasWithState operator below and the transformWithState
+    twin (streaming/tws.py) so their semantics — including the NaT
+    discipline — cannot drift apart.
 
+    NaT event_times cannot win any first/last comparison, but on a
+    key's FIRST batch "last_ts is None" would let a NaT row become the
+    state's last event and poison every later comparison (ts > NaT is
+    always False) — count them, then exclude them from the ordering
+    entirely."""
+    n, last_status, first_ts, last_ts = state_tuple
     for pdf in pdfs:
-        # NaT event_times cannot win any first/last comparison, but on
-        # a key's FIRST batch "last_ts is None" would let a NaT row
-        # become the state's last event and poison every later
-        # comparison (ts > NaT is always False) — count them, then
-        # exclude them from the ordering entirely
         n += len(pdf)
         pdf = pdf[pdf["event_time"].notna()].sort_values("event_time")
         if pdf.empty:
@@ -68,6 +66,18 @@ def _update_order_state(
         if last_ts is None or last["event_time"] > last_ts:
             last_ts = last["event_time"]
             last_status = last["status"]
+    return n, last_status, first_ts, last_ts
+
+
+def _update_order_state(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (order_id,) = key
+    if state.exists:
+        prev = state.get
+    else:
+        prev = (0, None, None, None)
+    n, last_status, first_ts, last_ts = fold_order_summary(prev, pdfs)
 
     state.update((n, last_status, first_ts, last_ts))
     yield pd.DataFrame(

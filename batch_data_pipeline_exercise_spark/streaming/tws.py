@@ -31,7 +31,11 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.stateful_processor import StatefulProcessor, StatefulProcessorHandle
 
-from batch_data_pipeline_exercise_spark.streaming.stateful import OUTPUT_SCHEMA, STATE_SCHEMA
+from batch_data_pipeline_exercise_spark.streaming.stateful import (
+    OUTPUT_SCHEMA,
+    STATE_SCHEMA,
+    fold_order_summary,
+)
 
 ROCKSDB_PROVIDER = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
@@ -44,21 +48,10 @@ class OrderStateProcessor(StatefulProcessor):
 
     def handleInputRows(self, key, rows: Iterator[pd.DataFrame], timer_values) -> Iterator[pd.DataFrame]:
         (order_id,) = key
-        if self._state.exists():
-            n, last_status, first_ts, last_ts = self._state.get()
-        else:
-            n, last_status, first_ts, last_ts = 0, None, None, None
-        for pdf in rows:
-            n += len(pdf)
-            pdf = pdf[pdf["event_time"].notna()].sort_values("event_time")
-            if pdf.empty:
-                continue
-            first, last = pdf.iloc[0], pdf.iloc[-1]
-            if first_ts is None or first["event_time"] < first_ts:
-                first_ts = first["event_time"]
-            if last_ts is None or last["event_time"] > last_ts:
-                last_ts = last["event_time"]
-                last_status = last["status"]
+        prev = self._state.get() if self._state.exists() else (0, None, None, None)
+        # SHARED fold with the classic twin (stateful.fold_order_summary)
+        # — parity holds by construction, not by test alone
+        n, last_status, first_ts, last_ts = fold_order_summary(prev, rows)
         self._state.update((n, last_status, first_ts, last_ts))
         yield pd.DataFrame(
             [(order_id, n, last_status, first_ts, last_ts)],

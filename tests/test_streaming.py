@@ -237,10 +237,22 @@ def test_tws_order_summary_matches_classic(spark, stream_dirs):
             .start()
         )
         q.awaitTermination(180)
-        rows = {r["id"]: r for r in spark.sql("SELECT * FROM order_state_tws").collect()}
-        assert rows["o1"]["n_events"] == 2 and rows["o1"]["last_status"] == "completed"
-        assert rows["o4"]["n_events"] == 3 and rows["o4"]["last_status"] == "deleted"
-        assert str(rows["o5"]["first_ts"]).startswith("2019-12-31")
+        got = {tuple(r) for r in spark.sql("SELECT * FROM order_state_tws").collect()}
+        # REAL parity: run the classic twin on the same drop and diff
+        # the full row sets
+        from batch_data_pipeline_exercise_spark.streaming.stateful import order_state_stream
+
+        q2 = (
+            order_state_stream(ev)
+            .writeStream.format("memory")
+            .queryName("order_state_classic")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination(180)
+        expected = {tuple(r) for r in spark.sql("SELECT * FROM order_state_classic").collect()}
+        assert got == expected and len(got) >= 5
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
