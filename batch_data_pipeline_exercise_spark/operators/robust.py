@@ -105,15 +105,17 @@ def trailing_count_anomalies(
         .orderBy(order_col)
         .rowsBetween(-window, -1)
     )
+    d38 = "decimal(38,0)"
     x = F.col(count_col).cast("bigint")
     k = F.count(count_col).over(w)
     m = F.sum(x).over(w)
-    s2 = F.sum(x * x).over(w)
+    # the per-point square must ALSO be decimal: x*x in bigint wraps once
+    # a single count exceeds ~3e9, before the window sum ever sees it
+    s2 = F.sum(x.cast(d38) * x.cast(d38)).over(w)
     # squares widen to DECIMAL(38,0): daily counts ~5e8 give k·x − m up
     # to ~3.5e9 whose bigint square wraps negative (and k·s2 earlier) —
     # the same int64 ceiling pagerank_scaled hit; decimal keeps the
     # inequality exact to ~10^19-scale counts
-    d38 = "decimal(38,0)"
     dev = (k * x - m).cast(d38)
     spread = (k.cast(d38) * s2.cast(d38)) - (m.cast(d38) * m.cast(d38))
     flag = (k >= min_points) & (dev * dev > F.lit(z * z).cast(d38) * spread)

@@ -243,7 +243,7 @@ assert float(_KMV_H) == sketches.KMV_H
     WITH h AS (
       SELECT DISTINCT event_type,
              CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
-      FROM events
+      FROM events WHERE user_id IS NOT NULL
     ), r AS (
       SELECT event_type, h, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
       FROM h
@@ -300,7 +300,15 @@ assert float(_KMV_H) == sketches.KMV_H
 def event_type_user_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     k = _KMV_K
-    h = e.select("event_type", sketches.kmv_hash("user_id").alias("h")).distinct()
+    # NULL ids hash to NULL, which sorts FIRST in Spark's window but LAST
+    # in DuckDB's ORDER BY — a NULL would permanently occupy a k-min slot
+    # here while the oracle (and streaming fold_kmv, kmv_stream.py) drop
+    # it. Filter at the boundary, mirroring fold_kmv's guard.
+    h = (
+        e.filter(F.col("user_id").isNotNull())
+        .select("event_type", sketches.kmv_hash("user_id").alias("h"))
+        .distinct()
+    )
     wr = Window.partitionBy("event_type").orderBy("h")
     s = h.withColumn("rn", F.row_number().over(wr)).filter(F.col("rn") <= k).drop("rn")
     types = s.agg(

@@ -128,7 +128,12 @@ class Pipeline:
             F.broadcast(dates.select("datum")), F.to_date(stg.event_time) == F.col("datum"), "left_anti"
         )
         if rejects.limit(1).count() > 0:
-            self.wh.append(rejects, "_fact_dates_rejects")
+            # append_once, not append: re-running the same feed day is a
+            # no-op for the fact (idempotent_append_rows), so the dead
+            # letter must be replay-guarded too or every re-run doubles
+            # the divergence signal. Same key as the feed's uniqueness
+            # contract.
+            self.wh.append_once(rejects, "_fact_dates_rejects", keys=["id", "event_time"])
         existing = self.wh.read("fact_orders_created") if self.wh.exists("fact_orders_created") else None
         rows = idempotent_append_rows(existing, candidates, key="order_id", order_cols=["created_time"])
         # date-partitioned for pruning: metric queries filter by creation

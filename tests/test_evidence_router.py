@@ -82,14 +82,49 @@ def test_malformed_evidence_files_are_ignored(tmp_path):
     assert order == ["bad_row", "q"]  # bad_row never counted -> tier -1
 
 
-def test_repo_ordering_matches_registry_and_front_loads_user_sessions():
+def _expected_tiers(m, names, evidence_dir=None):
+    """Derive the ordering law's tier sets straight from the evidence
+    files on disk — never pin a round-specific query name here (the
+    driver rewrites CORRECTNESS files *after* each commit, so any
+    name-pin goes stale the moment the router does its job)."""
+    counts, latest_red, _ = m._driver_evidence(evidence_dir)
+    reds = {n for n in names if latest_red.get(n, False)}
+    never = {n for n in names if n not in counts}
+    return reds, never
+
+
+def test_repo_ordering_matches_registry_and_ordering_law():
     """Against the REAL CORRECTNESS files: queries()/oracle_sql() agree on
-    ordering, every registry entry is present, and (round-5 contract)
-    user_sessions — the only latest-red query — leads."""
+    ordering and the ordering law holds — latest-red first, then
+    never-checked, with the tier-0/tier-never sets derived from the same
+    evidence files the router reads (artifact-relative, round-agnostic)."""
     m = _entry_module()
     qs, osql = m.queries(), m.oracle_sql()
     assert set(osql) <= set(qs)
-    assert list(qs)[0] == "user_sessions"
-    assert list(osql)[0] == "user_sessions"
+    names = list(qs)
+    reds, never = _expected_tiers(m, names)
+    # tier 0 (latest-red) occupies a strict prefix, then all never-checked
+    assert set(names[: len(reds)]) == reds
+    assert set(names[len(reds) : len(reds) + len(never)]) == never
     # oracle ordering is the queries ordering restricted to oracle keys
     assert [n for n in qs if n in osql] == list(osql)
+
+
+def test_repo_ordering_survives_future_round_file(tmp_path):
+    """The law must keep holding when a hypothetical next-round file
+    lands: copy the real evidence into a fixture dir, append an r99 file
+    that greens the current leader, and re-derive — no name pins."""
+    import shutil
+
+    m = _entry_module()
+    root = Path(__file__).resolve().parent.parent
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        shutil.copy(p, tmp_path / p.name)
+    names = list(m.queries())
+    leader = names[0]
+    _write_round(tmp_path, 99, {leader: GREEN})
+    order = m._evidence_order(names, str(tmp_path))
+    reds, never = _expected_tiers(m, names, str(tmp_path))
+    assert leader not in reds  # the green row cleared its flag
+    assert set(order[: len(reds)]) == reds
+    assert set(order[len(reds) : len(reds) + len(never)]) == never

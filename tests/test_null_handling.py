@@ -43,3 +43,32 @@ def test_range_join_left_null_column_no_duplicates(spark):
     assert len(out) == 2  # the NULL-tag matched row appears ONCE, not twice
     by_pid = {r["pid"]: r for r in out}
     assert by_pid[1]["iid"] == 10 and by_pid[2]["iid"] is None
+
+
+def test_kmv_overlap_null_user_ids_match_oracle(spark, tmp_path):
+    """NULL user_ids hash to NULL, which sorts FIRST in Spark windows but
+    LAST in DuckDB ORDER BY — without the boundary filter a NULL occupies
+    a k-min slot in one engine only and the sketches diverge. Regression
+    for the round-5 advice finding (latent: testdata has no NULL ids)."""
+    import duckdb
+
+    from batch_data_pipeline_exercise_spark.plans import contract
+    from batch_data_pipeline_exercise_spark.plans import contract5  # noqa: F401
+
+    rows = [("click", None), ("click", "u1"), ("view", None), ("view", "u1"), ("view", "u2")]
+    # enough real users that the NULL would displace one if unfiltered
+    rows += [("click", f"u{i}") for i in range(2, 80)] + [("view", f"u{i}") for i in range(2, 70)]
+    spark.createDataFrame(rows, "event_type string, user_id string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "events.parquet"))
+
+    q = contract.REGISTRY["event_type_user_overlap_kmv"]
+    sdf = q.fn(spark, str(tmp_path))
+    srows = sorted([tuple(map(repr, r)) for r in sdf.collect()])
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet/*.parquet'")
+    drows = sorted([tuple(map(repr, r)) for r in con.execute(q.oracle).fetchall()])
+    con.close()
+    assert srows == drows
+    assert all(r["k_used"] == 64 for r in sdf.collect())

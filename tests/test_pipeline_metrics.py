@@ -193,3 +193,26 @@ def test_run_products_duplicate_ids_collapse_deterministically(spark, tmp_path):
     assert len(open_rows) == 1
     # greatest attribute struct wins: title B, price 2.00
     assert open_rows[0]["title"] == "B"
+
+
+def test_dead_letter_rejects_are_replay_guarded(spark, tmp_path):
+    """An out-of-calendar order event lands in _fact_dates_rejects exactly
+    once, no matter how many times the same feed day is re-run — the
+    dead-letter table follows the same append-once discipline as the
+    fact it diverges from."""
+    csv = tmp_path / "orders_1969.csv"
+    csv.write_text(
+        "id,productId,amount,totalPrice,status,timestamp\n"
+        "ox,p1,1,9.99,created,1969-06-01 08:00:00\n"  # pre-dim_dates calendar
+        "oy,p1,1,9.99,created,2021-03-01 08:00:00\n"
+    )
+    p = Pipeline(spark, str(tmp_path / "wh"))
+    p.init_dates()
+    p.run_orders(str(csv), ts="2021-03-01 09:00:00")
+    assert p.wh.read("_fact_dates_rejects").count() == 1
+    p.run_orders(str(csv), ts="2021-03-01 09:00:00")  # replay
+    rej = p.wh.read("_fact_dates_rejects")
+    assert rej.count() == 1
+    assert [r["id"] for r in rej.collect()] == ["ox"]
+    # the in-calendar row reached the fact exactly once, too
+    assert p.wh.read("fact_orders_created").count() == 1
