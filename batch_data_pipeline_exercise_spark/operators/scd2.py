@@ -201,21 +201,37 @@ def scd2_snapshot_merge(
     for c in attr_cols:
         changed_pred = changed_pred | ~F.col(f"d.{c}").eqNullSafe(F.col(f"s.{c}"))
 
+    # ONE pass over the joined rows: Spark performs no common-subtree
+    # elimination across UNION branches, so the previous
+    # filter/filter/filter + union form executed the full-outer join —
+    # and the ENTIRE upstream dim plan (which, for chained merges, is
+    # itself a merge) — once per branch. Each joined row instead emits
+    # its 0–2 output rows as an array of structs; explode keeps it
+    # whole-stage-codegen'd and the join/shuffle happens exactly once.
     dim_cols = dim.columns
-    keep_open = j.filter(dim_present & (~snap_present | ~changed_pred)).select(
-        *[F.col(f"d.{c}").alias(c) for c in dim_cols]
-    )
-    close_old = j.filter(dim_present & snap_present & changed_pred).select(
-        *[F.col(f"d.{c}").alias(c) for c in dim_cols if c != "end_time"],
-        t.alias("end_time"),
-    ).select(*dim_cols)
-    open_new = new_rows_from(
-        j.filter(snap_present & (~dim_present | changed_pred)).select(
-            *[F.col(f"s.{c}").alias(c) for c in snap_cols]
-        ).alias("s")
-    )
 
-    return closed.unionByName(keep_open).unionByName(close_old).unionByName(open_new.select(*dim_cols))
+    def _row(values: dict[str, "F.Column"]) -> "F.Column":
+        return F.struct(*[values[c].alias(c) for c in dim_cols])
+
+    d_vals = {c: F.col(f"d.{c}") for c in dim_cols}
+    keep_open = _row(d_vals)
+    close_old = _row({**d_vals, "end_time": t})
+    open_new = _row(
+        {c: F.col(f"s.{c}") for c in snap_cols} | {"start_time": t, "end_time": sent}
+    )
+    emitted = j.select(
+        F.explode(
+            F.array_compact(
+                F.array(
+                    F.when(dim_present & (~snap_present | ~changed_pred), keep_open),
+                    F.when(dim_present & snap_present & changed_pred, close_old),
+                    F.when(snap_present & (~dim_present | changed_pred), open_new),
+                )
+            )
+        ).alias("__r")
+    ).select("__r.*")
+
+    return closed.unionByName(emitted)
 
 
 def current_slice(dim: DataFrame, at: datetime | str, start: str = "start_time", end: str = "end_time") -> DataFrame:
