@@ -151,3 +151,45 @@ def test_incremental_embedding_equals_rebuild(spark, sf_dir):
     got_first = {(r["id1"], r["id2"]) for r in first.collect()}
     assert got_first == {(a, b) for a, b in full if a % 5 == 0 and b % 5 == 0}
     assert first_idx.count() == new.count()
+
+
+def test_image_codec_gate(spark):
+    """The real-codec path is optional: codec='pil' raises
+    NotImplementedError exactly when PIL is absent, codec='auto' falls
+    back to the deterministic stub, and an unknown codec is a loud
+    error — the stub remains the oracle-checked default either way."""
+    import pytest as _pytest
+
+    rows = [("m0", "image", b"\x89PNG-fake", "image/png", None, None, None)]
+    df = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    with _pytest.raises(ValueError, match="unknown codec"):
+        multimodal.extract_image_features(df, codec="jpegxl")
+    auto = multimodal.extract_image_features(df, codec="auto")
+    stub = multimodal.extract_image_features(df)  # default stub
+    if multimodal.HAS_PIL:
+        # auto routes to the real decoder; fake bytes fail to decode
+        with _pytest.raises(Exception):
+            auto.collect()
+    else:
+        assert [tuple(r) for r in auto.collect()] == [tuple(r) for r in stub.collect()]
+        with _pytest.raises(NotImplementedError, match="requires PIL"):
+            multimodal.extract_image_features(df, codec="pil")
+
+
+@pytest.mark.skipif(not multimodal.HAS_PIL, reason="PIL not installed (optional codec)")
+def test_image_codec_real_pil_decode(spark):
+    """Real-decode parity: a PIL-generated 16x9 gray PNG round-trips
+    through codec='pil' with exact dimensions, the analytic mean luma,
+    and the constant-image average-hash (all-ones: every pixel >= mean)."""
+    import io as _io
+
+    from PIL import Image as PILImage
+
+    buf = _io.BytesIO()
+    PILImage.new("L", (16, 9), color=128).save(buf, format="PNG")
+    rows = [("real0", "image", buf.getvalue(), "image/png", None, None, None)]
+    df = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    (r,) = multimodal.extract_image_features(df, codec="pil").collect()
+    assert (r["width"], r["height"]) == (16, 9)
+    assert abs(r["mean_luma"] - 128 / 255) < 1e-9
+    assert r["phash"] == "ffffffffffffffff"
