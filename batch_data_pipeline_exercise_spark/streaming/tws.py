@@ -17,10 +17,13 @@ but excluded from first/last ordering (a NaT row must never become the
 state's "last" event, and NaT > comparisons are always false).
 
 Environment note: the transformWithState protocol speaks protobuf
-between the JVM and the Python state client; this container ships no
-``google.protobuf``, so the parity test skips here (the classic twin's
-tests still pin the semantics) — the module is the swap-ready exemplar,
-the same honest boundary as the multimodal codec stubs.
+between the JVM and the Python state client. ``google.protobuf`` is not
+a pyspark install dependency; where no installed copy exists,
+``batch_data_pipeline_exercise_spark/compat.py`` falls back to a
+vendored pure-Python runtime (and tests/pbshim/sitecustomize.py applies
+the same fallback inside spawned Python workers), so the parity test
+runs rather than skips. On images with neither an installed nor a
+vendored runtime it still skips cleanly via importorskip.
 """
 
 from __future__ import annotations
