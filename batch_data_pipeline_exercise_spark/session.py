@@ -54,6 +54,9 @@ def get_spark(
         # producing NULLs at staging; we match that ingestion semantics.
         "spark.sql.ansi.enabled": "false",
         "spark.sql.parquet.compression.codec": "snappy",
+        # Python Data Source connectors (sources/pyds.py) implement
+        # pushFilters; the capability is conf-gated and off by default.
+        "spark.sql.python.filterPushdown.enabled": "true",
         # 128 MB split target — the right granularity for TB-scale scans.
         "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
         # ...but never fewer scan splits than cores: small benchmark files

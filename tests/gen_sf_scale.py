@@ -1,0 +1,155 @@
+"""Scale the sf0.1 testdata 10x to a local sf1 (~6M lineitem) for the
+two-decade scaling sweep (SCALE.md).
+
+Deterministic, seed-free replication with per-replica key offsets so
+referential integrity holds (l_orderkey -> orders, o_custkey ->
+customer, ...). nation/region stay fixed (they are fixed-size in TPC-H
+too). Two tables get DECORRELATED, not copied:
+
+- documents: replica texts are spliced halves of two different source
+  docs, so the duplicate-pair density stays ~linear in corpus size
+  (verbatim replication would grow every dup group 10x and the LSH
+  pair count quadratically — a different workload, not a bigger one);
+- embeddings: per-position deterministic perturbation, so ANN
+  neighborhoods grow in population rather than collapsing into
+  10-deep exact-duplicate stacks.
+
+Usage:  python tests/gen_sf_scale.py [out_dir] [factor]
+Defaults: /tmp/sf1, 10. Re-run is a full overwrite.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+from batch_data_pipeline_exercise_spark.plans.contract import load  # noqa: E402
+from batch_data_pipeline_exercise_spark.session import get_spark  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+
+
+def replicate(df: DataFrame, factor: int) -> DataFrame:
+    return df.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(factor - 1))))
+
+
+def offset(col: str, rng: int) -> F.Column:
+    return (F.col(col) + F.col("rep") * F.lit(rng)).alias(col)
+
+
+def main() -> None:
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    spark = get_spark(app_name="gen-sf-scale", master="local[32]", shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # key ranges = max+1 of each source key so offsets can never collide
+    rng = {}
+    for t, k in [("customer", "c_custkey"), ("supplier", "s_suppkey"), ("part", "p_partkey"),
+                 ("orders", "o_orderkey"), ("events", "event_id"), ("documents", "doc_id"),
+                 ("embeddings", "vec_id")]:
+        rng[t] = load(spark, SRC, t).agg(F.max(k)).first()[0] + 1
+    user_rng = load(spark, SRC, "events").agg(F.max("user_id")).first()[0] + 1
+
+    def write(df: DataFrame, name: str, parts: int = 8) -> None:
+        df.drop("rep").repartition(parts).write.mode("overwrite").parquet(f"{out}/{name}.parquet")
+        print(name, "done")
+
+    # fixed-size dims copy through unchanged
+    for t in ("region", "nation"):
+        load(spark, SRC, t).write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+        print(t, "done")
+
+    c = replicate(load(spark, SRC, "customer"), factor)
+    write(c.select(offset("c_custkey", rng["customer"]), "c_name", "c_nationkey", "c_acctbal", "c_mktsegment", "rep"), "customer", 2)
+
+    s = replicate(load(spark, SRC, "supplier"), factor)
+    write(s.select(offset("s_suppkey", rng["supplier"]), "s_name", "s_nationkey", "s_acctbal", "rep"), "supplier", 1)
+
+    p = replicate(load(spark, SRC, "part"), factor)
+    write(p.select(offset("p_partkey", rng["part"]), "p_name", "p_brand", "p_type", "p_size", "p_retailprice", "rep"), "part", 2)
+
+    o = replicate(load(spark, SRC, "orders"), factor)
+    write(
+        o.select(
+            offset("o_orderkey", rng["orders"]),
+            offset("o_custkey", rng["customer"]),
+            "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority", "rep",
+        ),
+        "orders", 4,
+    )
+
+    li = replicate(load(spark, SRC, "lineitem"), factor)
+    write(
+        li.select(
+            offset("l_orderkey", rng["orders"]),
+            offset("l_partkey", rng["part"]),
+            offset("l_suppkey", rng["supplier"]),
+            "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+            "l_returnflag", "l_linestatus", "l_shipdate", "rep",
+        ),
+        "lineitem", 16,
+    )
+
+    ev = replicate(load(spark, SRC, "events"), factor)
+    write(
+        ev.select(
+            offset("event_id", rng["events"]),
+            "ts",
+            offset("user_id", user_rng),
+            "event_type", "value", "props", "rep",
+        ),
+        "events", 8,
+    )
+
+    # documents: splice halves of two different docs per replica so
+    # near-dup structure scales linearly (see module docstring)
+    d = load(spark, SRC, "documents")
+    n_docs = d.count()
+    d2 = d.select(F.col("doc_id").alias("p_id"), F.col("text").alias("p_text"))
+    dd = (
+        replicate(d, factor)
+        .withColumn("partner", (F.col("doc_id") + F.col("rep") * 797) % F.lit(n_docs))
+        .join(d2, F.col("partner") == F.col("p_id"))
+        .withColumn(
+            "text",
+            F.when(F.col("rep") == 0, F.col("text")).otherwise(
+                F.concat(
+                    F.substring(F.col("text"), 1, 1_000_000).substr(F.lit(1), F.length("text") / 2),
+                    F.lit(" "),
+                    F.col("p_text").substr(F.length("p_text") / 2, F.lit(1_000_000)),
+                )
+            ),
+        )
+        .withColumn("n_chars", F.length("text").cast("long"))
+        .select(offset("doc_id", rng["documents"]), "text", "lang", "source", "n_chars", "rep")
+    )
+    write(dd, "documents", 8)
+
+    # embeddings: deterministic per-position perturbation; replica 0 exact
+    e = replicate(load(spark, SRC, "embeddings"), factor)
+    ee = e.select(
+        offset("vec_id", rng["embeddings"]),
+        F.when(F.col("rep") == 0, F.col("embedding"))
+        .otherwise(
+            F.transform(
+                "embedding",
+                lambda x, i: (x + F.sin((i + 1) * (F.col("rep") * 7 + 3)) * F.lit(0.05)).cast("float"),
+            )
+        )
+        .alias("embedding"),
+        "label",
+        "rep",
+    )
+    write(ee, "embeddings", 4)
+
+    spark.stop()
+    print("wrote", out, "factor", factor)
+
+
+if __name__ == "__main__":
+    main()
