@@ -21,6 +21,7 @@ from batch_data_pipeline_exercise_spark.plans import (  # noqa: F401,E402
     contract3,
     contract4,
     contract5,
+    contract6,
     contract_ext,
 )
 from batch_data_pipeline_exercise_spark.session import get_spark  # noqa: E402

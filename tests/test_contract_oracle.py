@@ -19,6 +19,7 @@ from batch_data_pipeline_exercise_spark.plans import contract2  # noqa: F401 —
 from batch_data_pipeline_exercise_spark.plans import contract3  # noqa: F401 — registers TPC-H + corpus breadth
 from batch_data_pipeline_exercise_spark.plans import contract4  # noqa: F401 — registers robust-stats + sampling breadth
 from batch_data_pipeline_exercise_spark.plans import contract5  # noqa: F401 — registers sequence/drift/sketch breadth
+from batch_data_pipeline_exercise_spark.plans import contract6  # noqa: F401 — registers round-6 breadth
 
 TABLES = [
     "region",

@@ -22,7 +22,7 @@ from __future__ import annotations
 import pytest
 
 from batch_data_pipeline_exercise_spark.plans import contract
-from batch_data_pipeline_exercise_spark.plans import contract2, contract3, contract4, contract5, contract_ext  # noqa: F401
+from batch_data_pipeline_exercise_spark.plans import contract2, contract3, contract4, contract5, contract6, contract_ext  # noqa: F401
 
 QUADRATIC = {"CartesianProduct", "BroadcastNestedLoopJoin"}
 

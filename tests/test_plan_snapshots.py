@@ -29,6 +29,7 @@ from batch_data_pipeline_exercise_spark.plans import (  # noqa: F401 — registe
     contract3,
     contract4,
     contract5,
+    contract6,
     contract_ext,
 )
 

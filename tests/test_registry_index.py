@@ -43,6 +43,7 @@ def test_registry_index_covers_every_query():
         contract3,
         contract4,
         contract5,
+        contract6,
         contract_ext,
     )
 
