@@ -32,7 +32,9 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import types as T
 from pyspark.sql.streaming.stateful_processor import StatefulProcessor, StatefulProcessorHandle
+from pyspark.sql.types import StructType
 
 from batch_data_pipeline_exercise_spark.streaming.stateful import (
     OUTPUT_SCHEMA,
@@ -74,6 +76,70 @@ def order_state_stream_tws(events: DataFrame) -> DataFrame:
     return events.groupBy("id").transformWithStateInPandas(
         statefulProcessor=OrderStateProcessor(),
         outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+# ---------------------------------------------------------------------------
+# ListState exemplar: bounded per-key recent-event buffer
+# ---------------------------------------------------------------------------
+
+RECENT_K = 3
+
+RECENT_STATE_SCHEMA = StructType(
+    [
+        T.StructField("event_time", T.TimestampType()),
+        T.StructField("status", T.StringType()),
+    ]
+)
+
+RECENT_OUTPUT_SCHEMA = StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("n_recent", T.LongType()),
+        T.StructField("recent_statuses", T.StringType()),
+    ]
+)
+
+
+class RecentEventsProcessor(StatefulProcessor):
+    """Last-``RECENT_K`` events per order via **ListState** — the typed
+    state handle the classic applyInPandasWithState API lacks (there the
+    whole buffer would round-trip through one opaque tuple each batch).
+    The buffer is re-capped on every update, so state per key is O(K) by
+    construction — the property that keeps a billion-key stream's state
+    bounded. Ordering is (event_time, status) with NaT rows excluded,
+    the same NaT discipline as the summary fold."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._recent = handle.getListState("recent_events", RECENT_STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows: Iterator[pd.DataFrame], timer_values) -> Iterator[pd.DataFrame]:
+        (order_id,) = key
+        buf = [(r[0], r[1]) for r in self._recent.get()] if self._recent.exists() else []
+        for pdf in rows:
+            pdf = pdf[pdf["event_time"].notna()]
+            buf.extend(zip(pdf["event_time"], pdf["status"]))
+        buf.sort(key=lambda t: (t[0], t[1]))
+        buf = buf[-RECENT_K:]
+        self._recent.put(buf)
+        yield pd.DataFrame(
+            [(order_id, len(buf), ",".join(s for _, s in buf))],
+            columns=["id", "n_recent", "recent_statuses"],
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def recent_events_stream_tws(events: DataFrame) -> DataFrame:
+    """Attach the bounded recent-event buffer to an order-event stream
+    (columns: id, status, event_time). RocksDB provider required, as for
+    every transformWithState operator."""
+    return events.groupBy("id").transformWithStateInPandas(
+        statefulProcessor=RecentEventsProcessor(),
+        outputStructType=RECENT_OUTPUT_SCHEMA,
         outputMode="Update",
         timeMode="None",
     )

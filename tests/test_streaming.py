@@ -258,3 +258,72 @@ def test_tws_order_summary_matches_classic(spark, stream_dirs):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_tws_liststate_recent_events_matches_batch(spark, stream_dirs):
+    """ListState twin: per-order last-3 events from the stream must equal
+    the batch window computation on the same drop — the bounded-buffer
+    property (state is O(K) per key) plus ordering/NaT discipline."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from batch_data_pipeline_exercise_spark.streaming import tws
+
+    raw, _, _ = stream_dirs
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", tws.ROCKSDB_PROVIDER)
+    try:
+        ev = ingest.stream_order_events(spark, raw).select("id", "status", "event_time")
+        q = (
+            tws.recent_events_stream_tws(ev)
+            .writeStream.format("memory")
+            .queryName("recent_tws")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {tuple(r) for r in spark.sql("SELECT * FROM recent_tws").collect()}
+
+        from pyspark.sql.window import Window
+
+        # mirror the stream path's duplicate-delivery suppression
+        # (stream_order_events drops on (id, event_time))
+        batch = (
+            spark.read.format("csv")
+            .option("header", True)
+            .load(raw)
+            .select(
+                F.col("id"),
+                F.col("status"),
+                F.to_timestamp("timestamp").alias("event_time"),
+            )
+            .dropDuplicates(["id", "event_time"])
+            .filter(F.col("event_time").isNotNull())
+        )
+        w = Window.partitionBy("id").orderBy(F.col("event_time").desc(), F.col("status").desc())
+        expected = {
+            tuple(r)
+            for r in batch.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= tws.RECENT_K)
+            .groupBy("id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_recent"),
+                F.concat_ws(
+                    ",",
+                    F.reverse(
+                        F.transform(
+                            F.sort_array(
+                                F.collect_list(F.struct("event_time", "status")), asc=False
+                            ),
+                            lambda s: s["status"],
+                        )
+                    ),
+                ).alias("recent_statuses"),
+            )
+            .collect()
+        }
+        assert got == expected and len(got) >= 3
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
