@@ -467,25 +467,24 @@ def rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def train_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     n = 5
+    # single pass, no join: the old eval-set/train-set equi-join form
+    # consumed the exploded-distinct gram set THREE times (eval grams,
+    # hits, totals) and Spark re-executed the explode+distinct for each
+    # branch. One max-over-gram window marks every gram that any eval
+    # doc contains; the per-train-doc aggregate then needs only a
+    # conditional sum. Shuffles: distinct, window on g, groupBy doc.
     grams = d.select("doc_id", F.explode(word_ngrams("text", n)).alias("g")).distinct()
-    eval_grams = grams.filter(F.col("doc_id") % 10 == 0).select("g").distinct()
-    train = grams.filter(F.col("doc_id") % 10 != 0)
-    hits = (
-        train.join(eval_grams, "g")
-        .groupBy(F.col("doc_id").alias("__id"))
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    totals = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    shared = F.coalesce("shared", F.lit(0))
-    return (
-        totals.join(hits, totals["doc_id"] == hits["__id"], "left")
-        .select(
-            "doc_id",
-            "n_grams",
-            shared.alias("shared_grams"),
-            (shared.cast("double") / F.col("n_grams")).alias("contamination_frac"),
-            (shared * n >= F.col("n_grams")).alias("is_contaminated"),
-        )
+    wg = Window.partitionBy("g")
+    flagged = grams.withColumn(
+        "in_eval", F.max(F.when(F.col("doc_id") % 10 == 0, 1).otherwise(0)).over(wg)
+    ).filter(F.col("doc_id") % 10 != 0)
+    shared = F.sum("in_eval").cast("bigint")
+    n_grams = F.count(F.lit(1))
+    return flagged.groupBy("doc_id").agg(
+        n_grams.alias("n_grams"),
+        shared.alias("shared_grams"),
+        (shared.cast("double") / n_grams).alias("contamination_frac"),
+        (shared * n >= n_grams).alias("is_contaminated"),
     )
 
 

@@ -856,17 +856,19 @@ def priority_status_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    grams = d.select("doc_id", F.explode(text.word_ngrams("text", 5)).alias("g")).distinct().localCheckpoint()
-    firstg = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    # single pass, no self-join: the old groupBy(g)+join-back form
+    # consumed the exploded-distinct gram set twice (Spark re-executes
+    # it per branch; a localCheckpoint papered over that), and the join
+    # re-shuffled both sides. A min-over-gram window needs one shuffle
+    # on g and nothing else between distinct and the final per-doc agg.
+    grams = d.select("doc_id", F.explode(text.word_ngrams("text", 5)).alias("g")).distinct()
+    wg = Window.partitionBy("g")
+    flagged = grams.withColumn("first_doc", F.min("doc_id").over(wg))
     novel = F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
-    return (
-        grams.join(firstg, "g")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            novel.cast("bigint").alias("novel_grams"),
-            (novel.cast("double") / F.count(F.lit(1))).alias("novelty"),
-        )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        novel.cast("bigint").alias("novel_grams"),
+        (novel.cast("double") / F.count(F.lit(1))).alias("novelty"),
     )
 
 
