@@ -332,3 +332,153 @@ def doc_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n_boiler.cast("double") / F.count(F.lit(1))).alias("boiler_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit
+# ---------------------------------------------------------------------------
+
+#: log10(1 + 1/d) as exact double literals — Benford's law expected
+#: proportions, precomputed so NO transcendental runs in either engine
+#: (libm log implementations differ in the last ulp across engines)
+_BENFORD = {
+    1: 0.3010299956639812,
+    2: 0.17609125905568124,
+    3: 0.12493873660829993,
+    4: 0.09691001300805642,
+    5: 0.07918124604762482,
+    6: 0.06694678963061322,
+    7: 0.05799194697768673,
+    8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+#: VARCHAR-bridged literals: DuckDB parses a bare 17-digit literal as
+#: DECIMAL(17,17) and its decimal→double conversion is off by one ulp
+#: (scaled-int / 1e17 in double arithmetic); string→double parsing is
+#: correctly rounded in both engines (SCALE.md round-5 rule)
+_BENFORD_SQL = "CASE first_digit " + " ".join(
+    f"WHEN {d} THEN CAST('{p!r}' AS DOUBLE)" for d, p in _BENFORD.items()
+) + " END"
+
+
+@register(
+    "order_amount_benford_audit",
+    oracle=f"""
+    WITH d AS (
+      SELECT substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                         AS VARCHAR), 1, 1) AS fd
+      FROM orders WHERE o_totalprice > 0
+    ), c AS (
+      SELECT CAST(fd AS INTEGER) AS first_digit, COUNT(*) AS n
+      FROM d GROUP BY fd
+    ), t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+    SELECT c.first_digit, c.n,
+           CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE) AS observed_frac,
+           {_BENFORD_SQL} AS expected_frac,
+           CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE)
+             - {_BENFORD_SQL} AS deviation
+    FROM c CROSS JOIN t
+    """,
+    doc="Benford first-digit audit over order totals — the classic "
+    "fabricated-data / ingestion-corruption screen (a feed that "
+    "duplicates, truncates, or fills defaults skews the leading-digit "
+    "distribution long before totals look wrong). First digit extracted "
+    "from the exact integer cents (no float formatting), expected "
+    "proportions are PRECOMPUTED log10 literals so no transcendental "
+    "runs in either engine, observed fractions are exact-count "
+    "divisions. Plan: one scan, one 9-group aggregate, one broadcast "
+    "of the 1-row total.",
+)
+def order_amount_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    cents = (dec("o_totalprice") * 100).cast("bigint")
+    c = (
+        o.select(F.substring(cents.cast("string"), 1, 1).cast("int").alias("first_digit"))
+        .groupBy("first_digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # zero-key broadcast stamp for the 1-row total, not a cross join —
+    # a crossJoin plans as BroadcastNestedLoopJoin, which the
+    # plan-quality gate (rightly) forbids outside the quadratic allowlist
+    from batch_data_pipeline_exercise_spark.plans.contract3 import _stamp_global
+
+    t = c.agg(F.sum("n").cast("bigint").alias("total"))
+    expected = F.element_at(
+        F.create_map(*[F.lit(x) for d, p in _BENFORD.items() for x in (d, p)]),
+        F.col("first_digit"),
+    )
+    return _stamp_global(c, "first_digit", t, "total").select(
+        "first_digit",
+        "n",
+        (F.col("n").cast("double") / F.col("total")).alias("observed_frac"),
+        expected.alias("expected_frac"),
+        (F.col("n").cast("double") / F.col("total") - expected).alias("deviation"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Share-of-parent hierarchy rollup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "nation_share_of_region_revenue",
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_name AS nation, r.r_name AS region,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2))))
+               AS nation_rev
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+      GROUP BY n.n_name, r.r_name
+    ), reg AS (
+      SELECT region, SUM(nation_rev) AS region_rev FROM rev GROUP BY region
+    )
+    SELECT rev.region, rev.nation,
+           CAST(rev.nation_rev AS DOUBLE) AS nation_revenue,
+           CAST(reg.region_rev AS DOUBLE) AS region_revenue,
+           CAST(rev.nation_rev AS DOUBLE) / CAST(reg.region_rev AS DOUBLE)
+             AS share_of_region
+    FROM rev JOIN reg ON reg.region = rev.region
+    """,
+    doc="Share-of-parent at two hierarchy levels: nation revenue as a "
+    "fraction of its region's — the percent-of-parent drill every BI "
+    "hierarchy needs (revenue_rollup gives the level TOTALS; this gives "
+    "each child's share). Exact decimal sums at both levels, region "
+    "totals re-aggregated FROM the nation decimals (never a second "
+    "double sum), one double division per row. Plan: fact-dim broadcast "
+    "joins, nation-grain aggregate, tiny region re-aggregate joined "
+    "back broadcast.",
+)
+def nation_share_of_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(n.n_name.alias("nation"), r.r_name.alias("region"))
+        .agg(
+            F.sum(
+                dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(4,2)") - dec("l_discount", 4, 2))
+            ).alias("nation_rev")
+        )
+    )
+    reg = rev.groupBy("region").agg(F.sum("nation_rev").alias("region_rev"))
+    return rev.join(F.broadcast(reg), "region").select(
+        "region",
+        "nation",
+        F.col("nation_rev").cast("double").alias("nation_revenue"),
+        F.col("region_rev").cast("double").alias("region_revenue"),
+        # one double division over the SAME doubles both engines display
+        # — never a re-rounded decimal on one side only
+        (F.col("nation_rev").cast("double") / F.col("region_rev").cast("double")).alias(
+            "share_of_region"
+        ),
+    )
