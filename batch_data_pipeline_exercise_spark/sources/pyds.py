@@ -45,10 +45,12 @@ from glob import glob
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     In,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -175,6 +177,9 @@ class OrderFeedDataSource(DataSource):
     def simpleStreamReader(self, schema: StructType) -> OrderFeedStreamReader:  # noqa: N802
         return OrderFeedStreamReader(self.options)
 
+    def writer(self, schema: StructType, overwrite: bool) -> "OrderFeedWriter":
+        return OrderFeedWriter(self.options, overwrite)
+
 
 def register(spark) -> None:
     """Idempotent registration: ``spark.read.format('order_feed')``.
@@ -186,3 +191,74 @@ def register(spark) -> None:
     """
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(OrderFeedDataSource)
+
+
+class _FeedCommit(WriterCommitMessage):
+    def __init__(self, files: list[str]):
+        self.files = files
+
+
+class OrderFeedWriter(DataSourceWriter):
+    """Two-phase-commit JSONL writer.
+
+    Tasks write to a hidden staging dir with attempt-unique names
+    (partition id + task attempt id, so a speculative or retried task
+    can never clobber another attempt's file) and report their files in
+    the commit message. Only the driver-side ``commit`` publishes —
+    atomically renaming exactly the reported files into the target and
+    deleting everything else in staging (orphans from failed/speculative
+    attempts). ``abort`` removes staging wholesale. Readers therefore
+    never observe a partial write: the feed contract's dated-filename
+    ordering is preserved because published names embed the partition
+    index, not the attempt.
+    """
+
+    def __init__(self, options: dict, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("order_feed requires a path to write to")
+        self.overwrite = overwrite
+        self.staging = os.path.join(self.path, "_staging")
+
+    def write(self, iterator) -> _FeedCommit:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid, attempt = ctx.partitionId(), ctx.taskAttemptId()
+        os.makedirs(self.staging, exist_ok=True)
+        fname = f"part-{pid:05d}-{attempt}.jsonl"
+        tmp = os.path.join(self.staging, fname)
+        n = 0
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(json.dumps({c: row[i] for i, c in enumerate(_COLS)}) + "\n")
+                n += 1
+        if n == 0:
+            os.remove(tmp)
+            return _FeedCommit([])
+        return _FeedCommit([fname])
+
+    def commit(self, messages) -> None:
+        published = sorted(f for m in messages if m is not None for f in m.files)
+        if self.overwrite:
+            for old in _feed_files(self.path):
+                os.remove(old)
+        # published names are commit-sequence ordered AFTER any existing
+        # drop, so an appended batch sorts lexicographically after
+        # earlier ones — exactly the monotone-name contract the stream
+        # reader's integer offset relies on. Spark calls commit() once,
+        # driver-side, so the numbering has a single writer.
+        base = len(_feed_files(self.path))
+        for i, fname in enumerate(published):
+            target = f"orders_{base + i:05d}.jsonl"
+            os.replace(os.path.join(self.staging, fname), os.path.join(self.path, target))
+        self._clean_staging()
+
+    def abort(self, messages) -> None:
+        self._clean_staging()
+
+    def _clean_staging(self) -> None:
+        if os.path.isdir(self.staging):
+            for f in os.listdir(self.staging):
+                os.remove(os.path.join(self.staging, f))
+            os.rmdir(self.staging)

@@ -143,3 +143,63 @@ def recent_events_stream_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+# ---------------------------------------------------------------------------
+# MapState exemplar: per-key per-status running counts
+# ---------------------------------------------------------------------------
+
+STATUS_KEY_SCHEMA = StructType([T.StructField("status", T.StringType())])
+STATUS_VAL_SCHEMA = StructType([T.StructField("n", T.LongType())])
+
+STATUS_OUTPUT_SCHEMA = StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+class StatusCountsProcessor(StatefulProcessor):
+    """Per-order per-status event counts in a **MapState** — the third
+    typed handle (value/list/map), completing the surface. A MapState
+    updates ONE sub-key per write instead of rewriting the whole
+    per-key blob: with S statuses and one hot status per batch, the
+    per-batch state write is O(1) sub-keys, not O(S) — the difference
+    that matters when the map is large (think per-user per-item counts)
+    and the store is RocksDB. NULL statuses are counted under the
+    sentinel '__null' (a None map key would not round-trip the state
+    protocol's typed tuple)."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._counts = handle.getMapState("status_counts", STATUS_KEY_SCHEMA, STATUS_VAL_SCHEMA)
+
+    def handleInputRows(self, key, rows: Iterator[pd.DataFrame], timer_values) -> Iterator[pd.DataFrame]:
+        (order_id,) = key
+        batch: dict[str, int] = {}
+        for pdf in rows:
+            for s in pdf["status"]:
+                s = "__null" if s is None or (isinstance(s, float) and pd.isna(s)) else s
+                batch[s] = batch.get(s, 0) + 1
+        for s, add in batch.items():
+            prev = self._counts.getValue((s,))[0] if self._counts.containsKey((s,)) else 0
+            self._counts.updateValue((s,), (prev + add,))
+        out = sorted((k[0], v[0]) for k, v in self._counts.iterator())
+        yield pd.DataFrame(
+            [(order_id, s, n) for s, n in out], columns=["id", "status", "n"]
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def status_counts_stream_tws(events: DataFrame) -> DataFrame:
+    """Attach the per-status count map to an order-event stream
+    (columns: id, status, event_time)."""
+    return events.groupBy("id").transformWithStateInPandas(
+        statefulProcessor=StatusCountsProcessor(),
+        outputStructType=STATUS_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

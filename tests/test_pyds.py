@@ -111,3 +111,55 @@ def test_stream_reader_replay_is_exact(feed_dir):
     assert list(sr.readBetweenOffsets({"n": 1}, {"n": 3})) == all_rows[2:]
     it2, end2 = sr.read({"n": 3})
     assert list(it2) == [] and end2 == {"n": 3}
+
+
+def test_writer_roundtrip_and_overwrite(spark, tmp_path):
+    pyds.register(spark)
+    out = str(tmp_path / "outfeed")
+    import os
+
+    os.makedirs(out)
+    df = spark.createDataFrame(
+        [("w1", "p1", 1, 2.0, "created", "2021-03-01 08:00:00"),
+         ("w2", "p2", 2, 4.0, "deleted", "2021-03-01 09:00:00")],
+        pyds.FEED_SCHEMA,
+    )
+    df.repartition(2).write.format("order_feed").mode("append").save(out)
+    back = spark.read.format("order_feed").load(out)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    assert not os.path.isdir(os.path.join(out, "_staging"))  # staging cleaned
+
+    # append: new files sort after the old (the stream reader's contract)
+    df2 = spark.createDataFrame([("w3", "p3", 3, 6.0, "created", "2021-03-02 08:00:00")], pyds.FEED_SCHEMA)
+    df2.coalesce(1).write.format("order_feed").mode("append").save(out)
+    files = sorted(os.listdir(out))
+    assert len([f for f in files if f.endswith(".jsonl")]) >= 2
+    assert spark.read.format("order_feed").load(out).count() == 3
+
+    # overwrite replaces the whole feed atomically at commit
+    df2.coalesce(1).write.format("order_feed").mode("overwrite").save(out)
+    rows = spark.read.format("order_feed").load(out).collect()
+    assert [r["id"] for r in rows] == ["w3"]
+
+
+def test_writer_abort_leaves_feed_untouched(spark, tmp_path):
+    """A failing task aborts the job; the target feed must be unchanged
+    and staging cleaned — the two-phase-commit guarantee."""
+    pyds.register(spark)
+    import os
+
+    out = str(tmp_path / "abortfeed")
+    os.makedirs(out)
+    ok = spark.createDataFrame([("a1", "p1", 1, 2.0, "created", "t")], pyds.FEED_SCHEMA)
+    ok.coalesce(1).write.format("order_feed").mode("append").save(out)
+
+    bad = spark.createDataFrame([("a2", "p1", 1, 2.0, "created", "t")], pyds.FEED_SCHEMA)
+    from pyspark.sql import functions as FF
+
+    crash = FF.udf(lambda s: (_ for _ in ()).throw(RuntimeError("boom")), "string")
+    with pytest.raises(Exception):
+        bad.withColumn("id", crash("id")).coalesce(1).write.format("order_feed").mode(
+            "append"
+        ).save(out)
+    assert [r["id"] for r in spark.read.format("order_feed").load(out).collect()] == ["a1"]
+    assert not os.path.isdir(os.path.join(out, "_staging"))

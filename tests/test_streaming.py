@@ -327,3 +327,44 @@ def test_tws_liststate_recent_events_matches_batch(spark, stream_dirs):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_tws_mapstate_status_counts_matches_batch(spark, stream_dirs):
+    """MapState twin: per-(order, status) counts from the stream equal the
+    batch groupBy on the same drop (after the stream's (id, event_time)
+    duplicate suppression)."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from batch_data_pipeline_exercise_spark.streaming import tws
+
+    raw, _, _ = stream_dirs
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", tws.ROCKSDB_PROVIDER)
+    try:
+        ev = ingest.stream_order_events(spark, raw).select("id", "status", "event_time")
+        q = (
+            tws.status_counts_stream_tws(ev)
+            .writeStream.format("memory")
+            .queryName("status_tws")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {tuple(r) for r in spark.sql("SELECT * FROM status_tws").collect()}
+        expected = {
+            tuple(r)
+            for r in spark.read.format("csv")
+            .option("header", True)
+            .load(raw)
+            .select("id", "status", F.to_timestamp("timestamp").alias("event_time"))
+            .dropDuplicates(["id", "event_time"])
+            .groupBy("id", "status")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .collect()
+        }
+        assert got == expected and len(got) >= 5
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
