@@ -12,8 +12,9 @@ stored one, touching only the sketch table.
 
 Determinism note: HLL/KLL sketches are hash-based and order-
 independent, so a given input SET produces the same sketch bytes and
-the same estimate on every run and partitioning — and below the
-sketch's sparse-mode threshold (~2^lgK coupons) the HLL estimate is
+the same estimate on every run and partitioning — and in the sketch's
+exact coupon regime (DataSketches promotes to estimation mode at a
+small fraction of 2^lgK items, NOT at 2^lgK) the HLL estimate is
 EXACT, which is what lets ``user_reach_by_type`` carry a plain
 COUNT(DISTINCT) oracle at test scales (cardinality 1.5k vs lgK=17
 threshold 131k; beyond it the estimate degrades gracefully to ±~1%
