@@ -860,10 +860,13 @@ def rolling_7day_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     "each trailing-7-day window UNIONS the 7 daily sketches — the "
     "dashboard shape where daily sketches are built once and every "
     "window length (7d, 28d, 90d) derives from the same stored rows "
-    "by union, never re-touching events. In the sparse-exact regime "
-    "(users << 2^17) the estimate is exact, so the explode-based "
-    "exact-distinct oracle pins the whole day-sketch → window-union "
-    "path; rolling_7day_distinct_users is the raw-data twin this "
+    "by union, never re-touching events. In the sketch's exact coupon "
+    "regime (holds at driver scale; DataSketches promotes to "
+    "estimation mode well below 2^lgK — at sf1's 15k users/window the "
+    "estimate is within 0.4%, the documented HLL error) the estimate "
+    "is exact, so the explode-based exact-distinct oracle pins the "
+    "whole day-sketch → window-union path there; "
+    "rolling_7day_distinct_users is the raw-data twin this "
     "replaces at 100 TB (its explode re-reads EVENTS x 7; this unions "
     "7 sketch rows per window).",
 )

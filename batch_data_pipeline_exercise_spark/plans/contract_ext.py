@@ -1475,7 +1475,12 @@ def doc_unigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the MinHash-LSH path approximates — intentionally quadratic in "
     "per-shingle co-occurrence, the verification / small-corpus tool; "
     "minhash_near_dups is the scale path. The jaccard double is one "
-    "division of identical integer counts, bit-equal cross-engine.",
+    "division of identical integer counts, bit-equal cross-engine. "
+    "allow_quadratic documents the work profile (the plan itself is "
+    "equi-joins): at the sf1 sweep this baseline OOMed on its candidate "
+    "groupBy while the LSH path matched its oracle in seconds — exactly "
+    "the divergence the pair exists to demonstrate.",
+    allow_quadratic=True,
 )
 def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")

@@ -10,9 +10,15 @@ too). Two tables get DECORRELATED, not copied:
   docs, so the duplicate-pair density stays ~linear in corpus size
   (verbatim replication would grow every dup group 10x and the LSH
   pair count quadratically — a different workload, not a bigger one);
-- embeddings: per-position deterministic perturbation, so ANN
-  neighborhoods grow in population rather than collapsing into
-  10-deep exact-duplicate stacks.
+- embeddings: replica vectors are deterministic 8-way MIXTURES of the
+  base vector and 7 stride-chosen partners. A small additive
+  perturbation does NOT decorrelate (it preserves every base-pair
+  cosine, so >=threshold pair density multiplies ~factor^2 and
+  transitive-closure workloads degenerate — measured: the round-6 sf1
+  sweep's embedding-cluster queries wedged for 25+ min under the
+  additive scheme); an 8-mixture pulls parent cosines to ~1/sqrt(8)
+  ~= 0.35, below the 0.4 near-dup threshold, so neighborhoods grow in
+  population organically.
 
 Usage:  python tests/gen_sf_scale.py [out_dir] [factor]
 Defaults: /tmp/sf1, 10. Re-run is a full overwrite.
@@ -130,22 +136,50 @@ def main() -> None:
     )
     write(dd, "documents", 8)
 
-    # embeddings: deterministic per-position perturbation; replica 0 exact
-    e = replicate(load(spark, SRC, "embeddings"), factor)
-    ee = e.select(
-        offset("vec_id", rng["embeddings"]),
-        F.when(F.col("rep") == 0, F.col("embedding"))
-        .otherwise(
-            F.transform(
-                "embedding",
-                lambda x, i: (x + F.sin((i + 1) * (F.col("rep") * 7 + 3)) * F.lit(0.05)).cast("float"),
-            )
-        )
-        .alias("embedding"),
-        "label",
-        "rep",
+    # embeddings: replica r of vector i = mean of i and 7 deterministic
+    # stride partners (see module docstring); replica 0 exact. The
+    # mixing is a tiny driver-side numpy pass (base corpus is small);
+    # at real scale this generator would be a Spark job too, but a
+    # testdata scaler optimizes for auditability.
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = (
+        load(spark, SRC, "embeddings")
+        .orderBy("vec_id")
+        .select("vec_id", "embedding", "label")
+        .collect()
     )
-    write(ee, "embeddings", 4)
+    ids = np.array([r["vec_id"] for r in base])
+    vecs = np.array([r["embedding"] for r in base], dtype=np.float32)
+    labels = np.array([r["label"] for r in base])
+    n = len(base)
+    out_ids, out_vecs, out_labels = [list(ids)], [vecs], [list(labels)]
+    for rep in range(1, factor):
+        mixed = vecs.copy()
+        for t in range(1, 8):
+            partners = (np.arange(n) + rep * 131 + t * 173) % n
+            mixed = mixed + vecs[partners]
+        out_ids.append(list(ids + rep * rng["embeddings"]))
+        out_vecs.append((mixed / 8.0).astype(np.float32))
+        out_labels.append(list(labels))
+    all_vecs = np.concatenate(out_vecs)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([i for chunk in out_ids for i in chunk], pa.int64()),
+            "embedding": pa.array([list(v) for v in all_vecs], pa.list_(pa.float32())),
+            "label": pa.array([l for chunk in out_labels for l in chunk], pa.int32()),
+        }
+    )
+    ep = Path(out) / "embeddings.parquet"
+    if ep.exists():
+        import shutil
+
+        shutil.rmtree(ep)
+    ep.mkdir(parents=True)
+    pq.write_table(tbl, str(ep / "part-00000.parquet"))
+    print("embeddings done (mixture)")
 
     spark.stop()
     print("wrote", out, "factor", factor)

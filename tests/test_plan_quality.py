@@ -74,4 +74,11 @@ def test_quadratic_allowlist_is_small():
         "ann_cosine_topk_ivf",       # bounded n×n_cells broadcast expansion (linear)
         "ann_cosine_topk_ivf_kmeans",  # same bounded expansion, trained centroids
         "ivf_cell_occupancy",        # the same bounded n×n_cells assignment, reported
+        # exact all-pairs Jaccard baseline: the plan is shingle-key
+        # equi-joins (no BNLJ, passes the plan gate regardless), but the
+        # WORK is quadratic in per-shingle co-occurrence — the sf1 sweep
+        # proved it (AGGREGATE_OUT_OF_MEMORY on the candidate groupBy
+        # while the MinHash-LSH scale path sailed through); flagging it
+        # makes the small-corpus-tool status machine-readable
+        "doc_ngram_jaccard_pairs",
     }
