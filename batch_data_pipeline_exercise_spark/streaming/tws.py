@@ -203,3 +203,110 @@ def status_counts_stream_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-time timers: silence (timeout) detection
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_MS = 30 * 60 * 1000
+
+SESSION_STATE_SCHEMA = StructType(
+    [
+        T.StructField("start_ts", T.TimestampType()),
+        T.StructField("last_ts", T.TimestampType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+SESSION_OUTPUT_SCHEMA = StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("start_ts", T.TimestampType()),
+        T.StructField("end_ts", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+class OrderSilenceProcessor(StatefulProcessor):
+    """**Event-time timer** exemplar: emit one row per key when the key
+    goes SILENT — no event for ``SESSION_GAP_MS`` as judged by the
+    WATERMARK, not the wall clock. This is the timeout/abandonment
+    pattern (order stuck in 'created', cart abandonment, heartbeat
+    loss) that no windowing aggregation expresses: the trigger is the
+    *absence* of data, so only a timer can fire it.
+
+    Mechanics: every batch folds the key's events into one
+    (start, last, n) value state and re-arms a single timer at
+    last + gap (older timers deleted — one timer per key, so timer
+    state is O(keys)). When the watermark passes the deadline the timer
+    fires, the summary row is emitted, and state + timer are cleared —
+    a key that revives later starts a fresh cycle. Emission happens
+    ONLY from ``handleExpiredTimer``: in this Spark build's EventTime
+    mode, rows emitted from the data phase (and flush rows whose event
+    times precede the firing key's newest state) are dropped by the
+    exec's output handling, so the operator's contract is exactly the
+    reliable subset — one silence row per key per quiet period.
+    State size tracks keys currently inside a quiet-period watch.
+    """
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._sess = handle.getValueState("watched", SESSION_STATE_SCHEMA)
+
+    @staticmethod
+    def _deadline_ms(last) -> int:
+        return int(last.timestamp() * 1000) + SESSION_GAP_MS
+
+    def handleInputRows(self, key, rows: Iterator[pd.DataFrame], timer_values) -> Iterator[pd.DataFrame]:
+        ts = []
+        for pdf in rows:
+            ts.extend(pdf["event_time"][pdf["event_time"].notna()])
+        if not ts:
+            return
+        lo, hi, add = min(ts), max(ts), len(ts)
+        if self._sess.exists():
+            start, last, n = self._sess.get()
+            start, last, n = min(start, lo), max(last, hi), n + add
+        else:
+            start, last, n = lo, hi, add
+        self._sess.update((start, last, n))
+        # single live timer per key at the newest deadline
+        target = self._deadline_ms(last)
+        for old in list(self._handle.listTimers()):
+            if old != target:
+                self._handle.deleteTimer(old)
+        self._handle.registerTimer(target)
+        return
+        yield  # pragma: no cover — generator form required by the API
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo) -> Iterator[pd.DataFrame]:  # noqa: N803
+        (order_id,) = key
+        if not self._sess.exists():
+            return
+        start, last, n = self._sess.get()
+        if self._deadline_ms(last) > timerValues.getCurrentWatermarkInMs():
+            return  # stale timer: the key spoke again after this was armed
+        self._sess.clear()
+        yield pd.DataFrame(
+            [(order_id, pd.Timestamp(start), pd.Timestamp(last), int(n))],
+            columns=["id", "start_ts", "end_ts", "n_events"],
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def silent_orders_stream_tws(events: DataFrame) -> DataFrame:
+    """Watermark-judged key-silence rows for an order-event stream
+    (columns: id, status, event_time). ``events`` must carry a
+    watermark on ``event_time`` — the timer clock IS the watermark.
+    RocksDB provider required, as for every transformWithState
+    operator."""
+    return events.groupBy("id").transformWithStateInPandas(
+        statefulProcessor=OrderSilenceProcessor(),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        outputMode="Append",
+        timeMode="EventTime",
+    )

@@ -368,3 +368,60 @@ def test_tws_mapstate_status_counts_matches_batch(spark, stream_dirs):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_tws_eventtime_timer_silence_detection(spark, stream_dirs, tmp_path):
+    """Event-time timer exemplar: one silence row per key once the
+    WATERMARK passes last_event + 30 min — the timeout/abandonment
+    trigger only timers can express (it fires on the absence of data).
+    Drains twice with one checkpoint: timers are fired by watermark
+    advance, so a second availableNow run flushes any timer the first
+    run's final no-data batch left pending — the same idempotent-replay
+    discipline as every other streaming test here."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from batch_data_pipeline_exercise_spark import schemas
+    from batch_data_pipeline_exercise_spark.streaming import tws
+
+    raw, _, _ = stream_dirs
+    out, ckpt = str(tmp_path / "silence"), str(tmp_path / "silence_ckpt")
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", tws.ROCKSDB_PROVIDER)
+    try:
+        def drain():
+            ev = (
+                spark.readStream.schema(schemas.ORDER_EVENTS_FEED)
+                .option("header", True)
+                .csv(raw)
+                .select("id", "status", F.to_timestamp("timestamp").alias("event_time"))
+                .withWatermark("event_time", "0 seconds")
+            )
+            q = (
+                tws.silent_orders_stream_tws(ev)
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+
+        drain()
+        drain()
+        rows = {r["id"]: r for r in spark.read.parquet(out).collect()}
+        # watermark ends at o4's last event: every other key has been
+        # silent > 30 min and MUST have fired exactly once; o4 is still
+        # inside its quiet-period watch (deadline 07:55 > wm 07:25)
+        assert "o4" not in rows
+        assert set(rows) == {"o1", "o2", "o3", "o5"}
+        o1 = rows["o1"]
+        assert str(o1["start_ts"]).startswith("2021-03-01 08:00") and o1["n_events"] == 2
+        assert rows["o2"]["n_events"] == 2  # raw feed: duplicate delivery counted
+        assert str(rows["o5"]["end_ts"]).startswith("2019-12-31")  # years-late key still times out by event time
+        # one row per key per quiet period — no duplicates across drains
+        assert spark.read.parquet(out).count() == 4
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
