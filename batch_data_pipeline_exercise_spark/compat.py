@@ -14,9 +14,15 @@ stable across those versions).
 
 Driver side: call ``ensure_protobuf()`` before building the session.
 Worker side: Python workers are separate interpreters, so the fallback
-must load at interpreter startup — put ``PBSHIM_DIR`` (which holds a
-self-contained ``sitecustomize.py``) on ``PYTHONPATH`` before the JVM
-launches and every spawned worker applies it automatically.
+must load at interpreter startup — ``worker_env_conf()`` returns a
+``spark.executorEnv.PYTHONPATH`` entry pointing at ``PBSHIM_DIR``
+(which holds a self-contained ``sitecustomize.py``); Spark ships
+``spark.executorEnv.*`` to every Python worker it launches (pyspark
+``core/context.py`` folds them into ``sc.environment``, which becomes
+the worker env), so the shim applies in workers WITHOUT mutating this
+process's environment — an ``os.environ['PYTHONPATH']`` mutation would
+leak the sitecustomize (and its lenient version-check patch) into every
+subsequently spawned Python process, Spark or not.
 """
 
 from __future__ import annotations
@@ -30,8 +36,14 @@ from pathlib import Path
 KNOWN_PROTOBUF_DIRS = ("/usr/lib/google-cloud-sdk/platform/google_appengine",)
 
 #: directory whose sitecustomize.py applies this fallback in worker
-#: interpreters when present on PYTHONPATH
-PBSHIM_DIR = str(Path(__file__).resolve().parent.parent / "tests" / "pbshim")
+#: interpreters when present on PYTHONPATH — shipped INSIDE the package
+#: so an installed distribution works without the tests tree
+PBSHIM_DIR = str(Path(__file__).resolve().parent / "_pbshim")
+
+#: set by ensure_protobuf(): True only when the vendored fallback (not
+#: an installed runtime) is what made google.protobuf importable —
+#: workers need the shim exactly in that case
+_fallback_active = False
 
 
 def _patch_lenient_version_check() -> None:
@@ -84,6 +96,7 @@ def ensure_protobuf() -> bool:
     vendored copy wins over jar resource dirs but never over a real
     installed copy.
     """
+    global _fallback_active
     if _real_protobuf_importable():
         return True
     for d in KNOWN_PROTOBUF_DIRS:
@@ -97,21 +110,22 @@ def ensure_protobuf() -> bool:
             sys.path.remove(d)
             continue
         _patch_lenient_version_check()
+        _fallback_active = True
         return True
     return False
 
 
-def propagate_protobuf_to_workers() -> None:
-    """Expose the fallback to Spark Python workers.
+def worker_env_conf() -> dict[str, str]:
+    """Spark conf exposing the fallback to Python workers — scoped.
 
-    Must run BEFORE the JVM starts (workers inherit the driver
-    process's environment in local mode). Prepends the pbshim dir —
-    whose sitecustomize.py re-applies ``ensure_protobuf()`` at worker
-    interpreter startup — to PYTHONPATH. No-op if already present.
+    Returns ``{"spark.executorEnv.PYTHONPATH": PBSHIM_DIR}`` when (and
+    only when) the driver needed the vendored fallback; empty otherwise
+    (a real installed runtime is visible to workers the normal way).
+    Spark merges this entry into each Python worker's PYTHONPATH
+    (PythonWorkerFactory merges envVars' PYTHONPATH with the process
+    one), where the shim's sitecustomize.py runs at interpreter startup.
+    Must be applied at session build time — ``spark.executorEnv.*`` is
+    read when the SparkContext is created.
     """
-    existing = os.environ.get("PYTHONPATH", "")
-    if PBSHIM_DIR in existing.split(os.pathsep):
-        return
-    os.environ["PYTHONPATH"] = (
-        PBSHIM_DIR + (os.pathsep + existing if existing else "")
-    )
+    ensure_protobuf()
+    return {"spark.executorEnv.PYTHONPATH": PBSHIM_DIR} if _fallback_active else {}

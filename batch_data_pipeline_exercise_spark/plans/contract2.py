@@ -246,7 +246,7 @@ def active_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user_sessions",
     oracle="""
     WITH flagged AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        > INTERVAL 30 MINUTE OR
                        LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -254,7 +254,7 @@ def active_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ), sessions AS (
       SELECT user_id,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       FROM flagged
     )
@@ -269,7 +269,12 @@ def active_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    wrun = Window.partitionBy("user_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # (ts, event_id) on the running sum too: MAX(session_id) is tie-order
+    # invariant, but a deterministic frame keeps the oracle comparison
+    # exact on any engine's tie-breaking.
+    wrun = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
     # µs-precision gap: timestampdiff(MICROSECOND), NOT cast('long') — the
     # cast truncates to whole seconds, which can disagree with the oracle's
     # exact INTERVAL comparison for gaps within 1s of the threshold.

@@ -110,7 +110,7 @@ def order_penny_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "peak_concurrent_sessions",
     oracle="""
     WITH e AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        IS NULL
                   OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -119,7 +119,7 @@ def order_penny_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events WHERE user_id IS NOT NULL
     ), s AS (
       SELECT user_id, ts,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS session_id
       FROM e
     ), sess AS (

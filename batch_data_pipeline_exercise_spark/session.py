@@ -15,6 +15,8 @@ import os
 
 from pyspark.sql import SparkSession
 
+from batch_data_pipeline_exercise_spark import compat
+
 # Number of local cores; overridable the same way bench.py is driven.
 _DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "*")
 
@@ -64,6 +66,11 @@ def get_spark(
         "spark.sql.files.minPartitionNum": str(shuffle_partitions or 32),
         "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
     }
+    # Images without an installed google.protobuf (a transformWithState
+    # dependency pyspark doesn't declare): make the vendored fallback
+    # importable on the driver and, scoped via spark.executorEnv (NOT a
+    # process-wide PYTHONPATH mutation), inside every Python worker.
+    conf.update(compat.worker_env_conf())
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

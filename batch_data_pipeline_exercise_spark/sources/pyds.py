@@ -98,15 +98,24 @@ class OrderFeedReader(DataSourceReader):
     def pushFilters(self, filters):  # noqa: N802 — API name
         for f in filters:
             if isinstance(f, EqualTo) and f.attribute == ("status",) and isinstance(f.value, str):
-                self.status_values = [f.value]
+                new = [f.value]
             elif (
                 isinstance(f, In)
                 and f.attribute == ("status",)
                 and all(isinstance(v, str) for v in f.value)
             ):
-                self.status_values = list(f.value)
+                new = list(f.value)
             else:
                 yield f  # unsupported — Spark evaluates it post-scan
+                continue
+            # AND semantics: a consumed filter is one Spark will NOT
+            # re-check, so multiple status constraints (status = 'a' AND
+            # status IN ('a','b')) must be INTERSECTED, not last-wins —
+            # otherwise rows failing the dropped constraint leak through.
+            if self.status_values is None:
+                self.status_values = new
+            else:
+                self.status_values = [v for v in self.status_values if v in new]
 
     def partitions(self) -> list[_FilePartition]:
         files = _feed_files(self.path)

@@ -20,7 +20,8 @@ Environment note: the transformWithState protocol speaks protobuf
 between the JVM and the Python state client. ``google.protobuf`` is not
 a pyspark install dependency; where no installed copy exists,
 ``batch_data_pipeline_exercise_spark/compat.py`` falls back to a
-vendored pure-Python runtime (and tests/pbshim/sitecustomize.py applies
+vendored pure-Python runtime (and ``_pbshim/sitecustomize.py``, shipped
+on ``spark.executorEnv.PYTHONPATH`` by ``session.get_spark``, applies
 the same fallback inside spawned Python workers), so the parity test
 runs rather than skips. On images with neither an installed nor a
 vendored runtime it still skips cleanly via importorskip.
@@ -43,6 +44,11 @@ from batch_data_pipeline_exercise_spark.streaming.stateful import (
 )
 
 ROCKSDB_PROVIDER = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+#: sentinel for NULL status values — shared by the ListState buffer and
+#: the MapState counter (a None can neither key a MapState row nor feed
+#: a (ts, status) tuple sort without TypeError)
+NULL_STATUS = "__null"
 
 
 class OrderStateProcessor(StatefulProcessor):
@@ -120,7 +126,11 @@ class RecentEventsProcessor(StatefulProcessor):
         buf = [(r[0], r[1]) for r in self._recent.get()] if self._recent.exists() else []
         for pdf in rows:
             pdf = pdf[pdf["event_time"].notna()]
-            buf.extend(zip(pdf["event_time"], pdf["status"]))
+            # NULL statuses must not reach the (ts, status) sort key or the
+            # ','.join — normalize to the same '__null' sentinel the
+            # MapState twin uses instead of raising TypeError mid-stream.
+            statuses = pdf["status"].fillna(NULL_STATUS)
+            buf.extend(zip(pdf["event_time"], statuses))
         buf.sort(key=lambda t: (t[0], t[1]))
         buf = buf[-RECENT_K:]
         self._recent.put(buf)
@@ -180,7 +190,7 @@ class StatusCountsProcessor(StatefulProcessor):
         batch: dict[str, int] = {}
         for pdf in rows:
             for s in pdf["status"]:
-                s = "__null" if s is None or (isinstance(s, float) and pd.isna(s)) else s
+                s = NULL_STATUS if s is None or (isinstance(s, float) and pd.isna(s)) else s
                 batch[s] = batch.get(s, 0) + 1
         for s, add in batch.items():
             prev = self._counts.getValue((s,))[0] if self._counts.containsKey((s,)) else 0
@@ -257,7 +267,16 @@ class OrderSilenceProcessor(StatefulProcessor):
 
     @staticmethod
     def _deadline_ms(last) -> int:
-        return int(last.timestamp() * 1000) + SESSION_GAP_MS
+        # `last` is a naive pd.Timestamp on the first batch but a naive
+        # datetime after a state round-trip; .timestamp() would treat the
+        # former as UTC and the latter as HOST-local time, shifting
+        # deadlines by the UTC offset on any non-UTC machine. Compute
+        # epoch ms via Timedelta arithmetic so naive wall time is always
+        # read as UTC, identically for both types.
+        epoch_ms = int(
+            (pd.Timestamp(last) - pd.Timestamp(0)) // pd.Timedelta(milliseconds=1)
+        )
+        return epoch_ms + SESSION_GAP_MS
 
     def handleInputRows(self, key, rows: Iterator[pd.DataFrame], timer_values) -> Iterator[pd.DataFrame]:
         ts = []

@@ -4,16 +4,12 @@ import tempfile
 
 import pytest
 
-from batch_data_pipeline_exercise_spark import compat
 from batch_data_pipeline_exercise_spark.session import get_spark
 
-# Make google.protobuf importable from a vendored copy when no installed
-# one exists (transformWithState's JVM↔Python state protocol needs it),
-# and expose the same fallback to Spark Python workers. Must run before
-# the first get_spark() call — workers inherit the driver's environment
-# only at JVM launch.
-if compat.ensure_protobuf():
-    compat.propagate_protobuf_to_workers()
+# google.protobuf fallback (transformWithState's JVM↔Python state
+# protocol needs it): get_spark() applies compat.worker_env_conf(),
+# which covers the driver AND scopes the worker-side shim to
+# spark.executorEnv.PYTHONPATH — no process-global mutation here.
 
 
 @pytest.fixture(scope="session")

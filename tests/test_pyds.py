@@ -72,6 +72,30 @@ def test_pushfilters_unit_contract():
     assert r2.status_values == ["created", "deleted"]
 
 
+def test_pushfilters_conjunction_intersects():
+    """Consumed filters are ones Spark will NOT re-check, so multiple
+    status constraints in a conjunction must be intersected — last-wins
+    would leak rows that fail the dropped constraint."""
+    r = pyds.OrderFeedReader({"path": "/nonexistent"})
+    eq = EqualTo(("status",), "created")
+    isin = In(("status",), ("created", "deleted"))
+    assert list(r.pushFilters([eq, isin])) == []
+    assert r.status_values == ["created"]
+    # contradictory conjunction → provably empty scan, not wrong rows
+    r2 = pyds.OrderFeedReader({"path": "/nonexistent"})
+    both = [EqualTo(("status",), "created"), EqualTo(("status",), "deleted")]
+    assert list(r2.pushFilters(both)) == []
+    assert r2.status_values == []
+
+
+def test_pushfilters_empty_intersection_reads_zero_rows(feed_dir):
+    r = pyds.OrderFeedReader({"path": feed_dir})
+    list(r.pushFilters([EqualTo(("status",), "created"), EqualTo(("status",), "deleted")]))
+    assert r.status_values == []
+    parts = r.partitions()
+    assert all(list(r.read(p)) == [] for p in parts)
+
+
 def test_streaming_incremental_offsets(spark, feed_dir, tmp_path):
     pyds.register(spark)
     ckpt = str(tmp_path / "ckpt")
