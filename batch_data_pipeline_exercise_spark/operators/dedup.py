@@ -230,13 +230,42 @@ def minhash_near_dups(
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str = "text", n: int = 3, threshold: float = 0.5
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
-    """Exact all-pairs n-gram Jaccard via shingle equi-join. Quadratic in
-    docs sharing a shingle — correct at any size but meant for
-    verification / small corpora; use minhash_near_dups at scale."""
+    """Exact n-gram Jaccard via shingle equi-join. With ``max_df=None``
+    candidates are ALL doc pairs sharing a shingle — quadratic in
+    per-shingle co-occurrence, the small-corpus verification tool.
+
+    ``max_df`` bounds that blowup the standard way: shingles appearing
+    in more than ``max_df`` docs are dropped from candidate GENERATION
+    only (a df-K frequent shingle contributes up to df² candidate rows
+    but almost no discrimination — every doc has it), capping the join
+    at ``max_df × |shingle rows|`` output rows. Verification is
+    untouched: ``exact_jaccard`` still intersects the FULL shingle
+    sets, so every reported jaccard value is exact. The one semantic
+    change is precisely stated: a pair is reported iff it shares at
+    least one shingle with df ≤ max_df — a pair whose overlap is
+    exclusively boilerplate (every shared shingle in > max_df docs)
+    is skipped, which for near-dup thresholds is the pair you did not
+    want anyway. This is what lets the exact baseline DEGRADE instead
+    of dying at scale (the sf1 sweep's uncapped run OOMed its
+    candidate aggregate; see SCALE.md)."""
     sh = word_shingles(df, id_col, text_col, n).localCheckpoint()
-    a, b = sh.alias("a"), sh.alias("b")
+    gen = sh
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("shingle")
+        )
+        gen = sh.join(rare, "shingle", "left_semi")
+    a, b = gen.alias("a"), gen.alias("b")
     pairs = (
         a.join(b, "shingle")
         .filter(F.col("a.id") < F.col("b.id"))

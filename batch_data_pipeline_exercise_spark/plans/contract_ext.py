@@ -1449,9 +1449,11 @@ def doc_unigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
     + ", "
     + _SHINGLES_CTE
     + """,
+    rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 64),
+    gen AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
     cand AS (
       SELECT a.doc_id AS id1, b.doc_id AS id2
-      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      FROM gen a JOIN gen b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     ),
     counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
@@ -1468,20 +1470,25 @@ def doc_unigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN counts c2 ON c2.doc_id = i.id2
     WHERE i.ni / (c1.n + c2.n - i.ni) >= 0.5
     """,
-    doc="Exact all-pairs word-trigram Jaccard (dedup.ngram_jaccard_pairs "
-    "at its defaults): candidate pairs are docs sharing at least one "
-    "shingle (an equi self-join on the shingle key — never a cartesian "
-    "product), verified by exact set Jaccard >= 0.5. The EXACT baseline "
-    "the MinHash-LSH path approximates — intentionally quadratic in "
-    "per-shingle co-occurrence, the verification / small-corpus tool; "
-    "minhash_near_dups is the scale path. The jaccard double is one "
-    "division of identical integer counts, bit-equal cross-engine. "
-    "allow_quadratic documents the work profile (the plan itself is "
-    "equi-joins): at the sf1 sweep this baseline OOMed on its candidate "
-    "groupBy while the LSH path matched its oracle in seconds — exactly "
-    "the divergence the pair exists to demonstrate.",
+    doc="Exact word-trigram Jaccard (dedup.ngram_jaccard_pairs with "
+    "max_df=64): candidate pairs are docs sharing at least one "
+    "DISCRIMINATIVE shingle — document frequency <= 64 — via an equi "
+    "self-join on the shingle key (never a cartesian product); "
+    "verification then intersects the FULL shingle sets, so every "
+    "reported jaccard >= 0.5 value is exact. The df cap bounds the "
+    "candidate join at 64x the shingle-table size: the round-6 sf1 "
+    "sweep's UNCAPPED run OOMed its candidate aggregate, and at every "
+    "tested SF (0.001/0.01/0.1 empirically; by construction wherever a "
+    "near-dup pair shares one sub-boilerplate shingle) the capped pair "
+    "set is byte-identical to the uncapped one. The jaccard double is "
+    "one division of identical integer counts, bit-equal cross-engine. "
+    "allow_quadratic documents the residual work profile: per-shingle "
+    "co-occurrence is still quadratic below the cap, the price of "
+    "exactness; minhash_near_dups is the sampling-free scale path.",
     allow_quadratic=True,
 )
 def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(d, "doc_id", n=3, threshold=0.5).select("id1", "id2", "jaccard")
+    return dedup.ngram_jaccard_pairs(d, "doc_id", n=3, threshold=0.5, max_df=64).select(
+        "id1", "id2", "jaccard"
+    )

@@ -48,6 +48,39 @@ def test_incremental_distinct_equals_exact(spark, sf_dir):
     assert total == e.select("user_id").distinct().count()
 
 
+def test_hll_estimation_regime_error_bound(spark):
+    """The reach queries' docstrings claim ~0.4% relative error for
+    lgK=17 once cardinality leaves the exact (coupon) regime — assert
+    the bound instead of trusting it. 150k distinct keys sit well past
+    the sparse→dense transition; the estimate must land within 1%.
+    Sliced into increments and merged, the same bound must hold (HLL
+    union is lossless over same-lgK sketches)."""
+    n = 150_000
+    df = spark.range(n).select(
+        F.lit("g").alias("g"), F.col("id").cast("string").alias("user_id")
+    )
+    s = sketches.build_distinct_sketches(df, ["g"], "user_id")
+    est = sketches.merge_distinct_counts(s, ["g"]).collect()[0]["n_distinct"]
+    assert abs(est / n - 1) < 0.01
+
+    # increment-sliced build → identical estimate (merge is exact)
+    parts = [df.filter(F.col("user_id").cast("long") % 3 == i) for i in range(3)]
+    t = None
+    for p in parts:
+        sp = sketches.build_distinct_sketches(p, ["g"], "user_id")
+        t = sp if t is None else t.unionByName(sp)
+    est2 = sketches.merge_distinct_counts(t, ["g"]).collect()[0]["n_distinct"]
+    assert est2 == est
+
+    # coupon-regime twin: far below the sparse threshold → EXACT
+    m = 1_500
+    small = spark.range(m).select(
+        F.lit("g").alias("g"), F.col("id").cast("string").alias("user_id")
+    )
+    s2 = sketches.build_distinct_sketches(small, ["g"], "user_id")
+    assert sketches.merge_distinct_counts(s2, ["g"]).collect()[0]["n_distinct"] == m
+
+
 def test_incremental_quantiles_bounded_error(spark, sf_dir):
     e = spark.read.parquet(f"{sf_dir}/events.parquet").filter(F.col("value").isNotNull())
     parts = [e.filter(F.col("event_id") % 4 == i) for i in range(4)]

@@ -51,6 +51,33 @@ def test_ngram_jaccard_exact(spark, docs):
     assert not any(5 in p or 6 in p for p in pairs)
 
 
+def test_ngram_jaccard_max_df_cap(spark, docs):
+    """The df cap prunes candidate GENERATION only: on a corpus whose
+    near-dup pairs all share at least one sub-cap shingle, capped and
+    uncapped outputs are identical — and reported jaccard values stay
+    exact (full-set intersection) either way."""
+    uncapped = sorted(
+        map(tuple, dedup.ngram_jaccard_pairs(docs, "doc_id", threshold=0.4).collect())
+    )
+    capped = sorted(
+        map(tuple, dedup.ngram_jaccard_pairs(docs, "doc_id", threshold=0.4, max_df=4).collect())
+    )
+    assert capped == uncapped and len(capped) >= 3
+
+    # adversarial: a pair whose ONLY overlap is boilerplate (shingles in
+    # every doc) is skipped under the cap — the documented semantics
+    boiler = [
+        (1, "alpha beta gamma delta unique one text here"),
+        (2, "alpha beta gamma delta unique two other words"),
+        (3, "alpha beta gamma delta unique three more stuff"),
+    ]
+    bdf = spark.createDataFrame(boiler, "doc_id int, text string")
+    # every pair shares only the df=3 shingles "alpha beta gamma" etc.
+    loose = dedup.ngram_jaccard_pairs(bdf, "doc_id", n=3, threshold=0.1)
+    tight = dedup.ngram_jaccard_pairs(bdf, "doc_id", n=3, threshold=0.1, max_df=2)
+    assert loose.count() == 3 and tight.count() == 0
+
+
 def test_simhash_near_dups(spark, docs):
     s = {r["id"]: (r["simhash_hi"], r["simhash_lo"]) for r in dedup.simhash(docs, "doc_id").collect()}
     assert s[1] == s[2] == s[3]  # identical token sets → identical simhash
