@@ -71,12 +71,15 @@ def location_of(q) -> str:
     return f"{rel}:{code.co_firstlineno}"
 
 
-def evidence_counts() -> dict[str, tuple[int, int]]:
-    """name → (green rounds, total checked rounds) from CORRECTNESS files."""
-    import importlib.util
+def evidence_counts() -> tuple[dict[str, tuple[int, int]], list[str]]:
+    """name → (green rounds, total checked rounds) from CORRECTNESS files,
+    plus the list of files actually read — embedded in the output so a
+    reader can tell exactly which rounds the evidence column reflects
+    (the staleness is self-describing instead of silent)."""
     import json
 
     counts: dict[str, tuple[int, int]] = {}
+    files: list[str] = []
     for p in sorted(REPO.glob("CORRECTNESS_r*.json")):
         try:
             rows = json.loads(p.read_text())
@@ -84,6 +87,7 @@ def evidence_counts() -> dict[str, tuple[int, int]]:
             continue
         if not isinstance(rows, dict):
             continue
+        files.append(p.name)
         for name, v in rows.items():
             if not isinstance(v, dict):
                 continue
@@ -92,11 +96,11 @@ def evidence_counts() -> dict[str, tuple[int, int]]:
             )
             g, t = counts.get(name, (0, 0))
             counts[name] = (g + (1 if green else 0), t + 1)
-    return counts
+    return counts, files
 
 
-def build_rows() -> list[dict[str, str]]:
-    ev = evidence_counts()
+def build_rows() -> tuple[list[dict[str, str]], list[str]]:
+    ev, files = evidence_counts()
     rows = []
     for name, q in sorted(contract.REGISTRY.items()):
         g, t = ev.get(name, (0, 0))
@@ -110,10 +114,10 @@ def build_rows() -> list[dict[str, str]]:
                 "evidence": f"{g}/{t}" if t else "never",
             }
         )
-    return rows
+    return rows, files
 
 
-def render(rows: list[dict[str, str]]) -> str:
+def render(rows: list[dict[str, str]], files: list[str]) -> str:
     n_oracle = sum(1 for r in rows if r["oracle"] == "sql")
     n_bench = sum(1 for r in rows if r["bench"])
     n_never = sum(1 for r in rows if r["evidence"] == "never")
@@ -131,6 +135,8 @@ def render(rows: list[dict[str, str]]) -> str:
         "",
         f"**{len(rows)} queries** ({n_oracle} oracle-paired, {len(rows) - n_oracle} "
         f"rows-only), {n_bench} benched, {n_never} never driver-checked.",
+        f"Evidence inputs read at generation time: "
+        f"{', '.join(files) if files else 'none'}.",
         f"Families: {fam_line}.",
         "",
         "| query | where | family | oracle | bench | driver evidence (green/checked) |",
@@ -145,9 +151,9 @@ def render(rows: list[dict[str, str]]) -> str:
 
 
 def main() -> None:
-    text = render(build_rows())
-    (REPO / "REGISTRY.md").write_text(text)
-    print(f"wrote REGISTRY.md ({len(contract.REGISTRY)} queries)")
+    rows, files = build_rows()
+    (REPO / "REGISTRY.md").write_text(render(rows, files))
+    print(f"wrote REGISTRY.md ({len(contract.REGISTRY)} queries; evidence: {files})")
 
 
 if __name__ == "__main__":

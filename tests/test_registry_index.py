@@ -29,7 +29,7 @@ def test_registry_index_is_in_sync():
     path = REPO / "REGISTRY.md"
     assert path.exists(), "run python tests/gen_registry_index.py and commit REGISTRY.md"
     on_disk = _table_rows(path.read_text())
-    fresh = _table_rows(render(build_rows()))
+    fresh = _table_rows(render(*build_rows()))
     assert on_disk == fresh, (
         "REGISTRY.md is stale — run python tests/gen_registry_index.py "
         f"(disk {len(on_disk)} rows, registry {len(fresh)} rows)"
