@@ -151,6 +151,21 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_bf.add_argument("--warehouse", required=True)
 
+    p_cor = sub.add_parser(
+        "corpus",
+        help="process one day's document increment through the corpus "
+        "pipeline (filter -> exact dedup -> incremental LSH near-dup -> "
+        "incremental embedding near-dup -> shard/pack), probing the "
+        "persisted indexes so day-N cost is O(increment) — idempotent "
+        "per ds like the warehouse feeds",
+    )
+    p_cor.add_argument("--docs", required=True, help="parquet of (doc_id, text) for the day")
+    p_cor.add_argument(
+        "--embeddings", default=None, help="optional parquet of (doc_id, embedding)"
+    )
+    p_cor.add_argument("--ds", required=True, help="increment date, YYYY-MM-DD")
+    p_cor.add_argument("--warehouse", required=True)
+
     p_aud = sub.add_parser(
         "audit",
         help="order-free table fingerprint: (n_rows, checksum) per group — "
@@ -441,6 +456,23 @@ def main(argv: list[str] | None = None) -> int:
                 }
             )
         )
+        return 0
+
+    if args.cmd == "corpus":
+        import os
+
+        from batch_data_pipeline_exercise_spark.plans.corpus_pipeline import CorpusPipeline
+
+        if not _valid_date(args.ds):
+            return _err(f"--ds must be 'YYYY-MM-DD', got {args.ds!r}")
+        if not os.path.exists(args.docs):
+            return _err(f"--docs path not found: {args.docs}")
+        if args.embeddings and not os.path.exists(args.embeddings):
+            return _err(f"--embeddings path not found: {args.embeddings}")
+        cp = CorpusPipeline(spark, args.warehouse)
+        emb = spark.read.parquet(args.embeddings) if args.embeddings else None
+        stats = cp.run(spark.read.parquet(args.docs), args.ds, embeddings=emb)
+        print(json.dumps({"ok": True, **stats}))
         return 0
 
     if args.cmd == "audit":

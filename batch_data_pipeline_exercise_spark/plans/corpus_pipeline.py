@@ -1,0 +1,267 @@
+"""Day-over-day training-corpus pipeline — the LLM-data analogue of
+``plans/pipeline.py``'s warehouse orchestration.
+
+The reference pipeline (``examples/process_orders.py``) is
+feed-increment driven: each day's drop is normalized, merged into
+persistent layers, and re-running a day is a no-op. This module applies
+exactly that discipline to corpus preparation: each call to
+``run(docs, ds)`` processes ONE day's document increment through
+
+    score/filter -> exact dedup -> text near-dup -> embedding near-dup
+    -> shard/pack -> persist,
+
+touching history ONLY through persisted, probe-joinable indexes:
+
+- ``corpus_fingerprints`` — normalized-content md5 per retained doc
+  (exact-dup anti-join key);
+- ``corpus_lsh_index`` — MinHash band keys per retained doc
+  (``dedup.incremental_minhash_pairs`` probes it; the increment is
+  shingled, history never is);
+- ``corpus_sign_index`` — sign-hyperplane sketch per retained doc's
+  embedding (``similarity.incremental_embedding_pairs`` probes it);
+- ``corpus_docs`` — the retained corpus, ds-partitioned, with shard +
+  packing-bin assignment for downstream tokenization.
+
+Day-N cost is O(increment + collisions): the only history rows read are
+index probes on high-entropy keys and the texts/vectors of COLLIDING
+docs (fetched by key for verification). The ``docs_shingled``
+observation metric in the returned stats is the auditable evidence —
+it counts rows entering the signature stage IN the job that runs it
+(Spark Observation API, no second scan), so a test can assert day 2
+shingled only day 2's docs.
+
+Idempotency mirrors ``Pipeline``: every write is ``append_once`` on the
+layer's natural key, and a ``_corpus_log`` mark short-circuits a replay
+of an already-processed ds before any compute.
+
+Near-dup retention policy (both text and embedding stages): verified
+pairs are clustered (``graph.connected_components``, same as the
+``corpus_prep_pipeline`` flagship); within a component, if any RETAINED
+(prior) doc is present every new doc in it drops, else the smallest new
+doc id is kept. History is immutable — a new doc can never evict a
+retained one, which is what makes increments composable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from batch_data_pipeline_exercise_spark.operators import dedup, graph, similarity, text
+from batch_data_pipeline_exercise_spark.operators.quality import observe_load_metrics
+from batch_data_pipeline_exercise_spark.operators.sampling import assign_packing_bins
+from batch_data_pipeline_exercise_spark.sources.warehouse import Warehouse
+
+
+class CorpusPipeline:
+    DOCS = "corpus_docs"
+    FINGERPRINTS = "corpus_fingerprints"
+    LSH_INDEX = "corpus_lsh_index"
+    SIGN_INDEX = "corpus_sign_index"
+    LOG = "_corpus_log"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse_root: str,
+        lang: str = "en",
+        min_quality: float = 0.6,
+        jaccard_threshold: float = 0.7,
+        cosine_threshold: float = 0.95,
+        n_shards: int = 8,
+        pack_budget: int = 2048,
+    ):
+        self.spark = spark
+        self.wh = Warehouse(spark, warehouse_root)
+        self.lang = lang
+        self.min_quality = min_quality
+        self.jaccard_threshold = jaccard_threshold
+        self.cosine_threshold = cosine_threshold
+        self.n_shards = n_shards
+        self.pack_budget = pack_budget
+
+    # -- replay bookkeeping (same shape as the CLI's _backfill_log) ----------
+
+    def _done(self, ds: str) -> bool:
+        if not self.wh.exists(self.LOG):
+            return False
+        return (
+            self.wh.read(self.LOG).filter(F.col("ds") == ds).limit(1).count() > 0
+        )
+
+    def _mark(self, ds: str) -> None:
+        self.wh.append(
+            self.spark.createDataFrame([(ds,)], "ds string"), self.LOG
+        )
+
+    # -- near-dup retention: cluster verified pairs, drop non-canonical new --
+
+    def _dup_drops(self, pairs: DataFrame, new_ids: DataFrame) -> DataFrame:
+        """(doc_id) rows to drop from the increment, given verified dup
+        pairs (id1, id2) and the increment's id set. Components with a
+        prior (retained) member drop all their new docs; all-new
+        components keep their min id."""
+        cc = graph.connected_components(
+            pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+        )
+        flagged = cc.join(
+            new_ids.select(F.col("doc_id").alias("id"), F.lit(True).alias("__new")),
+            "id",
+            "left",
+        ).na.fill({"__new": False})
+        agg = flagged.groupBy("comp").agg(
+            F.max(F.when(~F.col("__new"), 1).otherwise(0)).alias("has_prior"),
+            F.min(F.when(F.col("__new"), F.col("id"))).alias("min_new"),
+        )
+        return (
+            flagged.filter(F.col("__new"))
+            .join(agg, "comp")
+            .filter((F.col("has_prior") == 1) | (F.col("id") != F.col("min_new")))
+            .select(F.col("id").alias("doc_id"))
+            .distinct()
+        )
+
+    # -- the daily run -------------------------------------------------------
+
+    def run(self, docs: DataFrame, ds: str, embeddings: DataFrame | None = None) -> dict:
+        """Process one day's increment. ``docs``: (doc_id, text).
+        ``embeddings``: optional (doc_id, embedding array<float/double>)
+        for the increment's docs. Returns a stats dict; re-running a
+        processed ds returns ``{"already_done": True}`` without compute."""
+        if self._done(ds):
+            return {"ds": ds, "already_done": True}
+
+        # 1. score once into a pinned projection (the corpus_prep_pipeline
+        # lesson: filtering on unpinned derived columns re-inlines the
+        # scorer trees), with in-flight counts from the SAME job
+        scored = text.with_fingerprint(
+            text.with_lang_id(text.with_quality_score(docs.select("doc_id", "text")))
+        ).select("doc_id", "text", "quality_score", "n_tokens", "lang_pred", "fingerprint_norm")
+        scored, obs_in = observe_load_metrics(
+            scored, {"docs_in": F.count(F.lit(1))}, name=f"corpus_in_{ds}"
+        )
+        scored = scored.localCheckpoint()
+        kept = scored.filter(
+            (F.col("lang_pred") == self.lang) & (F.col("quality_score") >= self.min_quality)
+        )
+
+        # 2. exact dedup: canonical min-id within the batch, then an
+        # anti-join against the persisted fingerprint index (one probe —
+        # history texts are never read)
+        w = Window.partitionBy("fingerprint_norm")
+        kept = kept.withColumn("__m", F.min("doc_id").over(w)).filter(
+            F.col("doc_id") == F.col("__m")
+        ).drop("__m")
+        if self.wh.exists(self.FINGERPRINTS):
+            kept = kept.join(
+                self.wh.read(self.FINGERPRINTS).select("fingerprint_norm"),
+                "fingerprint_norm",
+                "left_anti",
+            )
+        # docs_shingled is THE O(increment) evidence: counted inside the
+        # job that materializes the signature-stage input, so a test can
+        # assert day 2 shingles day-2 docs only, however big history is
+        kept, obs_sh = observe_load_metrics(
+            kept, {"docs_shingled": F.count(F.lit(1))}, name=f"corpus_shingled_{ds}"
+        )
+        kept = kept.localCheckpoint()
+
+        # 3. text near-dup: shingle ONLY the increment, probe the stored
+        # band-key index; verify candidates by exact Jaccard over the
+        # colliding docs' texts (new side from the increment, prior side
+        # fetched BY KEY from corpus_docs)
+        prior_lsh = self.wh.read(self.LSH_INDEX) if self.wh.exists(self.LSH_INDEX) else None
+        cand, lsh_union = dedup.incremental_minhash_pairs(prior_lsh, kept, "doc_id")
+        cand = cand.localCheckpoint()
+        pair_ids = (
+            cand.select(F.col("id1").alias("doc_id"))
+            .unionByName(cand.select(F.col("id2").alias("doc_id")))
+            .distinct()
+        )
+        sides = kept.select("doc_id", "text")
+        if self.wh.exists(self.DOCS):
+            sides = sides.unionByName(
+                self.wh.read(self.DOCS).select("doc_id", "text")
+            )
+        colliding = sides.join(pair_ids, "doc_id", "left_semi")
+        sh = dedup.word_shingles(colliding, "doc_id", "text", n=3, distinct=True)
+        verified = dedup.exact_jaccard(cand, sh).filter(
+            F.col("jaccard") >= self.jaccard_threshold
+        )
+        kept = kept.join(
+            self._dup_drops(verified, kept.select("doc_id")), "doc_id", "left_anti"
+        ).localCheckpoint()
+
+        # 4. embedding near-dup (optional): sketch ONLY the survivors'
+        # vectors, probe the stored sign-sketch index, same retention
+        emb_stats: dict = {}
+        sign_rows = None
+        if embeddings is not None:
+            prior_sign = (
+                self.wh.read(self.SIGN_INDEX) if self.wh.exists(self.SIGN_INDEX) else None
+            )
+            emb_new = embeddings.join(kept.select("doc_id"), "doc_id", "left_semi")
+            if emb_new.limit(1).count() == 0:
+                # nothing to sketch (banded_sign_sketch derives dim from
+                # the first row); skip the stage, leave the index as-is
+                return self._finish(kept, ds, None, lsh_union, obs_in, obs_sh, emb_stats)
+            epairs, sign_union = similarity.incremental_embedding_pairs(
+                prior_sign,
+                emb_new,
+                threshold=self.cosine_threshold,
+                id_col="doc_id",
+                vec_col="embedding",
+            )
+            epairs = epairs.localCheckpoint()
+            kept = kept.join(
+                self._dup_drops(
+                    epairs.select("id1", "id2"), kept.select("doc_id")
+                ),
+                "doc_id",
+                "left_anti",
+            ).localCheckpoint()
+            # survivors' sign rows (union minus prior = the new rows;
+            # filter to final survivors so the index stays canonical)
+            sign_rows = sign_union.join(
+                kept.select(F.col("doc_id").alias("id")), "id", "left_semi"
+            )
+            emb_stats["embedding_pairs"] = epairs.count()
+
+        return self._finish(kept, ds, sign_rows, lsh_union, obs_in, obs_sh, emb_stats)
+
+    def _finish(self, kept, ds, sign_rows, lsh_union, obs_in, obs_sh, emb_stats) -> dict:
+        # 5. shard + pack the day's survivors for downstream tokenization
+        kept = kept.withColumn(
+            "shard", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(self.n_shards)).cast("int")
+        )
+        kept = assign_packing_bins(
+            kept, "n_tokens", self.pack_budget, order_cols=["doc_id"], partition_cols=["shard"]
+        ).withColumn("ds", F.lit(ds))
+
+        # 6. persist — append_once everywhere, so a crashed/replayed run
+        # can never duplicate a layer
+        self.wh.append_once(kept, self.DOCS, keys=["doc_id"], partition_by=["ds"])
+        self.wh.append_once(
+            kept.select("fingerprint_norm", "doc_id"),
+            self.FINGERPRINTS,
+            keys=["fingerprint_norm"],
+        )
+        new_lsh = lsh_union.join(
+            kept.select(F.col("doc_id").alias("id")), "id", "left_semi"
+        )
+        self.wh.append_once(new_lsh, self.LSH_INDEX, keys=["id", "band"])
+        if sign_rows is not None:
+            self.wh.append_once(sign_rows, self.SIGN_INDEX, keys=["id"])
+        self._mark(ds)
+
+        n_kept = kept.count()
+        return {
+            "ds": ds,
+            "already_done": False,
+            "docs_in": int(obs_in.get["docs_in"]),
+            "docs_shingled": int(obs_sh.get["docs_shingled"]),
+            "docs_kept": n_kept,
+            "corpus_total": self.wh.read(self.DOCS).count(),
+            **emb_stats,
+        }

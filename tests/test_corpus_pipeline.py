@@ -1,0 +1,172 @@
+"""Day-over-day corpus pipeline: a two-day increment drive proving
+(a) every dedup stage works incrementally against the persisted
+indexes, (b) day-2 work is O(increment) — the signature stage shingles
+only day-2 docs (Observation-metric evidence, not inspection), and
+(c) a ds replay is a no-op (mirror of the warehouse pipeline's
+test_rerun_is_noop)."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+import pytest
+
+from batch_data_pipeline_exercise_spark.plans.corpus_pipeline import CorpusPipeline
+
+# Each doc FAMILY gets its own long English paragraph (stopword-heavy,
+# >200 chars so the quality/lang filters pass); near-dups share a
+# family paragraph with a couple of words changed (trigram Jaccard
+# ~0.85), while different families overlap on nothing.
+PARA_A = (
+    "the quick brown fox jumps over the lazy dog near the old river bank "
+    "and the children watch the water with their friends in the calm morning "
+    "light while the small birds sing in the tall trees above the path "
+)
+PARA_B = (
+    "when the heavy train left the station at noon the passengers settled "
+    "into their seats and read about the weather in the city while the "
+    "conductor walked along the aisle checking every ticket with great care "
+)
+PARA_C = (
+    "a good stew needs patience because the onions must soften slowly in "
+    "the pot before the carrots and the potatoes join them and the broth "
+    "should simmer for an hour until the kitchen smells of warm herbs "
+)
+PARA_D = (
+    "the climbers reached the ridge before sunrise and looked down at the "
+    "valley where the fog still covered the fields and the lakes while the "
+    "first light touched the peaks far away on the other side of the range "
+)
+PARA_E = (
+    "every evening the librarian sorted the returned books onto the wooden "
+    "carts and wheeled them between the long shelves while the last readers "
+    "finished their chapters under the soft lamps near the large windows "
+)
+
+
+def _vec(seed: int) -> list[float]:
+    # deterministic, well-separated vectors: one-hot with a small common
+    # component so norms are comparable but cosines stay far below 0.95
+    v = [0.05] * 8
+    v[seed % 8] = 1.0
+    return v
+
+
+DAY1_DOCS = [
+    (1, PARA_A),
+    (2, PARA_A),  # exact dup of 1 (same text) → in-batch exact dedup
+    (3, PARA_A.replace("calm morning", "quiet evening")),  # near-dup of 1 → LSH drop
+    (4, PARA_B),
+    (5, PARA_C),
+]
+DAY1_EMB = [(1, _vec(0)), (2, _vec(0)), (3, _vec(0)), (4, _vec(1)), (5, _vec(2))]
+
+DAY2_DOCS = [
+    (11, PARA_A),  # exact dup of RETAINED day-1 doc 1 → fingerprint-index drop
+    (12, PARA_B.replace("heavy train", "early train")),  # near-dup of day-1 doc 4 → cross-probe drop
+    (13, PARA_D),
+    (14, PARA_D.replace("before sunrise", "after midnight")),  # near-dup of 13 → in-batch drop (keep 13)
+    (15, PARA_E),
+]
+# doc 15's embedding == day-1 doc 5's → embedding-stage cross-probe drop
+DAY2_EMB = [(11, _vec(3)), (12, _vec(4)), (13, _vec(5)), (14, _vec(6)), (15, _vec(2))]
+
+
+@pytest.fixture()
+def corpus_wh(tmp_path):
+    return str(tmp_path / "corpus_wh")
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _edf(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, embedding array<double>")
+
+
+def test_two_day_incremental_run(spark, corpus_wh):
+    cp = CorpusPipeline(spark, corpus_wh)
+
+    s1 = cp.run(_df(spark, DAY1_DOCS), "2021-03-01", embeddings=_edf(spark, DAY1_EMB))
+    assert s1["docs_in"] == 5
+    # exact dedup removed doc 2 before shingling; 1,3,4,5 signed
+    assert s1["docs_shingled"] == 4
+    # LSH dropped near-dup 3 (cluster {1,3} keeps min) → 1,4,5 retained
+    kept1 = {r["doc_id"] for r in cp.wh.read(cp.DOCS).collect()}
+    assert kept1 == {1, 4, 5} and s1["docs_kept"] == 3
+
+    s2 = cp.run(_df(spark, DAY2_DOCS), "2021-03-02", embeddings=_edf(spark, DAY2_EMB))
+    assert s2["docs_in"] == 5
+    # THE O(increment) evidence: doc 11 fell to the fingerprint-index
+    # probe, so exactly 12,13,14,15 entered the signature stage — history
+    # (day-1 docs) was never re-shingled
+    assert s2["docs_shingled"] == 4
+    # 12 dropped by the stored-LSH cross probe (prior 4 retained),
+    # 14 dropped in-batch (keep 13), 15 dropped by the stored sign-sketch
+    # cross probe (embedding == retained doc 5's) → only 13 lands
+    kept = {r["doc_id"] for r in cp.wh.read(cp.DOCS).collect()}
+    assert kept == {1, 4, 5, 13} and s2["docs_kept"] == 1
+    assert s2["corpus_total"] == 4
+
+    # indexes track exactly the retained corpus
+    assert {r["doc_id"] for r in cp.wh.read(cp.FINGERPRINTS).collect()} == kept
+    assert {r["id"] for r in cp.wh.read(cp.LSH_INDEX).select("id").distinct().collect()} == kept
+    assert {r["id"] for r in cp.wh.read(cp.SIGN_INDEX).collect()} == kept
+
+    # survivors carry shard + packing-bin assignments
+    row = cp.wh.read(cp.DOCS).filter("doc_id = 13").collect()[0]
+    assert 0 <= row["shard"] < cp.n_shards and row["bin"] >= 0
+
+
+def test_rerun_is_noop(spark, corpus_wh):
+    cp = CorpusPipeline(spark, corpus_wh)
+    cp.run(_df(spark, DAY1_DOCS), "2021-03-01", embeddings=_edf(spark, DAY1_EMB))
+    before = sorted(
+        (r["doc_id"], r["ds"]) for r in cp.wh.read(cp.DOCS).select("doc_id", "ds").collect()
+    )
+    n_fp = cp.wh.read(cp.FINGERPRINTS).count()
+    n_lsh = cp.wh.read(cp.LSH_INDEX).count()
+
+    # replay the same ds — from a FRESH pipeline instance (state must
+    # come from disk, not object memory)
+    again = CorpusPipeline(spark, corpus_wh).run(
+        _df(spark, DAY1_DOCS), "2021-03-01", embeddings=_edf(spark, DAY1_EMB)
+    )
+    assert again == {"ds": "2021-03-01", "already_done": True}
+    after = sorted(
+        (r["doc_id"], r["ds"]) for r in cp.wh.read(cp.DOCS).select("doc_id", "ds").collect()
+    )
+    assert after == before
+    assert cp.wh.read(cp.FINGERPRINTS).count() == n_fp
+    assert cp.wh.read(cp.LSH_INDEX).count() == n_lsh
+
+
+def test_corpus_cli_two_days(spark, corpus_wh, tmp_path):
+    """The CLI surface: two daily drops end-to-end through
+    python -m batch_data_pipeline_exercise_spark corpus."""
+    d1 = str(tmp_path / "d1.parquet")
+    d2 = str(tmp_path / "d2.parquet")
+    _df(spark, DAY1_DOCS).write.parquet(d1)
+    _df(spark, DAY2_DOCS).write.parquet(d2)
+
+    def run_cli(docs, ds):
+        out = subprocess.run(
+            [sys.executable, "-m", "batch_data_pipeline_exercise_spark", "corpus",
+             "--docs", docs, "--ds", ds, "--warehouse", corpus_wh],
+            capture_output=True, text=True, timeout=600,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    r1 = run_cli(d1, "2021-03-01")
+    assert r1["ok"] and r1["docs_kept"] == 3 and r1["docs_shingled"] == 4
+    r2 = run_cli(d2, "2021-03-02")
+    # no embeddings via CLI here → doc 15 survives the text stages
+    assert r2["ok"] and r2["docs_shingled"] == 4 and r2["docs_kept"] == 2
+    assert r2["corpus_total"] == 5
+    # replay through the CLI is a clean no-op too
+    r2b = run_cli(d2, "2021-03-02")
+    assert r2b == {"ok": True, "ds": "2021-03-02", "already_done": True}
