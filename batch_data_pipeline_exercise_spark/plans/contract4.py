@@ -1542,10 +1542,12 @@ def incremental_top3_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, pre, 1 AS i, substr(pre, 1, 10) AS s FROM p
       UNION ALL SELECT doc_id, pre, 2, substr(pre, 11, 10) FROM p
       UNION ALL SELECT doc_id, pre, 3, substr(pre, 21, 10) FROM p
-    ), cand AS (
+    ), segf AS (SELECT * FROM seg WHERE s <> ''),
+    keepb AS (SELECT i, s FROM segf GROUP BY i, s HAVING COUNT(*) <= 64),
+    gen AS (SELECT segf.* FROM segf JOIN keepb USING (i, s)),
+    cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pre AS pre_a, b.pre AS pre_b
-      FROM seg a JOIN seg b ON a.i = b.i AND a.s = b.s AND a.doc_id < b.doc_id
-      WHERE a.s <> ''
+      FROM gen a JOIN gen b ON a.i = b.i AND a.s = b.s AND a.doc_id < b.doc_id
     )
     SELECT doc_a, doc_b, levenshtein(pre_a, pre_b) AS edit_distance
     FROM cand WHERE levenshtein(pre_a, pre_b) <= 2
@@ -1557,7 +1559,14 @@ def incremental_top3_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "recall/cost trade, same as the SimHash chunk scheme) — candidates "
     "verified by exact levenshtein <= 2. Integer distances, so "
     "cross-engine exact. Plan: segment equi self-join over a pinned "
-    "prefix table, NEVER the all-pairs edit-distance matrix.",
+    "prefix table, NEVER the all-pairs edit-distance matrix, with "
+    "standard BLOCK PURGING (entity-resolution practice): blocks "
+    "holding > 64 docs are dropped from candidate generation, bounding "
+    "the join at 64x the segment rows. Measured: the uncapped sf1 "
+    "block-pair work is 139x sf0.1's (max block 34 -> 340 — quadratic "
+    "in occupancy), while cap-64 output is byte-identical at sf0.1 and "
+    "keeps 99.98%% of the verified pairs at sf1 (248,679 of 248,724 — "
+    "a pair purged everywhere must share ONLY mega-block segments).",
 )
 def doc_prefix_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
@@ -1573,8 +1582,30 @@ def doc_prefix_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("seg"),
-    ).select("doc_id", "pre", F.col("seg.i").alias("i"), F.col("seg.s").alias("s"))
-    a, b = seg.alias("a"), seg.alias("b")
+    ).select("doc_id", "pre", F.col("seg.i").alias("i"), F.col("seg.s").alias("s")).filter(
+        F.col("s") != ""
+    )
+    # block purging: a (i, s) block with > 64 members contributes O(n^2)
+    # candidate rows and near-zero discrimination — drop it from
+    # GENERATION (verification semantics unchanged for survivors). Same
+    # bounded-work pattern as ngram_jaccard_pairs' max_df cap. The
+    # PURGED list (not the keep list) drives a broadcast anti-join: by
+    # construction at most rows/64 blocks can exceed the cap and real
+    # block-size distributions are heavy-tailed (sf1: 241 purged of
+    # 9,323), so the filter is map-side — the only added work is one
+    # narrow (i, s) count shuffle, not a re-shuffle of the segments.
+    # Measured min-of-3, same session: sf0.1 0.62 -> 0.84 s (the count
+    # pass), sf1 2.45 -> 2.14 s and bounded thereafter, vs quadratic
+    # uncapped growth (139x pair work for 10x docs).
+    purged = (
+        seg.select("i", "s")
+        .groupBy("i", "s")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 64)
+        .select("i", "s")
+    )
+    gen = seg.join(F.broadcast(purged), ["i", "s"], "left_anti")
+    a, b = gen.alias("a"), gen.alias("b")
     cand = (
         a.join(
             b,
@@ -1582,7 +1613,6 @@ def doc_prefix_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.s") == F.col("b.s"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .filter(F.col("a.s") != "")
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
