@@ -17,6 +17,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from batch_data_pipeline_exercise_spark.functions.core import (
+    plan_partition_count as _plan_partition_count,
+)
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
@@ -391,13 +395,6 @@ def embedding_near_dup_pairs(
     return _verify_cosine_pairs(cand, vecs, threshold)
 
 
-def _plan_partition_count(df: DataFrame) -> int:
-    """Partition count of ``df``'s physical plan, read off the cached
-    QueryExecution instead of ``df.rdd`` — the PySpark ``.rdd`` property
-    wraps the plan in a NEW Python-serialized RDD on every access, pure
-    driver-side overhead for one int. Batch DataFrames only (a streaming
-    plan has no toRdd), same constraint as localCheckpoint."""
-    return df._jdf.queryExecution().toRdd().getNumPartitions()
 
 
 def banded_sign_sketch(

@@ -92,9 +92,22 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     # products) would run on ONE core — an explicit shuffle restores
     # parallelism and pays for itself. The fact tables hit a real shuffle
     # (join/agg) almost immediately anyway, so they skip it: measured at
-    # sf0.1, repartitioning them costs more than it saves.
+    # sf0.1, repartitioning them costs more than it saves. The shuffle is
+    # CONDITIONAL on the scan actually being starved: an engine-written
+    # layout (Warehouse.ingest_corpus — hash-spread files, real row
+    # groups) already splits to >= cores, and re-shuffling it would be
+    # pure cost (measured: see SCALE.md round-7 layout row). The planned
+    # split count is a PROXY: a very large single-row-group file can
+    # plan >= cores byte-range splits that are almost all empty at read
+    # time (row groups land in one split), which this check cannot see —
+    # the testdata's small files plan < cores splits so the proxy holds
+    # here, and the durable fix for any external drop is ingest_corpus,
+    # not a smarter reader heuristic.
     if table in ("documents", "embeddings"):
-        df = df.repartition(spark.sparkContext.defaultParallelism)
+        from batch_data_pipeline_exercise_spark.functions.core import plan_partition_count
+
+        if plan_partition_count(df) < spark.sparkContext.defaultParallelism:
+            df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
 
 

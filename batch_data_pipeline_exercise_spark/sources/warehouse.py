@@ -155,6 +155,25 @@ class Warehouse:
             fs.delete(P(bak), True)
         self._refresh(table)
 
+    def ingest_corpus(
+        self, src: DataFrame, table: str, id_col: str, buckets: int | None = None
+    ) -> None:
+        """One-time corpus ingest into engine-owned layout: hash-spread
+        the rows over ``buckets`` files (id-hash partitioning — the
+        content-hash-prefix discipline ``operators/multimodal.py``
+        prescribes, so skewed row sizes spread evenly) and write real
+        multi-file parquet. Externally-delivered corpora often arrive as
+        one giant single-row-group file, which a parquet scan CANNOT
+        split — every downstream compute-dense stage then runs on one
+        core unless the reader band-aids it with a per-query
+        ``repartition`` (``plans/contract.load``). Ingesting once makes
+        that shuffle redundant forever: the scan itself splits to
+        ``buckets`` tasks, and ``load()`` detects the healthy layout and
+        skips its shuffle. At 100 TB this is the difference between
+        paying a full-corpus shuffle per QUERY and per INGEST."""
+        buckets = buckets or self.spark.sparkContext.defaultParallelism
+        self.overwrite(src.repartition(buckets, F.col(id_col)), table)
+
     def append(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> None:
         """Append, conforming to the existing table's column order.
 

@@ -1,0 +1,116 @@
+"""Full-registry differential sweep — the round-closing evidence run.
+
+Executes EVERY contract query against its DuckDB oracle at a given SF
+dir and appends one JSONL record per query:
+
+    {"q": name, "match": bool, "n": rows, "t": secs}       (oracle-paired)
+    {"q": name, "match": null, "n": rows, "t": secs}       (rows-only)
+    {"q": name, "spark_err"/"oracle_err": "...", "t": secs} (failure)
+
+Comparison is strict: full sorted-row tuple equality (stronger than the
+driver's value-hash — any drift in any cell fails). Usage:
+
+    python tests/run_sweep.py [sf_dir] [out.jsonl]
+
+Defaults: /root/testdata/sf0.01, evidence/SWEEP_local.jsonl. DuckDB
+views accept both flat files (testdata) and directory-style parquet
+(Spark-written, e.g. a gen_sf_scale.py output).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+import duckdb  # noqa: E402
+
+from batch_data_pipeline_exercise_spark.plans import contract  # noqa: E402
+from batch_data_pipeline_exercise_spark.plans import (  # noqa: F401,E402
+    contract2,
+    contract3,
+    contract4,
+    contract5,
+    contract6,
+    contract_ext,
+)
+from batch_data_pipeline_exercise_spark.session import get_spark  # noqa: E402
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+    return con
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out = Path(sys.argv[2]) if len(sys.argv) > 2 else REPO / "evidence" / "SWEEP_local.jsonl"
+    out.parent.mkdir(exist_ok=True)
+
+    spark = get_spark(app_name="registry-sweep", master="local[32]", shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duck_connect(sf_dir)
+
+    n_match = n_rows_only = n_fail = 0
+    with out.open("w") as fh:
+        for name, q in sorted(contract.REGISTRY.items()):
+            t0 = time.time()
+            rec: dict = {"q": name}
+            try:
+                srows = sorted(tuple(r) for r in q.fn(spark, sf_dir).collect())
+            except Exception as e:  # noqa: BLE001 — evidence, not control flow
+                rec["spark_err"] = str(e)[:200]
+                rec["t"] = round(time.time() - t0, 1)
+                fh.write(json.dumps(rec) + "\n")
+                fh.flush()
+                n_fail += 1
+                continue
+            if q.oracle:
+                try:
+                    drows = sorted(map(tuple, con.execute(q.oracle).fetchall()))
+                except Exception as e:  # noqa: BLE001
+                    rec["oracle_err"] = str(e)[:200]
+                    rec["t"] = round(time.time() - t0, 1)
+                    fh.write(json.dumps(rec) + "\n")
+                    fh.flush()
+                    n_fail += 1
+                    continue
+                rec["match"] = srows == drows
+                n_match += rec["match"]
+                n_fail += not rec["match"]
+            else:
+                rec["match"] = None
+                n_rows_only += 1
+            rec["n"] = len(srows)
+            rec["t"] = round(time.time() - t0, 1)
+            fh.write(json.dumps(rec) + "\n")
+            fh.flush()
+    print(
+        json.dumps(
+            {
+                "sf_dir": sf_dir,
+                "queries": len(contract.REGISTRY),
+                "oracle_match": n_match,
+                "rows_only": n_rows_only,
+                "failures": n_fail,
+                "out": str(out),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -78,3 +78,37 @@ def test_zorder_layout_prunes_files(spark, tmp_path):
         # fraction of them
         assert plain == 16, f"{col}: expected full scatter, got {plain}"
         assert z <= 8, f"{col}: z-order touched {z}/16 files"
+
+
+def test_ingest_corpus_layout_makes_reader_shuffle_redundant(spark, sf_dir, tmp_path):
+    """Warehouse.ingest_corpus rewrites a single-row-group corpus drop
+    into hash-spread multi-file parquet; contract.load() then detects
+    the healthy layout and SKIPS its parallelism-restoring repartition
+    (the band-aid stays only for starved external layouts)."""
+    import os
+
+    from batch_data_pipeline_exercise_spark.functions.core import plan_partition_count
+    from batch_data_pipeline_exercise_spark.plans.contract import load
+    from batch_data_pipeline_exercise_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path))
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wh.ingest_corpus(src, "documents.parquet", "doc_id")
+
+    # content preserved exactly
+    back = spark.read.parquet(str(tmp_path / "documents.parquet"))
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+    # the scan itself splits to >= cores — no shuffle needed
+    par = spark.sparkContext.defaultParallelism
+    assert plan_partition_count(back) >= par
+
+    # load() on the ingested layout: parallel AND shuffle-free
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"):
+        os.symlink(f"{sf_dir}/{t}.parquet", tmp_path / f"{t}.parquet")
+    d = load(spark, str(tmp_path), "documents")
+    assert plan_partition_count(d) >= par
+    assert "Exchange" not in d._jdf.queryExecution().executedPlan().toString()
+    # ...while the starved external layout still gets the repartition
+    d0 = load(spark, sf_dir, "documents")
+    assert "Exchange" in d0._jdf.queryExecution().executedPlan().toString()
