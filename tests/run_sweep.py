@@ -46,6 +46,12 @@ TABLES = (
 ).split()
 
 
+def _row_key(row: tuple):
+    """None-safe sort key: cube/rollup/grouping-sets rows carry NULL
+    group keys, which plain tuple comparison cannot order."""
+    return tuple((v is None, v) for v in row)
+
+
 def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:
@@ -70,7 +76,7 @@ def main() -> None:
             t0 = time.time()
             rec: dict = {"q": name}
             try:
-                srows = sorted(tuple(r) for r in q.fn(spark, sf_dir).collect())
+                srows = sorted((tuple(r) for r in q.fn(spark, sf_dir).collect()), key=_row_key)
             except Exception as e:  # noqa: BLE001 — evidence, not control flow
                 rec["spark_err"] = str(e)[:200]
                 rec["t"] = round(time.time() - t0, 1)
@@ -80,7 +86,7 @@ def main() -> None:
                 continue
             if q.oracle:
                 try:
-                    drows = sorted(map(tuple, con.execute(q.oracle).fetchall()))
+                    drows = sorted(map(tuple, con.execute(q.oracle).fetchall()), key=_row_key)
                 except Exception as e:  # noqa: BLE001
                     rec["oracle_err"] = str(e)[:200]
                     rec["t"] = round(time.time() - t0, 1)
