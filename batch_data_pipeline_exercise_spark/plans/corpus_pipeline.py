@@ -122,6 +122,28 @@ class CorpusPipeline:
             .distinct()
         )
 
+    # -- periodic maintenance ------------------------------------------------
+
+    #: every layer takes one small append per day — same accumulation
+    #: profile as the warehouse facts
+    MAINTAINED_TABLES = (DOCS, FINGERPRINTS, LSH_INDEX, SIGN_INDEX, LOG)
+
+    def maintain(self, max_files_per_partition: int = 8) -> list[str]:
+        """Nightly-cadence compaction for the corpus layers — identical
+        gate to ``Pipeline.maintain``: a table qualifies when its
+        data-file count exceeds the per-partition budget, and compaction
+        targets the budget so the gate doesn't re-trigger nightly.
+        Returns the compacted tables."""
+        compacted: list[str] = []
+        for table in self.MAINTAINED_TABLES:
+            if not self.wh.exists(table):
+                continue
+            budget = max_files_per_partition * self.wh.partition_dir_count(table)
+            if self.wh.file_count(table) > budget:
+                self.wh.compact(table, target_partitions=max(1, budget))
+                compacted.append(table)
+        return compacted
+
     # -- the daily run -------------------------------------------------------
 
     def run(self, docs: DataFrame, ds: str, embeddings: DataFrame | None = None) -> dict:

@@ -170,3 +170,23 @@ def test_corpus_cli_two_days(spark, corpus_wh, tmp_path):
     # replay through the CLI is a clean no-op too
     r2b = run_cli(d2, "2021-03-02")
     assert r2b == {"ok": True, "ds": "2021-03-02", "already_done": True}
+
+
+def test_maintain_compacts_accumulated_index_files(spark, corpus_wh):
+    """Daily appends leave one small file per layer per day; maintain()
+    compacts any layer past the files-per-partition budget and answers
+    are unchanged."""
+    cp = CorpusPipeline(spark, corpus_wh)
+    cp.run(_df(spark, DAY1_DOCS), "2021-03-01")
+    cp.run(_df(spark, DAY2_DOCS), "2021-03-02")
+    before = sorted(r["id"] for r in cp.wh.read(cp.LSH_INDEX).select("id").distinct().collect())
+
+    # budget 0 forces every existing layer to qualify
+    compacted = cp.maintain(max_files_per_partition=0)
+    assert cp.LSH_INDEX in compacted and cp.FINGERPRINTS in compacted
+    # one file per layer now, content identical
+    assert cp.wh.file_count(cp.LSH_INDEX) <= 1
+    after = sorted(r["id"] for r in cp.wh.read(cp.LSH_INDEX).select("id").distinct().collect())
+    assert after == before
+    # and a freshly-compacted warehouse is a no-op on the next cadence
+    assert cp.maintain(max_files_per_partition=8) == []
