@@ -15,6 +15,14 @@ driver's value-hash — any drift in any cell fails). Usage:
 Defaults: /root/testdata/sf0.01, evidence/SWEEP_local.jsonl. DuckDB
 views accept both flat files (testdata) and directory-style parquet
 (Spark-written, e.g. a gen_sf_scale.py output).
+
+If the output file already exists the sweep RESUMES: queries with a
+recorded line are skipped, new records append — so a killed run (or a
+deliberate skip) costs only the in-flight query. ``SWEEP_SKIP`` names
+comma-separated queries to record as ``{"skip": reason}`` without
+running (``name=reason`` to say why) — for known-pathological
+(SF, oracle) combinations like a transitive-closure CTE over a
+degenerate pair graph.
 """
 
 from __future__ import annotations
@@ -66,13 +74,32 @@ def main() -> None:
     out = Path(sys.argv[2]) if len(sys.argv) > 2 else REPO / "evidence" / "SWEEP_local.jsonl"
     out.parent.mkdir(exist_ok=True)
 
+    skips: dict[str, str] = {}
+    for item in filter(None, os.environ.get("SWEEP_SKIP", "").split(",")):
+        name, _, reason = item.partition("=")
+        skips[name.strip()] = reason.strip() or "skipped via SWEEP_SKIP"
+
+    done: set[str] = set()
+    if out.exists():
+        for line in out.read_text().splitlines():
+            try:
+                done.add(json.loads(line)["q"])
+            except (ValueError, KeyError):
+                pass
+
     spark = get_spark(app_name="registry-sweep", master="local[32]", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
     con = duck_connect(sf_dir)
 
     n_match = n_rows_only = n_fail = 0
-    with out.open("w") as fh:
+    with out.open("a") as fh:
         for name, q in sorted(contract.REGISTRY.items()):
+            if name in done:
+                continue
+            if name in skips:
+                fh.write(json.dumps({"q": name, "skip": skips[name]}) + "\n")
+                fh.flush()
+                continue
             t0 = time.time()
             rec: dict = {"q": name}
             try:
@@ -109,6 +136,7 @@ def main() -> None:
             {
                 "sf_dir": sf_dir,
                 "queries": len(contract.REGISTRY),
+                "resumed_past": len(done),
                 "oracle_match": n_match,
                 "rows_only": n_rows_only,
                 "failures": n_fail,
