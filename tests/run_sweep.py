@@ -3,9 +3,15 @@
 Executes EVERY contract query against its DuckDB oracle at a given SF
 dir and appends one JSONL record per query:
 
-    {"q": name, "match": bool, "n": rows, "t": secs}       (oracle-paired)
+    {"q": name, "match": bool, "n": rows, "t": secs,
+     "ts": spark_secs, "td": duck_secs[, "diff": sample]}  (oracle-paired)
     {"q": name, "match": null, "n": rows, "t": secs}       (rows-only)
     {"q": name, "spark_err"/"oracle_err": "...", "t": secs} (failure)
+
+On a mismatch ``diff`` holds up to 3 (spark_row, oracle_row) pairs at
+the first diverging sorted positions plus a row-count line if the
+cardinalities differ — the divergence magnitude is in the evidence
+file itself.
 
 Comparison is strict: full sorted-row tuple equality (stronger than the
 driver's value-hash — any drift in any cell fails). Usage:
@@ -111,7 +117,9 @@ def main() -> None:
                 fh.flush()
                 n_fail += 1
                 continue
+            rec["ts"] = round(time.time() - t0, 1)
             if q.oracle:
+                t1 = time.time()
                 try:
                     drows = sorted(map(tuple, con.execute(q.oracle).fetchall()), key=_row_key)
                 except Exception as e:  # noqa: BLE001
@@ -121,9 +129,22 @@ def main() -> None:
                     fh.flush()
                     n_fail += 1
                     continue
+                rec["td"] = round(time.time() - t1, 1)
                 rec["match"] = srows == drows
                 n_match += rec["match"]
                 n_fail += not rec["match"]
+                if not rec["match"]:
+                    # a bounded sample of (spark_row, oracle_row) at the
+                    # first diverging sorted positions — enough to see a
+                    # magnitude (e.g. an HLL estimate) without rerunning
+                    sample = [
+                        [repr(s), repr(d)]
+                        for s, d in zip(srows, drows)
+                        if s != d
+                    ][:3]
+                    if len(srows) != len(drows):
+                        sample.append([f"n_spark={len(srows)}", f"n_duck={len(drows)}"])
+                    rec["diff"] = sample
             else:
                 rec["match"] = None
                 n_rows_only += 1
