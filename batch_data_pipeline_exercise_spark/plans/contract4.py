@@ -1531,6 +1531,13 @@ def incremental_top3_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stored.select("o_custkey", "o_orderkey", "rnk")
 
 
+#: entity-resolution block purge: (i, s) segment blocks holding more than
+#: this many docs are dropped from candidate GENERATION. One constant feeds
+#: BOTH the Spark plan and its DuckDB oracle SQL below — editing a single
+#: literal can therefore never silently break oracle exactness.
+BLOCK_CAP = 64
+
+
 @register(
     "doc_prefix_fuzzy_pairs",
     bench=True,
@@ -1543,7 +1550,7 @@ def incremental_top3_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL SELECT doc_id, pre, 2, substr(pre, 11, 10) FROM p
       UNION ALL SELECT doc_id, pre, 3, substr(pre, 21, 10) FROM p
     ), segf AS (SELECT * FROM seg WHERE s <> ''),
-    keepb AS (SELECT i, s FROM segf GROUP BY i, s HAVING COUNT(*) <= 64),
+    keepb AS (SELECT i, s FROM segf GROUP BY i, s HAVING COUNT(*) <= {BLOCK_CAP}),
     gen AS (SELECT segf.* FROM segf JOIN keepb USING (i, s)),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pre AS pre_a, b.pre AS pre_b
@@ -1585,7 +1592,7 @@ def doc_prefix_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "pre", F.col("seg.i").alias("i"), F.col("seg.s").alias("s")).filter(
         F.col("s") != ""
     )
-    # block purging: a (i, s) block with > 64 members contributes O(n^2)
+    # block purging: a (i, s) block with > BLOCK_CAP members contributes O(n^2)
     # candidate rows and near-zero discrimination — drop it from
     # GENERATION (verification semantics unchanged for survivors). Same
     # bounded-work pattern as ngram_jaccard_pairs' max_df cap. The
@@ -1601,7 +1608,7 @@ def doc_prefix_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         seg.select("i", "s")
         .groupBy("i", "s")
         .agg(F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") > 64)
+        .filter(F.col("__n") > BLOCK_CAP)
         .select("i", "s")
     )
     gen = seg.join(F.broadcast(purged), ["i", "s"], "left_anti")

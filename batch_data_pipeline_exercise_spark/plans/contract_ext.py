@@ -1442,14 +1442,22 @@ def doc_unigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: document-frequency cap for exact-Jaccard candidate generation: shingles
+#: appearing in more than this many docs are dropped from GENERATION only
+#: (verification intersects full shingle sets, so jaccard stays exact). One
+#: constant feeds BOTH the Spark plan (ngram_jaccard_pairs max_df) and the
+#: DuckDB oracle SQL — the two caps can never silently diverge.
+NGRAM_MAX_DF = 64
+
+
 @register(
     "doc_ngram_jaccard_pairs",
     oracle="WITH "
     + _TOKS_CTE
     + ", "
     + _SHINGLES_CTE
-    + """,
-    rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 64),
+    + f""",
+    rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= {NGRAM_MAX_DF}),
     gen AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
     cand AS (
       SELECT a.doc_id AS id1, b.doc_id AS id2
@@ -1489,6 +1497,6 @@ def doc_unigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(d, "doc_id", n=3, threshold=0.5, max_df=64).select(
-        "id1", "id2", "jaccard"
-    )
+    return dedup.ngram_jaccard_pairs(
+        d, "doc_id", n=3, threshold=0.5, max_df=NGRAM_MAX_DF
+    ).select("id1", "id2", "jaccard")

@@ -150,9 +150,27 @@ class CorpusPipeline:
         """Process one day's increment. ``docs``: (doc_id, text).
         ``embeddings``: optional (doc_id, embedding array<float/double>)
         for the increment's docs. Returns a stats dict; re-running a
-        processed ds returns ``{"already_done": True}`` without compute."""
+        processed ds returns ``{"already_done": True}`` without compute.
+
+        Embedding-coverage contract: the embedding near-dup stage guards
+        only SKETCHED history — a retained doc with no embedding row
+        never enters ``corpus_sign_index``, so later increments'
+        embedding probes can never match it. Partial coverage is
+        therefore reported per run as ``docs_kept_without_embedding``
+        (docs that landed in the corpus unsketched), and a corpus that
+        has started embedding dedup (the sign index exists) REFUSES a
+        run that omits ``embeddings`` outright — silently skipping the
+        stage would punch a permanent, invisible recall hole."""
         if self._done(ds):
             return {"ds": ds, "already_done": True}
+        if embeddings is None and self.wh.exists(self.SIGN_INDEX):
+            raise ValueError(
+                f"this corpus has an embedding sign index ({self.SIGN_INDEX!r}) but the "
+                f"run for ds={ds} supplies no embeddings: its retained docs would never "
+                "be sketched, so future increments' embedding near-dup probes could not "
+                "match them — a permanent recall hole. Pass embeddings for every run of "
+                "an embedding-deduped corpus."
+            )
 
         # 1. score once into a pinned projection (the corpus_prep_pipeline
         # lesson: filtering on unpinned derived columns re-inlines the
@@ -227,7 +245,10 @@ class CorpusPipeline:
             if emb_new.limit(1).count() == 0:
                 # nothing to sketch (banded_sign_sketch derives dim from
                 # the first row); skip the stage, leave the index as-is
-                return self._finish(kept, ds, None, lsh_union, obs_in, obs_sh, emb_stats)
+                return self._finish(
+                    kept, ds, None, lsh_union, obs_in, obs_sh, emb_stats,
+                    emb_ids=embeddings.select("doc_id"),
+                )
             epairs, sign_union = similarity.incremental_embedding_pairs(
                 prior_sign,
                 emb_new,
@@ -250,9 +271,14 @@ class CorpusPipeline:
             )
             emb_stats["embedding_pairs"] = epairs.count()
 
-        return self._finish(kept, ds, sign_rows, lsh_union, obs_in, obs_sh, emb_stats)
+        return self._finish(
+            kept, ds, sign_rows, lsh_union, obs_in, obs_sh, emb_stats,
+            emb_ids=embeddings.select("doc_id") if embeddings is not None else None,
+        )
 
-    def _finish(self, kept, ds, sign_rows, lsh_union, obs_in, obs_sh, emb_stats) -> dict:
+    def _finish(
+        self, kept, ds, sign_rows, lsh_union, obs_in, obs_sh, emb_stats, emb_ids=None
+    ) -> dict:
         # 5. shard + pack the day's survivors for downstream tokenization
         kept = kept.withColumn(
             "shard", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(self.n_shards)).cast("int")
@@ -278,12 +304,23 @@ class CorpusPipeline:
         self._mark(ds)
 
         n_kept = kept.count()
+        # the embedding-coverage hole, made visible: retained docs with no
+        # embedding row this run are in the corpus but NOT in the sign
+        # index — future embedding probes cannot match them. With no
+        # embeddings at all, that is every kept doc (legal only while the
+        # corpus has never started embedding dedup — see run()'s guard).
+        unsketched = (
+            n_kept
+            if emb_ids is None
+            else kept.select("doc_id").join(emb_ids, "doc_id", "left_anti").count()
+        )
         return {
             "ds": ds,
             "already_done": False,
             "docs_in": int(obs_in.get["docs_in"]),
             "docs_shingled": int(obs_sh.get["docs_shingled"]),
             "docs_kept": n_kept,
+            "docs_kept_without_embedding": unsketched,
             "corpus_total": self.wh.read(self.DOCS).count(),
             **emb_stats,
         }

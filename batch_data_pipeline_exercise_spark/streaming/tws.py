@@ -272,10 +272,13 @@ class OrderSilenceProcessor(StatefulProcessor):
         # former as UTC and the latter as HOST-local time, shifting
         # deadlines by the UTC offset on any non-UTC machine. Compute
         # epoch ms via Timedelta arithmetic so naive wall time is always
-        # read as UTC, identically for both types.
-        epoch_ms = int(
-            (pd.Timestamp(last) - pd.Timestamp(0)) // pd.Timedelta(milliseconds=1)
-        )
+        # read as UTC, identically for both types. A tz-aware input
+        # (possible under a non-default session timezone / arrow config)
+        # is normalized to naive UTC first — aware minus naive raises.
+        ts = pd.Timestamp(last)
+        if ts.tzinfo is not None:
+            ts = ts.tz_convert("UTC").tz_localize(None)
+        epoch_ms = int((ts - pd.Timestamp(0)) // pd.Timedelta(milliseconds=1))
         return epoch_ms + SESSION_GAP_MS
 
     def handleInputRows(self, key, rows: Iterator[pd.DataFrame], timer_values) -> Iterator[pd.DataFrame]:

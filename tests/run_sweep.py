@@ -89,9 +89,21 @@ def main() -> None:
     if out.exists():
         for line in out.read_text().splitlines():
             try:
-                done.add(json.loads(line)["q"])
+                rec = json.loads(line)
+                name = rec["q"]
             except (ValueError, KeyError):
-                pass
+                continue
+            # resume past PASSES and deliberate skips only: a recorded
+            # failure (spark_err / oracle_err / match=False) re-runs, so
+            # a sweep restarted after a fix re-verifies the fixed query
+            # instead of silently skipping it (the fresh record appends;
+            # readers take the LAST record per query)
+            if "skip" in rec or (
+                "spark_err" not in rec
+                and "oracle_err" not in rec
+                and rec.get("match") is not False
+            ):
+                done.add(name)
 
     spark = get_spark(app_name="registry-sweep", master="local[32]", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")

@@ -40,6 +40,12 @@ def test_silence_deadline_is_timezone_independent():
     b = tws.OrderSilenceProcessor._deadline_ms(t_dt)
     # 2021-03-01T08:00:00Z == 1614585600 epoch seconds, independent of TZ
     assert a == b == 1_614_585_600_000 + tws.SESSION_GAP_MS
+    # tz-aware inputs (session-timezone / pandas-arrow config drift) must
+    # normalize to the same instant, not raise on aware-minus-naive
+    t_utc = pd.Timestamp("2021-03-01 08:00:00", tz="UTC")
+    t_off = pd.Timestamp("2021-03-01 03:00:00", tz="America/New_York")  # == 08:00Z
+    assert tws.OrderSilenceProcessor._deadline_ms(t_utc) == a
+    assert tws.OrderSilenceProcessor._deadline_ms(t_off) == a
 
 
 class _FakeListState:

@@ -172,6 +172,53 @@ def test_corpus_cli_two_days(spark, corpus_wh, tmp_path):
     assert r2b == {"ok": True, "ds": "2021-03-02", "already_done": True}
 
 
+def test_partial_embedding_coverage_is_reported(spark, corpus_wh):
+    """A retained doc with no embedding row lands in the corpus but NOT
+    in the sign index — a permanent recall hole for later embedding
+    probes. The stats dict must make that visible per run."""
+    cp = CorpusPipeline(spark, corpus_wh)
+    # only docs 1 and 4 carry embeddings; retained doc 5 stays unsketched
+    s1 = cp.run(
+        _df(spark, DAY1_DOCS),
+        "2021-03-01",
+        embeddings=_edf(spark, [(1, _vec(0)), (4, _vec(1))]),
+    )
+    assert s1["docs_kept"] == 3
+    assert s1["docs_kept_without_embedding"] == 1
+    assert {r["id"] for r in cp.wh.read(cp.SIGN_INDEX).collect()} == {1, 4}
+
+    # the documented consequence: day-2 doc 15 duplicates doc 5's
+    # embedding exactly, but doc 5 was never sketched, so the embedding
+    # probe CANNOT drop 15 — it survives alongside 13
+    s2 = cp.run(_df(spark, DAY2_DOCS), "2021-03-02", embeddings=_edf(spark, DAY2_EMB))
+    assert s2["docs_kept"] == 2
+    assert s2["docs_kept_without_embedding"] == 0
+    kept = {r["doc_id"] for r in cp.wh.read(cp.DOCS).collect()}
+    assert kept == {1, 4, 5, 13, 15}
+
+
+def test_full_embedding_coverage_reports_zero(spark, corpus_wh):
+    cp = CorpusPipeline(spark, corpus_wh)
+    s1 = cp.run(_df(spark, DAY1_DOCS), "2021-03-01", embeddings=_edf(spark, DAY1_EMB))
+    assert s1["docs_kept_without_embedding"] == 0
+    # no embeddings at all (no sign index yet): every kept doc is unsketched
+    cp2 = CorpusPipeline(spark, corpus_wh + "_noemb")
+    s = cp2.run(_df(spark, DAY1_DOCS), "2021-03-01")
+    assert s["docs_kept_without_embedding"] == s["docs_kept"] == 3
+
+
+def test_omitting_embeddings_after_embedded_run_raises(spark, corpus_wh):
+    """Once a corpus has a sign index, a run without embeddings would
+    silently punch an unfixable recall hole — it must refuse instead."""
+    cp = CorpusPipeline(spark, corpus_wh)
+    cp.run(_df(spark, DAY1_DOCS), "2021-03-01", embeddings=_edf(spark, DAY1_EMB))
+    with pytest.raises(ValueError, match="sign index"):
+        cp.run(_df(spark, DAY2_DOCS), "2021-03-02")
+    # the refused ds was not marked done: retrying WITH embeddings works
+    s2 = cp.run(_df(spark, DAY2_DOCS), "2021-03-02", embeddings=_edf(spark, DAY2_EMB))
+    assert s2["docs_kept"] == 1
+
+
 def test_maintain_compacts_accumulated_index_files(spark, corpus_wh):
     """Daily appends leave one small file per layer per day; maintain()
     compacts any layer past the files-per-partition budget and answers
