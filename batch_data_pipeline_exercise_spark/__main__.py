@@ -471,7 +471,10 @@ def main(argv: list[str] | None = None) -> int:
             return _err(f"--embeddings path not found: {args.embeddings}")
         cp = CorpusPipeline(spark, args.warehouse)
         emb = spark.read.parquet(args.embeddings) if args.embeddings else None
-        stats = cp.run(spark.read.parquet(args.docs), args.ds, embeddings=emb)
+        try:
+            stats = cp.run(spark.read.parquet(args.docs), args.ds, embeddings=emb)
+        except ValueError as e:  # e.g. embedding-indexed corpus run without --embeddings
+            return _err(str(e))
         print(json.dumps({"ok": True, **stats}))
         return 0
 

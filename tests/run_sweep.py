@@ -23,8 +23,11 @@ views accept both flat files (testdata) and directory-style parquet
 (Spark-written, e.g. a gen_sf_scale.py output).
 
 If the output file already exists the sweep RESUMES: queries with a
-recorded line are skipped, new records append — so a killed run (or a
-deliberate skip) costs only the in-flight query. ``SWEEP_SKIP`` names
+recorded PASS or deliberate-skip line are skipped, while recorded
+FAILURES (spark_err / oracle_err / match=false) re-run — so a sweep
+restarted after a fix re-verifies the fixed query, and a killed run
+costs only the in-flight query. Records append; readers must take the
+LAST record per query. ``SWEEP_SKIP`` names
 comma-separated queries to record as ``{"skip": reason}`` without
 running (``name=reason`` to say why) — for known-pathological
 (SF, oracle) combinations like a transitive-closure CTE over a
@@ -66,6 +69,16 @@ def _row_key(row: tuple):
     return tuple((v is None, v) for v in row)
 
 
+def resumable(rec: dict) -> bool:
+    """True if a recorded sweep line counts as DONE on resume: passes
+    (match true or rows-only) and deliberate skips. Failures re-run."""
+    return "skip" in rec or (
+        "spark_err" not in rec
+        and "oracle_err" not in rec
+        and rec.get("match") is not False
+    )
+
+
 def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:
@@ -93,17 +106,11 @@ def main() -> None:
                 name = rec["q"]
             except (ValueError, KeyError):
                 continue
-            # resume past PASSES and deliberate skips only: a recorded
-            # failure (spark_err / oracle_err / match=False) re-runs, so
-            # a sweep restarted after a fix re-verifies the fixed query
-            # instead of silently skipping it (the fresh record appends;
-            # readers take the LAST record per query)
-            if "skip" in rec or (
-                "spark_err" not in rec
-                and "oracle_err" not in rec
-                and rec.get("match") is not False
-            ):
+            if resumable(rec):
                 done.add(name)
+            else:
+                # a later (fixed) record for the same query still resumes
+                done.discard(name)
 
     spark = get_spark(app_name="registry-sweep", master="local[32]", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
