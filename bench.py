@@ -7,6 +7,14 @@ Prints ONE JSON line:
 Each query is materialized with the ``noop`` sink (full execution, no
 driver collect) and timed wall-clock. A warmup run of the cheapest query
 absorbs JVM/codegen startup so numbers reflect steady-state throughput.
+
+Besides min-of-3 wall seconds, the line carries a ``resource`` map of
+per-query executor counters read from the Spark UI REST API (mean over
+the 3 runs): ``cpu`` (executor CPU seconds), ``shuffle_mb`` (shuffle
+write), ``input_mb`` (scan bytes). Wall time on a shared box swings
+with host load (observed: identical plans, 22-37 s totals across
+runs); the counters are deterministic per plan, so round-over-round
+perf comparisons should read them first and treat wall as the tiebreak.
 """
 
 from __future__ import annotations
@@ -16,6 +24,7 @@ import os
 import re
 import sys
 import time
+import urllib.request
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
@@ -30,14 +39,57 @@ from batch_data_pipeline_exercise_spark.plans import contract6  # noqa: F401 —
 from batch_data_pipeline_exercise_spark.session import get_spark
 
 
+def _stage_totals(ui_url: str) -> dict[str, float] | None:
+    """Cumulative executor counters summed over completed stages, via the
+    UI REST API. The status store updates asynchronously, so the caller
+    polls this until two reads agree. Returns None if the UI is off."""
+    try:
+        with urllib.request.urlopen(f"{ui_url}/api/v1/applications", timeout=5) as r:
+            app_id = json.load(r)[0]["id"]
+        url = f"{ui_url}/api/v1/applications/{app_id}/stages?status=complete"
+        with urllib.request.urlopen(url, timeout=5) as r:
+            stages = json.load(r)
+    except Exception:
+        return None
+    return {
+        "cpu": sum(s.get("executorCpuTime", 0) for s in stages) / 1e9,
+        "shuffle_mb": sum(s.get("shuffleWriteBytes", 0) for s in stages) / 2**20,
+        "input_mb": sum(s.get("inputBytes", 0) for s in stages) / 2**20,
+        "stages": float(len(stages)),
+    }
+
+
+def _settled_totals(ui_url: str) -> dict[str, float] | None:
+    """Poll until two consecutive reads agree (async status store)."""
+    prev = _stage_totals(ui_url)
+    if prev is None:
+        return None
+    for _ in range(20):
+        time.sleep(0.1)
+        cur = _stage_totals(ui_url)
+        if cur == prev:
+            return cur
+        prev = cur
+    return prev
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
-    spark = get_spark(app_name="bdpe-spark-bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+    spark = get_spark(
+        app_name="bdpe-spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        # the whole bench is ~24 queries x 3 runs x O(10) stages; keep
+        # every stage in the status store so the REST counter deltas
+        # below are exact (default retention evicts at 1000)
+        extra_conf={"spark.ui.retainedStages": "100000", "spark.ui.retainedJobs": "100000"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
+    ui_url = spark.sparkContext.uiWebUrl
 
     headline = [q for q in contract.REGISTRY.values() if q.bench]
 
@@ -48,6 +100,8 @@ def main() -> None:
     # broadcast-build / JIT noise so numbers reflect steady-state (n=2
     # mean showed ±20% drift on sub-second queries round-over-round)
     timings: dict[str, float] = {}
+    resource: dict[str, dict[str, float]] = {}
+    prev = _settled_totals(ui_url)
     for q in headline:
         best = float("inf")
         for _ in range(3):
@@ -55,18 +109,26 @@ def main() -> None:
             q.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)
         timings[q.name] = round(best, 3)
+        if prev is not None:
+            cur = _settled_totals(ui_url)
+            if cur is not None:
+                # mean over the 3 identical runs — per-run plan cost
+                resource[q.name] = {
+                    k: round((cur[k] - prev[k]) / 3, 3) for k in ("cpu", "shuffle_mb", "input_mb")
+                }
+            prev = cur
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if resource:
+        out["resource"] = resource
+        out["cpu_total_sec"] = round(sum(r["cpu"] for r in resource.values()), 3)
+    print(json.dumps(out))
     spark.stop()
 
 
