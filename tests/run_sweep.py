@@ -116,7 +116,6 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     con = duck_connect(sf_dir)
 
-    n_match = n_rows_only = n_fail = 0
     with out.open("a") as fh:
         for name, q in sorted(contract.REGISTRY.items()):
             if name in done:
@@ -134,7 +133,6 @@ def main() -> None:
                 rec["t"] = round(time.time() - t0, 1)
                 fh.write(json.dumps(rec) + "\n")
                 fh.flush()
-                n_fail += 1
                 continue
             rec["ts"] = round(time.time() - t0, 1)
             if q.oracle:
@@ -146,12 +144,9 @@ def main() -> None:
                     rec["t"] = round(time.time() - t0, 1)
                     fh.write(json.dumps(rec) + "\n")
                     fh.flush()
-                    n_fail += 1
                     continue
                 rec["td"] = round(time.time() - t1, 1)
                 rec["match"] = srows == drows
-                n_match += rec["match"]
-                n_fail += not rec["match"]
                 if not rec["match"]:
                     # a bounded sample of (spark_row, oracle_row) at the
                     # first diverging sorted positions — enough to see a
@@ -166,11 +161,25 @@ def main() -> None:
                     rec["diff"] = sample
             else:
                 rec["match"] = None
-                n_rows_only += 1
             rec["n"] = len(srows)
             rec["t"] = round(time.time() - t0, 1)
             fh.write(json.dumps(rec) + "\n")
             fh.flush()
+
+    # summarize the WHOLE evidence file (last record per query), not just
+    # this process's remainder — a resumed sweep otherwise reports only
+    # the queries it happened to run
+    final: dict[str, dict] = {}
+    for line in out.read_text().splitlines():
+        try:
+            rec = json.loads(line)
+            final[rec["q"]] = rec
+        except (ValueError, KeyError):
+            pass
+    n_match = sum(1 for r in final.values() if r.get("match") is True)
+    n_rows_only = sum(1 for r in final.values() if "n" in r and r.get("match") is None)
+    n_skip = sum(1 for r in final.values() if "skip" in r)
+    n_fail = len(final) - n_match - n_rows_only - n_skip
     print(
         json.dumps(
             {
@@ -179,6 +188,7 @@ def main() -> None:
                 "resumed_past": len(done),
                 "oracle_match": n_match,
                 "rows_only": n_rows_only,
+                "skipped": n_skip,
                 "failures": n_fail,
                 "out": str(out),
             }
