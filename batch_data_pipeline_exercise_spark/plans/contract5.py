@@ -215,8 +215,25 @@ def corpus_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def contamination_bloom_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    grams = d.select("doc_id", F.explode(text.word_ngrams("text", 5)).alias("g")).distinct()
-    eval_grams = grams.filter(F.col("doc_id") % 10 == 0).select("g").distinct()
+    # Pin the gram table ONCE: it fans out to three consumers (the Bloom
+    # build via eval_grams, the pruned train side, and the final exact
+    # join's eval side), and Spark has no common-subtree elimination
+    # across join branches — unpinned, the tokenize→5-gram→distinct
+    # pipeline executes three times. Measured at sf0.1 (executor-CPU,
+    # min-of-3 wall): 23.5 → 16.1 CPU s and 2.31 → 1.76 s wall for this
+    # pin plus the eval_grams pin below. At cluster scale this is the
+    # "materialize the gram table" write between the screen's scan
+    # stage and its join stages.
+    grams = (
+        d.select("doc_id", F.explode(text.word_ngrams("text", 5)).alias("g"))
+        .distinct()
+        .localCheckpoint()
+    )
+    # eval_grams also has two consumers (Bloom build, final exact join):
+    # pin the small distinct-gram side rather than shuffle it twice
+    eval_grams = (
+        grams.filter(F.col("doc_id") % 10 == 0).select("g").distinct().localCheckpoint()
+    )
     train = grams.filter(F.col("doc_id") % 10 != 0)
     bf = bloom.bloom_build(eval_grams, "g", m_bits=1 << 18, k=3)
     pruned = bloom.bloom_prune(train, "g", bf)
