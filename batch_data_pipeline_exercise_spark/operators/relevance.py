@@ -67,7 +67,13 @@ def bm25_scores(
     — every operand IEEE double arithmetic in list order, reproducible
     bit-for-bit by any engine that mirrors the expression.
     """
-    toks = tokenize(text_col)
+    # materialize the token array ONCE as a real column: each tf_<term>
+    # column (and dl) references it, and an inlined tokenize() subtree
+    # would re-run the regex tokenization per term per row. The split
+    # projection survives CollapseProject because the alias is non-cheap
+    # and multiply-referenced (same discipline as minhash_signatures).
+    tk = df.select(F.col(id_col), tokenize(text_col).alias("__toks"))
+    toks = F.col("__toks")
 
     def _eq(term: str):
         # closure, not a default-arg lambda: pyspark derives the callback
@@ -77,7 +83,7 @@ def bm25_scores(
 
     tf_cols = [F.size(F.filter(toks, _eq(t))).cast("bigint").alias(f"tf_{t}") for t in terms]
     dl = F.filter(toks, lambda x: F.length(x) > 0)
-    base = df.select(F.col(id_col), *tf_cols, F.size(dl).cast("bigint").alias("dl"))
+    base = tk.select(F.col(id_col), *tf_cols, F.size(dl).cast("bigint").alias("dl"))
 
     stats = base.agg(
         F.count(F.lit(1)).alias("__n_docs"),

@@ -215,20 +215,41 @@ def tokenize(text_col: str = "text") -> Column:
     return F.split(normalize_ws(text_col), " ")
 
 
+def bind_once(value, build):
+    """Evaluate ``value`` ONCE per row and hand it to ``build`` as a
+    lambda variable: ``transform(array(value), v -> build(v))[0]``.
+
+    Why this exists: referencing a Column subtree from inside a
+    higher-order-function lambda EMBEDS the subtree in the lambda body,
+    so it re-evaluates per array element. For ``transform(sequence(0,
+    size(toks)), i -> slice(toks, ...))`` with ``toks`` a regex
+    tokenization, that is one full-text regex pass PER TOKEN — O(len²)
+    per document. Binding through a one-element transform makes ``v``
+    a NamedLambdaVariable (a per-row slot read), restoring O(len).
+    Measured on the shingle/gram kernels at sf0.1: 7.45 → 1.97 and
+    8.93 → 2.18 executor-CPU s, byte-identical output multisets."""
+    return F.transform(F.array(value), build)[0]
+
+
 def word_ngrams(text_col: str = "text", n: int = 5):
     """Array of word n-grams over whitespace tokens; windows that would
     run past the document end are dropped (no short tail grams). The
     SINGLE definition behind every gram-based screen — contamination,
     bloom pruning, novelty — and their oracles\' gram CTE; keep the
     DuckDB twin (list_slice over range, i + n <= len(tk)) in lockstep."""
-    toks = tokenize(text_col)
-    return F.filter(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-            lambda i: F.when(i + n <= F.size(toks), F.concat_ws(" ", F.slice(toks, i + 1, n))),
-        ),
-        lambda g: g.isNotNull(),
-    )
+
+    def build(tk):
+        return F.filter(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(tk) - n, F.lit(0))),
+                lambda i: F.when(i + n <= F.size(tk), F.concat_ws(" ", F.slice(tk, i + 1, n))),
+            ),
+            lambda g: g.isNotNull(),
+        )
+
+    # tokenize() must be BOUND, not referenced, inside the lambdas — see
+    # bind_once: unbound, the regex tokenization re-runs per gram.
+    return bind_once(tokenize(text_col), build)
 
 
 def chunk_documents(

@@ -179,3 +179,57 @@ def test_top_tokens_rank_and_ties(spark):
     assert rows[("en", 2)] == ("y", 2)
     assert rows[("fr", 1)] == ("b", 2)
     assert rows[("fr", 2)] == ("a", 1)
+
+
+def test_shingle_kernels_bind_once_edge_cases(spark):
+    """The gram/shingle kernels bind the tokenized array once per row
+    (text.bind_once) instead of re-evaluating the tokenize regex per
+    element. Values must be unchanged — pin the exact outputs on the
+    edge rows where the binding could plausibly diverge (NULL, empty,
+    whitespace-only, shorter-than-n, exactly-n)."""
+    rows = [
+        (1, None),
+        (2, ""),
+        (3, "   "),
+        (4, "one"),
+        (5, "one two"),
+        (6, "one two three four"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # word_shingles keeps short tail windows (slice past the end)
+    got = sorted(
+        (r["id"], r["shingle"])
+        for r in dedup.word_shingles(df, "doc_id", "text", n=3, distinct=False).collect()
+    )
+    assert got == [
+        (4, "one"),
+        (5, "one two"),
+        (6, "one two three"),
+        (6, "two three four"),
+    ]
+
+    # word_ngrams drops windows that would run past the end
+    got = sorted(
+        (r["doc_id"], r["g"])
+        for r in df.select("doc_id", F.explode(text.word_ngrams("text", 3)).alias("g"))
+        .filter(F.length("g") > 0)
+        .collect()
+    )
+    assert got == [(6, "one two three"), (6, "two three four")]
+
+    # char_shingles: every n-char window of the ws-normalized text
+    got = sorted(
+        (r["id"], r["shingle"])
+        for r in dedup.char_shingles(df, "doc_id", "text", n=3, distinct=False).collect()
+    )
+    expect = []
+    for i, t in rows:
+        if t is None:
+            continue
+        norm = " ".join(t.lower().split())
+        for s in range(max(len(norm) - 2, 1)):
+            sh = norm[s : s + 3]
+            if sh:
+                expect.append((i, sh))
+    assert got == sorted(expect)
