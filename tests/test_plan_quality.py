@@ -53,6 +53,33 @@ def unpartitioned_window_specs(plan: str) -> list[str]:
     return found
 
 
+# Expensive expressions that must never appear INSIDE a higher-order
+# function's lambda body: a Column subtree referenced from a lambda is
+# embedded there and re-evaluates PER ARRAY ELEMENT — the O(len²)
+# pathology fixed in round 8 (text.bind_once). Regexes and digests over
+# per-row data belong OUTSIDE the lambda, bound once.
+EXPENSIVE_IN_LAMBDA = ("regexp_", "md5(", "sha", "xxhash64(", "levenshtein(", "conv(")
+
+
+def expensive_lambda_bodies(plan: str) -> list[str]:
+    """``lambdafunction(...)`` spans whose balanced-paren body mentions an
+    EXPENSIVE_IN_LAMBDA needle."""
+    found, i, needle = [], 0, "lambdafunction("
+    while (j := plan.find(needle, i)) >= 0:
+        k, depth = j + len(needle), 1
+        while k < len(plan) and depth > 0:
+            if plan[k] == "(":
+                depth += 1
+            elif plan[k] == ")":
+                depth -= 1
+            k += 1
+        body = plan[j:k]
+        if any(n in body for n in EXPENSIVE_IN_LAMBDA):
+            found.append(body[:400])
+        i = k
+    return found
+
+
 @pytest.mark.parametrize("name", sorted(contract.REGISTRY))
 def test_plan_is_scale_safe(spark, sf_dir, name):
     q = contract.REGISTRY[name]
@@ -62,6 +89,12 @@ def test_plan_is_scale_safe(spark, sf_dir, name):
             assert bad not in plan, f"{name}: {bad} in physical plan\n{plan}"
     unpart = unpartitioned_window_specs(plan)
     assert not unpart, f"{name}: unpartitioned (global) window in physical plan:\n" + "\n".join(unpart)
+    hot = expensive_lambda_bodies(plan)
+    assert not hot, (
+        f"{name}: expensive expression inside a HOF lambda (re-evaluates per "
+        f"array element — bind it once via text.bind_once or a materialized "
+        f"column):\n" + "\n".join(hot)
+    )
 
 
 def test_quadratic_allowlist_is_small():
