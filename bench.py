@@ -60,16 +60,21 @@ def _stage_totals(ui_url: str) -> dict[str, float] | None:
 
 
 def _settled_totals(ui_url: str) -> dict[str, float] | None:
-    """Poll until two consecutive reads agree (async status store)."""
+    """Poll until three consecutive reads agree (the status store drains
+    its event queue asynchronously; a 2-read check can observe a
+    stable-but-stale view mid-drain and misattribute a stage's cost to
+    the neighboring query)."""
     prev = _stage_totals(ui_url)
     if prev is None:
         return None
-    for _ in range(20):
-        time.sleep(0.1)
+    stable = 0
+    for _ in range(40):
+        time.sleep(0.25)
         cur = _stage_totals(ui_url)
-        if cur == prev:
-            return cur
+        stable = stable + 1 if cur == prev else 0
         prev = cur
+        if stable >= 2:
+            return cur
     return prev
 
 
