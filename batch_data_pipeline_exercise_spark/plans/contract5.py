@@ -1093,14 +1093,23 @@ _NOVELTY_SPLIT = 40  # docs below are "already ingested", at/above are the new b
 )
 def doc_incremental_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    grams = d.select("doc_id", F.explode(text.word_ngrams("text", 5)).alias("g")).distinct()
+    # pin the DISTINCT gram table once: both the prior-index build and
+    # the new-batch side consume it, and the subtree contains the gram
+    # distinct shuffle — the pin-pays case (unlike the cheap exploded
+    # streams; see SCALE.md pin-vs-recompute). Replaces the downstream
+    # new_grams pin, which only covered one of the two consumers.
+    grams = (
+        d.select("doc_id", F.explode(text.word_ngrams("text", 5)).alias("g"))
+        .distinct()
+        .localCheckpoint()
+    )
     # the stored index a production pipeline would read from the warehouse
     prior_index = (
         grams.filter(F.col("doc_id") < _NOVELTY_SPLIT)
         .groupBy("g")
         .agg(F.min("doc_id").alias("prior_first"))
     )
-    new_grams = grams.filter(F.col("doc_id") >= _NOVELTY_SPLIT).localCheckpoint()
+    new_grams = grams.filter(F.col("doc_id") >= _NOVELTY_SPLIT)
     first_new = new_grams.groupBy("g").agg(F.min("doc_id").alias("first_new"))
     flagged = (
         new_grams.join(first_new, "g")
