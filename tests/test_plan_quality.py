@@ -58,7 +58,7 @@ def unpartitioned_window_specs(plan: str) -> list[str]:
 # embedded there and re-evaluates PER ARRAY ELEMENT — the O(len²)
 # pathology fixed in round 8 (text.bind_once). Regexes and digests over
 # per-row data belong OUTSIDE the lambda, bound once.
-EXPENSIVE_IN_LAMBDA = ("regexp_", "md5(", "sha", "xxhash64(", "levenshtein(", "conv(")
+EXPENSIVE_IN_LAMBDA = ("regexp_", "md5(", "sha1(", "sha2(", "xxhash64(", "levenshtein(", "conv(")
 
 
 def expensive_lambda_bodies(plan: str) -> list[str]:
