@@ -252,35 +252,72 @@ def ngram_jaccard_pairs(
     in more than ``max_df`` docs are dropped from candidate GENERATION
     only (a df-K frequent shingle contributes up to df² candidate rows
     but almost no discrimination — every doc has it), capping the join
-    at ``max_df × |shingle rows|`` output rows. Verification is
-    untouched: ``exact_jaccard`` still intersects the FULL shingle
-    sets, so every reported jaccard value is exact. The one semantic
+    at ``max_df × |shingle rows|`` output rows. The one semantic
     change is precisely stated: a pair is reported iff it shares at
     least one shingle with df ≤ max_df — a pair whose overlap is
     exclusively boilerplate (every shared shingle in > max_df docs)
     is skipped, which for near-dup thresholds is the pair you did not
     want anyway. This is what lets the exact baseline DEGRADE instead
     of dying at scale (the sf1 sweep's uncapped run OOMed its
-    candidate aggregate; see SCALE.md)."""
+    candidate aggregate; see SCALE.md).
+
+    Jaccard values stay EXACT over the FULL shingle sets by a split
+    intersection: |A∩B| = shared-rare + shared-frequent. The rare term
+    falls out of the candidate join itself (aggregate its rows per pair
+    instead of distinct-then-reintersect), and only the frequent-side
+    shingles — by construction a per-doc handful — need a per-pair
+    join. Replacing the old full-set ``exact_jaccard`` re-intersection
+    with this split measured 105 → ~30 executor-CPU s at sf0.1 with
+    byte-identical output (at that SF no shingle exceeds df 64, so the
+    frequent term is empty and the re-intersection was pure re-work)."""
     sh = word_shingles(df, id_col, text_col, n).localCheckpoint()
-    gen = sh
+    gen, freq_sh = sh, None
     if max_df is not None:
-        rare = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .filter(F.col("__df") <= max_df)
-            .select("shingle")
+        dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+        gen = sh.join(
+            dfreq.filter(F.col("__df") <= max_df).select("shingle"), "shingle", "left_semi"
         )
-        gen = sh.join(rare, "shingle", "left_semi")
+        freq_sh = sh.join(
+            dfreq.filter(F.col("__df") > max_df).select("shingle"), "shingle", "left_semi"
+        )
     a, b = gen.alias("a"), gen.alias("b")
-    pairs = (
+    # one row per (pair, shared generation shingle): counting them IS the
+    # rare-side intersection — no distinct + re-join round trip
+    ni_rare = (
         a.join(b, "shingle")
         .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
-        .distinct()
+        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("__ni_r"))
         .localCheckpoint()
     )
-    return exact_jaccard(pairs, sh).filter(F.col("jaccard") >= threshold)
+    ni = ni_rare.withColumn("__ni", F.col("__ni_r"))
+    if freq_sh is not None:
+        fa = freq_sh.select(F.col("id").alias("id1"), "shingle")
+        fb = freq_sh.select(F.col("id").alias("id2"), "shingle")
+        ni_freq = (
+            ni_rare.select("id1", "id2")
+            .join(fa, "id1")
+            .join(fb, ["id2", "shingle"])
+            .groupBy("id1", "id2")
+            .agg(F.count(F.lit(1)).alias("__ni_f"))
+        )
+        ni = (
+            ni_rare.join(ni_freq, ["id1", "id2"], "left")
+            .na.fill({"__ni_f": 0})
+            .withColumn("__ni", F.col("__ni_r") + F.col("__ni_f"))
+        )
+    counts = sh.groupBy("id").agg(F.count(F.lit(1)).alias("__n"))
+    c1 = counts.select(F.col("id").alias("id1"), F.col("__n").alias("__n1"))
+    c2 = counts.select(F.col("id").alias("id2"), F.col("__n").alias("__n2"))
+    return (
+        ni.join(c1, "id1")
+        .join(c2, "id2")
+        .withColumn(
+            "jaccard", F.col("__ni") / (F.col("__n1") + F.col("__n2") - F.col("__ni"))
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
 
 
 # ---------------------------------------------------------------------------
