@@ -314,12 +314,21 @@ def cosine_topk_ivf(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     centroids: DataFrame | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via inverted-file probing: each query scans only
     its ``n_probe`` nearest cells (≈ n_probe/n_cells of the corpus).
     Same output schema as the brute-force variant; recall grows with
-    n_probe. ``centroids`` as in ``ivf_assign``."""
-    assigned, centroids = ivf_assign(embeddings, n_cells, id_col, vec_col, centroids)
+    n_probe. ``centroids`` as in ``ivf_assign``. A precomputed (ideally
+    pinned) ``assigned`` table from ``ivf_assign`` can be passed together
+    with its ``centroids`` so callers that also audit the assignment
+    don't pay the n×k scoring pass twice."""
+    if assigned is None:
+        assigned, centroids = ivf_assign(embeddings, n_cells, id_col, vec_col, centroids)
+    elif centroids is None:
+        raise ValueError("assigned requires the matching centroids table")
+    elif "__c" not in centroids.columns:
+        centroids = centroids.select("cell", F.col(vec_col).cast("array<double>").alias("__c"))
     q = queries.select(F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("__q"))
     q = q.withColumn("__nq", _norm(F.col("__q").cast("array<double>")))
     q_cells = (
@@ -353,6 +362,63 @@ def cosine_topk_ivf(
     )
     w2 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w2)).filter(F.col("rank") <= k)
+
+
+def ivf_assignment_audit(assigned: DataFrame, centroids: DataFrame) -> DataFrame:
+    """One-row invariant audit for an IVF assignment — the value-level
+    signal for queries whose centroids are not bit-reproducible (trained
+    k-means sums doubles in shuffle order, so the usual value-hash oracle
+    cannot apply; see ``kmeans_centroids``). Columns, all pinnable:
+
+    - ``assign_is_argmax`` — every point's assigned cell attains the max
+      cosine over the final centroid table, re-derived through an
+      independent aggregation path (``max`` over cells vs the windowed
+      pick inside ``ivf_assign``). Catches NaN/Inf poisoning of the
+      scoring fold: a NaN cosine fails ``x >= max - eps``.
+    - ``centroids_finite`` — no centroid component is NaN/±Inf (a lost
+      cell dividing 0/0 or an overflowing mean would trip this).
+    - ``n_cells_nonempty`` — distinct cells holding ≥1 point; content the
+      rows-only check materializes (collapse-to-one-cell regressions show
+      here).
+
+    Cost: one bounded n×k scoring pass over ``assigned`` (pass a PINNED
+    assignment so the pass reads the checkpoint, not the full lineage)
+    plus a k-row centroid scan.
+    """
+    if "__c" not in centroids.columns:
+        raise ValueError("centroids must carry the __c vector column")
+    cent_n = F.broadcast(centroids.withColumn("__cn", _norm(F.col("__c"))))
+    rescored = (
+        assigned.select("id", F.col("__v").cast("array<double>").alias("__vd"), "__nv", "cell")
+        .join(cent_n.select(F.col("cell").alias("__cell2"), "__c", "__cn"))
+        .select(
+            "id",
+            "cell",
+            "__cell2",
+            (_dot(F.col("__vd"), F.col("__c")) / (F.col("__nv") * F.col("__cn"))).alias("__cos"),
+        )
+    )
+    per_point = rescored.groupBy("id").agg(
+        F.max("__cos").alias("__mx"),
+        F.max(F.when(F.col("cell") == F.col("__cell2"), F.col("__cos"))).alias("__picked"),
+    )
+    argmax_ok = per_point.agg(
+        F.min(
+            F.col("__picked").isNotNull()
+            & ~F.isnan("__picked")
+            & (F.col("__picked") >= F.col("__mx") - F.lit(1e-12))
+        ).alias("assign_is_argmax")
+    )
+    finite = centroids.agg(
+        F.min(
+            F.forall(
+                F.col("__c"),
+                lambda x: ~F.isnan(x) & (x < F.lit(float("inf"))) & (x > F.lit(float("-inf"))),
+            )
+        ).alias("centroids_finite")
+    )
+    cells = assigned.agg(F.countDistinct("cell").alias("n_cells_nonempty"))
+    return argmax_ok.join(F.broadcast(finite)).join(F.broadcast(cells))
 
 
 def embedding_near_dup_pairs(

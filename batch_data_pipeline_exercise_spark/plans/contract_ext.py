@@ -878,23 +878,35 @@ def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_cosine_topk_ivf_kmeans",
     oracle=None,
-    doc="IVF probing over TRAINED centroids: 3 rounds of distributed "
-    "spherical k-means (operators/similarity.py kmeans_centroids) replace "
+    doc="IVF probing over TRAINED centroids: one round of distributed "
+    "spherical k-means (operators/similarity.py kmeans_centroids) over "
     "the lowest-id seed cells, then the same probe-4-of-16 search. "
     "Rows-only check BY DESIGN: per-cell means sum doubles in shuffle "
     "order, so centroid bits (and hence approximate ranks) are not "
     "engine-reproducible — the documented boundary for any distributed "
-    "k-means. Output shape is stable: 10 queries x top-10.",
+    "k-means. To give the rows-only verdict value-level content, every "
+    "output row carries three pinned invariants re-derived in-plan "
+    "(similarity.ivf_assignment_audit): assign_is_argmax=TRUE, "
+    "centroids_finite=TRUE, n_cells_nonempty (all 16 cells hold points "
+    "at every shipped sf) — a NaN fold, lost cell, or broken tie rule "
+    "flips them. The assignment is scored ONCE (pinned) and shared by "
+    "the search and the audit. Output shape is stable: 10 queries x "
+    "top-10 x (3 invariant columns).",
     allow_quadratic=True,
 )
 def ann_cosine_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
-    cent = similarity.kmeans_centroids(e, k=16, n_iter=3)
+    cent = similarity.kmeans_centroids(e, k=16, n_iter=1)
+    assigned, cent = similarity.ivf_assign(e, centroids=cent)
+    assigned = assigned.localCheckpoint()  # shared by search + audit
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    out = similarity.cosine_topk_ivf(e, q, k=10, n_cells=16, n_probe=4, centroids=cent)
-    return out.select("query_id", "neighbor_id", "rank")
+    out = similarity.cosine_topk_ivf(
+        e, q, k=10, n_cells=16, n_probe=4, centroids=cent, assigned=assigned
+    )
+    audit = similarity.ivf_assignment_audit(assigned, cent)
+    return out.select("query_id", "neighbor_id", "rank").join(F.broadcast(audit))
 
 
 # embeddings.parquet vector width (TESTDATA.md) — a plan-time constant so

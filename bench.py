@@ -1,15 +1,18 @@
 #!/usr/bin/env python
 """Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
+Prints the bulky per-query ``resource`` map as its own JSON line first,
+then the compact headline as the LAST line of stdout:
 ``{"metric": ..., "value": N, "unit": "sec", "queries": {name: sec}, "sf": ...}``
+(the driver tail-captures stdout with a fixed window, so the headline
+must stay small and last).
 
 Each query is materialized with the ``noop`` sink (full execution, no
 driver collect) and timed wall-clock. A warmup run of the cheapest query
 absorbs JVM/codegen startup so numbers reflect steady-state throughput.
 
-Besides min-of-3 wall seconds, the line carries a ``resource`` map of
-per-query executor counters read from the Spark UI REST API (mean over
+Besides min-of-3 wall seconds, the detail line carries a ``resource`` map
+of per-query executor counters read from the Spark UI REST API (mean over
 the 3 runs): ``cpu`` (executor CPU seconds), ``shuffle_mb`` (shuffle
 write), ``input_mb`` (scan bytes). Wall time on a shared box swings
 with host load (observed: identical plans, 22-37 s totals across
@@ -106,6 +109,7 @@ def main() -> None:
     # mean showed ±20% drift on sub-second queries round-over-round)
     timings: dict[str, float] = {}
     resource: dict[str, dict[str, float]] = {}
+    resource_partial = False
     prev = _settled_totals(ui_url)
     for q in headline:
         best = float("inf")
@@ -121,7 +125,25 @@ def main() -> None:
                 resource[q.name] = {
                     k: round((cur[k] - prev[k]) / 3, 3) for k in ("cpu", "shuffle_mb", "input_mb")
                 }
-            prev = cur
+                prev = cur
+            else:
+                # transient UI read failure: keep the last good baseline so
+                # collection resumes on the next query (the skipped delta
+                # would be misattributed, so this query is just missing)
+                resource_partial = True
+
+    # The resource map is bulky and the driver's tail capture has a fixed
+    # window; emit it on its own line FIRST so the compact headline JSON
+    # below is always the intact last line of stdout (round-8 lesson:
+    # one giant line got front-truncated and the headline never parsed).
+    if resource:
+        detail = {
+            "resource": resource,
+            "cpu_total_sec": round(sum(r["cpu"] for r in resource.values()), 3),
+        }
+        if resource_partial:
+            detail["resource_partial"] = True
+        print(json.dumps(detail))
 
     out = {
         "metric": "headline_queries_total_wall",
@@ -131,7 +153,6 @@ def main() -> None:
         "sf": sf,
     }
     if resource:
-        out["resource"] = resource
         out["cpu_total_sec"] = round(sum(r["cpu"] for r in resource.values()), 3)
     print(json.dumps(out))
     spark.stop()

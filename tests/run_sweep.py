@@ -71,9 +71,14 @@ def _row_key(row: tuple):
 
 def resumable(rec: dict) -> bool:
     """True if a recorded sweep line counts as DONE on resume: passes
-    (match true or rows-only) and deliberate skips. Failures re-run."""
+    (match true or rows-only) and deliberate skips. Failures re-run.
+    Requires an AFFIRMATIVE completion marker (``skip`` or the ``n``
+    row count every completed run records) — a truncated-but-valid
+    record like ``{"q": "x"}`` from a killed run's partial flush must
+    re-run, not silently count as done."""
     return "skip" in rec or (
-        "spark_err" not in rec
+        "n" in rec
+        and "spark_err" not in rec
         and "oracle_err" not in rec
         and rec.get("match") is not False
     )

@@ -113,10 +113,40 @@ def test_kmeans_ivf_recall_at_least_seeded(spark):
     exact = similarity.cosine_topk_bruteforce(vecs, queries, k=10)
     exact_ids = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
 
-    trained = similarity.kmeans_centroids(vecs, k=6, n_iter=3)
+    # n_iter=1 mirrors the registry query (ann_cosine_topk_ivf_kmeans):
+    # one Lloyd round from lowest-id seeds is the smallest training that
+    # keeps recall here — the round-9 CPU-cut floor
+    trained = similarity.kmeans_centroids(vecs, k=6, n_iter=1)
     approx = similarity.cosine_topk_ivf(vecs, queries, k=10, n_cells=6, n_probe=2, centroids=trained)
     got = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     recall = len(exact_ids & got) / len(exact_ids)
     # blob data: trained cells align with blobs; probing 2/6 cells must
     # recover the home blob, i.e. near-total recall
     assert recall >= 0.9, recall
+
+
+def test_ivf_assignment_audit_invariants(spark):
+    rng = random.Random(11)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(200)]
+    vecs = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    cent = similarity.kmeans_centroids(vecs, k=4, n_iter=1)
+    assigned, cent = similarity.ivf_assign(vecs, centroids=cent)
+    audit = similarity.ivf_assignment_audit(assigned, cent).first()
+    assert audit["assign_is_argmax"] is True
+    assert audit["centroids_finite"] is True
+    assert 1 <= audit["n_cells_nonempty"] <= 4
+
+
+def test_ivf_assignment_audit_catches_poisoned_centroid(spark):
+    # a NaN centroid component must flip centroids_finite AND
+    # assign_is_argmax (NaN cosine fails the >= re-check) — proves the
+    # audit is falsifiable, not a tautology of the windowed pick
+    rows = [(i, [float(i % 3 + 1), 1.0]) for i in range(20)]
+    vecs = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    cent = spark.createDataFrame(
+        [(0, [1.0, 0.5]), (1, [float("nan"), 1.0])], "cell int, __c array<double>"
+    )
+    assigned, cent = similarity.ivf_assign(vecs, centroids=cent)
+    audit = similarity.ivf_assignment_audit(assigned, cent).first()
+    assert audit["centroids_finite"] is False
+    assert audit["assign_is_argmax"] is False

@@ -21,13 +21,22 @@ def test_failures_rerun():
     assert not resumable({"q": "c", "match": False, "n": 3, "t": 0.1, "diff": []})
 
 
+def test_truncated_records_rerun():
+    """A killed run's partial flush (or an older record format) can leave
+    a parseable line with no completion marker — it must re-run, not
+    count as done."""
+    assert not resumable({"q": "x"})
+    assert not resumable({"q": "x", "t": 0.1})
+    assert not resumable({"q": "x", "ts": 2.0})  # spark done, oracle never ran
+
+
 def test_last_record_wins():
     """Replaying the file in order: fail-then-pass resumes, pass-then-fail
     re-runs — mirrors main()'s add/discard fold."""
     records = [
-        {"q": "fixed", "match": False},
-        {"q": "fixed", "match": True},
-        {"q": "regressed", "match": True},
+        {"q": "fixed", "match": False, "n": 3},
+        {"q": "fixed", "match": True, "n": 3},
+        {"q": "regressed", "match": True, "n": 3},
         {"q": "regressed", "spark_err": "x"},
     ]
     done: set[str] = set()
