@@ -430,6 +430,7 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via MULTI-BAND sign-bit LSH
     (the minhash-band construction transplanted to random hyperplanes):
@@ -448,16 +449,16 @@ def embedding_near_dup_pairs(
     ceiling and degenerated toward the quadratic join at ~10^9 vectors.
 
     Pass ``dim`` explicitly in pipelines — the ``.first()`` fallback costs
-    one extra Spark action to probe the vector width."""
+    one extra Spark action to probe the vector width.
+
+    ``bucket_cap`` (default ``SIGN_BUCKET_CAP``) is the per-bucket
+    occupancy guardrail — see ``_bucketed_self_pairs``: over-cap buckets
+    contribute the identical pairs through a chunk-split so one
+    degenerate bucket cannot pin an executor core; output is
+    byte-identical at any cap."""
     vecs = banded_sign_sketch(embeddings, bands, rows_per_band, seed, id_col, vec_col, dim)
     bk = _explode_band_keys(vecs)
-    cand = (
-        bk.alias("a")
-        .join(bk.alias("b"), ["band", "key"])
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
-        .distinct()
-    )
+    cand = _bucketed_self_pairs(bk, bucket_cap).distinct()
     return _verify_cosine_pairs(cand, vecs, threshold)
 
 
@@ -540,6 +541,85 @@ def _explode_band_keys(vecs: DataFrame) -> DataFrame:
     )
 
 
+#: per-(band, key) occupancy above which the band-key self-join switches
+#: to the chunk-split (triangle) path. Chosen > the max occupancy observed
+#: at the shipped test SFs (36 at sf0.1; 285 at the 10× local scale-up)
+#: so small corpora never pay the split, while a degenerate bucket at
+#: 100 TB is spread over ceil(m/cap)² tasks instead of landing m²/2
+#: candidate rows on ONE executor core.
+SIGN_BUCKET_CAP = 512
+
+
+def _bucketed_self_pairs(bk: DataFrame, cap: int | None = None) -> DataFrame:
+    """Candidate pairs (id1 < id2) from a band-key table via the per-bucket
+    equi self-join, with an OCCUPANCY GUARDRAIL: buckets holding more than
+    ``cap`` members are handled by a triangle chunk-split that emits the
+    IDENTICAL pair set across ceil(m/cap)·(ceil(m/cap)+1)/2 join tasks.
+
+    The skew problem this solves is invisible to AQE: a hot bucket is a
+    few hundred INPUT rows (far under any skewed-partition byte
+    threshold) that explodes into m²/2 OUTPUT rows inside one task — AQE
+    splits on input size, so the explosion lands on one core. The split
+    assigns each over-cap member a deterministic chunk c = xxhash64(id)
+    mod n_chunks and meets chunk pairs (i ≤ j) in separate tasks: a
+    member is replicated to its a-side tasks (c, j≥c) and b-side tasks
+    (i≤c, c) — ~2·(m/cap) copies, linear — and every unordered pair
+    meets in exactly the one task (min-chunk, max-chunk) (twice, then
+    deduped, when both ends share a chunk: the caller's any-band
+    ``distinct`` already folds that). Total candidate work is unchanged —
+    these are true candidates the verify stage must score — only its
+    placement changes, so output is byte-identical with or without the
+    cap at every SF (asserted in tests with a cap forced below observed
+    occupancy).
+
+    The over-cap bucket list is at most rows/cap entries by construction
+    — broadcast; under-cap buckets take the plain map-side-filtered
+    self-join, so the only added cost for healthy corpora is one narrow
+    (band, key) count shuffle."""
+    if cap is None:
+        cap = SIGN_BUCKET_CAP
+    over = F.broadcast(
+        bk.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("__occ"))
+        .filter(F.col("__occ") > cap)
+    )
+    small = bk.join(over.select("band", "key"), ["band", "key"], "left_anti")
+    pairs_small = (
+        small.alias("a")
+        .join(small.alias("b"), ["band", "key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+    )
+    member = (
+        bk.join(over, ["band", "key"])
+        .withColumn("__nch", F.ceil(F.col("__occ") / F.lit(cap)).cast("int"))
+        .withColumn("__c", F.pmod(F.xxhash64(F.col("id")), F.col("__nch")).cast("int"))
+    )
+    aside = member.select(
+        "band",
+        "key",
+        "id",
+        F.col("__c").alias("__i"),
+        F.explode(F.sequence(F.col("__c"), F.col("__nch") - 1)).alias("__j"),
+    )
+    bside = member.select(
+        "band",
+        "key",
+        F.col("id").alias("__idb"),
+        F.explode(F.sequence(F.lit(0), F.col("__c"))).alias("__i"),
+        F.col("__c").alias("__j"),
+    )
+    pairs_big = (
+        aside.join(bside, ["band", "key", "__i", "__j"])
+        .filter(F.col("id") != F.col("__idb"))
+        .select(
+            F.least(F.col("id"), F.col("__idb")).alias("id1"),
+            F.greatest(F.col("id"), F.col("__idb")).alias("id2"),
+        )
+    )
+    return pairs_small.unionByName(pairs_big)
+
+
 def _verify_cosine_pairs(cand: DataFrame, vecs: DataFrame, threshold: float) -> DataFrame:
     va = vecs.select(F.col("id").alias("id1"), F.col("__v").alias("__va"), F.col("__n").alias("__na"))
     vb = vecs.select(F.col("id").alias("id2"), F.col("__v").alias("__vb"), F.col("__n").alias("__nb"))
@@ -568,6 +648,7 @@ def incremental_embedding_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    bucket_cap: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Batch-over-batch embedding near-dup detection: sketch ONLY the new
     batch and probe it against the stored sign-sketch index — the
@@ -587,21 +668,13 @@ def incremental_embedding_pairs(
     new_vecs = banded_sign_sketch(new_embeddings, bands, rows_per_band, seed, id_col, vec_col, dim)
     new_bk = _explode_band_keys(new_vecs)
     if prior_index is None:
-        cand = (
-            new_bk.alias("a")
-            .join(new_bk.alias("b"), ["band", "key"])
-            .filter(F.col("a.id") < F.col("b.id"))
-            .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
-            .distinct()
-        )
+        cand = _bucketed_self_pairs(new_bk, bucket_cap).distinct()
         return _verify_cosine_pairs(cand, new_vecs, threshold), new_vecs
     prior_bk = _explode_band_keys(prior_index)
-    new_new = (
-        new_bk.alias("a")
-        .join(new_bk.alias("b"), ["band", "key"])
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
-    )
+    # within-increment pairs take the same occupancy guardrail as the
+    # rebuild; the new×prior probe below is already bounded by increment
+    # occupancy × prior occupancy per bucket (the increment side is small)
+    new_new = _bucketed_self_pairs(new_bk, bucket_cap)
     # one equi probe of the stored index — touches only colliding
     # buckets, never the history's vectors
     cross = (

@@ -68,6 +68,45 @@ def test_embedding_near_dup_pairs(spark, vecs):
     assert len(pairs) == 2  # random gaussians don't fake-pair at 0.99
 
 
+def test_bucket_cap_split_is_byte_identical(spark, sf_dir):
+    """The occupancy guardrail must be placement-only: forcing the cap far
+    BELOW observed occupancy (2, vs max 13 at sf0.001+) re-routes hot
+    buckets through the triangle chunk-split yet must emit the exact
+    same verified pairs as the uncapped plan."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    kw = dict(threshold=0.4, bands=8, rows_per_band=8, seed=42, dim=64)
+    uncapped = {
+        (r["id1"], r["id2"])
+        for r in similarity.embedding_near_dup_pairs(e, bucket_cap=10**9, **kw).collect()
+    }
+    split = {
+        (r["id1"], r["id2"])
+        for r in similarity.embedding_near_dup_pairs(e, bucket_cap=2, **kw).collect()
+    }
+    assert uncapped and split == uncapped
+
+
+def test_bucketed_self_pairs_exhaustive_tiny():
+    """Every unordered pair inside one bucket must appear exactly once
+    after distinct, for chunk counts from 1 (no split) through > members
+    (every chunk singleton)."""
+    import itertools
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    bk = spark.createDataFrame(
+        [(0, 7, i) for i in range(9)], "band int, key bigint, id int"
+    )
+    want = {(a, b) for a, b in itertools.combinations(range(9), 2)}
+    for cap in (1, 2, 4, 8, 100):
+        got = {
+            (r["id1"], r["id2"])
+            for r in similarity._bucketed_self_pairs(bk, cap).distinct().collect()
+        }
+        assert got == want, f"cap={cap}"
+
+
 def test_banded_lsh_recall_vs_exact(spark, sf_dir):
     """Pin the multi-band LSH recall story on the real testdata.
 
