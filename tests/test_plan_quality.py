@@ -35,7 +35,7 @@ def unpartitioned_window_specs(plan: str) -> list[str]:
     found, i, needle = [], 0, "windowspecdefinition("
     while (j := plan.find(needle, i)) >= 0:
         k, depth, first, done = j + len(needle), 1, [], False
-        while k < len(plan) and depth > 0:
+        while k < len(plan) and depth > 0 and plan[k] != "\n":
             ch = plan[k]
             if ch == "(":
                 depth += 1
@@ -63,11 +63,15 @@ EXPENSIVE_IN_LAMBDA = ("regexp_", "md5(", "sha1(", "sha2(", "xxhash64(", "levens
 
 def expensive_lambda_bodies(plan: str) -> list[str]:
     """``lambdafunction(...)`` spans whose balanced-paren body mentions an
-    EXPENSIVE_IN_LAMBDA needle."""
+    EXPENSIVE_IN_LAMBDA needle. A newline is a hard stop: plan-tree
+    expressions are single-line, and Spark's toString elides deep
+    subtrees with ``...`` which unbalances parens — without the stop the
+    scan swallows unrelated tree lines and false-positives on
+    expressions that are not in any lambda."""
     found, i, needle = [], 0, "lambdafunction("
     while (j := plan.find(needle, i)) >= 0:
         k, depth = j + len(needle), 1
-        while k < len(plan) and depth > 0:
+        while k < len(plan) and depth > 0 and plan[k] != "\n":
             if plan[k] == "(":
                 depth += 1
             elif plan[k] == ")":
@@ -80,10 +84,7 @@ def expensive_lambda_bodies(plan: str) -> list[str]:
     return found
 
 
-@pytest.mark.parametrize("name", sorted(contract.REGISTRY))
-def test_plan_is_scale_safe(spark, sf_dir, name):
-    q = contract.REGISTRY[name]
-    plan = q.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+def _assert_scale_safe(name, q, plan):
     if not q.allow_quadratic:
         for bad in QUADRATIC:
             assert bad not in plan, f"{name}: {bad} in physical plan\n{plan}"
@@ -95,6 +96,67 @@ def test_plan_is_scale_safe(spark, sf_dir, name):
         f"array element — bind it once via text.bind_once or a materialized "
         f"column):\n" + "\n".join(hot)
     )
+
+
+@pytest.fixture()
+def wide_plan_strings(spark):
+    """Raise the expression-tree elision threshold while a lint runs:
+    the default maxToStringFields=25 cuts deep subtrees to ``...``,
+    hiding exactly the nested lambda bodies the lint polices."""
+    old = spark.conf.get("spark.sql.debug.maxToStringFields", "25")
+    spark.conf.set("spark.sql.debug.maxToStringFields", "100000")
+    yield
+    spark.conf.set("spark.sql.debug.maxToStringFields", old)
+
+
+@pytest.mark.parametrize("name", sorted(contract.REGISTRY))
+def test_plan_is_scale_safe(spark, sf_dir, name, wide_plan_strings):
+    q = contract.REGISTRY[name]
+    plan = q.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    _assert_scale_safe(name, q, plan)
+
+
+@pytest.mark.parametrize("name", sorted(contract.REGISTRY))
+def test_plan_is_scale_safe_behind_pins(spark, sf_dir, name, monkeypatch, wide_plan_strings):
+    """Same gate, but with localCheckpoint pins DISABLED (identity), so the
+    lint sees the subtrees a pin would truncate at an ExistingRDD scan —
+    e.g. the shingle/tokenize kernels the HOF-lambda lint was written to
+    police are invisible in the pinned plan of contamination_bloom_hits
+    or ngram_jaccard_pairs. Plans are explained, never executed, so the
+    recompute/nondeterminism reasons for pinning don't apply here."""
+    # patch the CONCRETE DataFrame class (pyspark.sql.classic.dataframe in
+    # pyspark 4.x overrides the pyspark.sql.DataFrame ABC's method — patching
+    # the base silently changes nothing)
+    cls = type(spark.range(1))
+    monkeypatch.setattr(cls, "localCheckpoint", lambda self, eager=True: self)
+    q = contract.REGISTRY[name]
+    plan = q.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    _assert_scale_safe(name, q, plan)
+
+
+def test_lambda_lint_catches_planted_violation(spark, wide_plan_strings):
+    """Sensitivity check for the scanner (it was loosened to stop at
+    newlines): a deliberately-bad plan — md5 of a per-row column inside a
+    transform lambda — must still be flagged; the companion case with the
+    expensive expression OUTSIDE any lambda (bound once) must stay
+    clean."""
+    from pyspark.sql import functions as F
+
+    bad = spark.range(3).select(
+        F.transform(
+            F.array(F.lit("a"), F.lit("b")),
+            lambda x: F.md5(F.concat(x, F.col("id").cast("string"))),
+        ).alias("h")
+    )
+    plan = bad._jdf.queryExecution().executedPlan().toString()
+    assert expensive_lambda_bodies(plan), "planted md5-in-lambda not detected"
+
+    good = spark.range(3).select(
+        F.md5(F.col("id").cast("string")).alias("h0"),
+        F.transform(F.array(F.lit("a")), lambda x: F.concat(x, x)).alias("t"),
+    )
+    plan = good._jdf.queryExecution().executedPlan().toString()
+    assert not expensive_lambda_bodies(plan)
 
 
 def test_quadratic_allowlist_is_small():
