@@ -461,7 +461,10 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "corpus":
         import os
 
-        from batch_data_pipeline_exercise_spark.plans.corpus_pipeline import CorpusPipeline
+        from batch_data_pipeline_exercise_spark.plans.corpus_pipeline import (
+            CorpusContractError,
+            CorpusPipeline,
+        )
 
         if not _valid_date(args.ds):
             return _err(f"--ds must be 'YYYY-MM-DD', got {args.ds!r}")
@@ -473,7 +476,7 @@ def main(argv: list[str] | None = None) -> int:
         emb = spark.read.parquet(args.embeddings) if args.embeddings else None
         try:
             stats = cp.run(spark.read.parquet(args.docs), args.ds, embeddings=emb)
-        except ValueError as e:  # e.g. embedding-indexed corpus run without --embeddings
+        except CorpusContractError as e:  # embedding-indexed corpus run without --embeddings
             return _err(str(e))
         print(json.dumps({"ok": True, **stats}))
         return 0

@@ -35,6 +35,16 @@ from pathlib import Path
 #: that has no installed copy (list order = preference)
 KNOWN_PROTOBUF_DIRS = ("/usr/lib/google-cloud-sdk/platform/google_appengine",)
 
+#: RETIREMENT CHECK (round 9, 2026-08-15): still required on the pinned
+#: stack. pyspark 4.1.2's generated StateMessage_pb2 calls
+#: ValidateProtobufRuntimeVersion(PUBLIC, 6, 33, 0) while the image has
+#: NO installed google.protobuf (`import google` → ModuleNotFoundError)
+#: and the only discoverable runtime is the cloud-sdk-bundled 6.32.0 —
+#: so BOTH halves stay: the PYTHONPATH fallback (makes protobuf
+#: importable at all) and the lenient check (6.32.0 runtime < 6.33.0
+#: gencode raises VersionError otherwise). Delete the shim only when
+#: the image ships google.protobuf >= 6.33.0.
+
 #: directory whose sitecustomize.py applies this fallback in worker
 #: interpreters when present on PYTHONPATH — shipped INSIDE the package
 #: so an installed distribution works without the tests tree

@@ -54,6 +54,14 @@ from batch_data_pipeline_exercise_spark.operators.sampling import assign_packing
 from batch_data_pipeline_exercise_spark.sources.warehouse import Warehouse
 
 
+class CorpusContractError(ValueError):
+    """A run violates the corpus's embedding-coverage contract (e.g. an
+    embedding-deduped corpus run without embeddings). A dedicated type so
+    CLI/callers can catch the contract refusal specifically instead of
+    blanket-catching ValueError (which would also swallow incidental
+    ValueErrors from pyspark/pandas/arrow deep in the run)."""
+
+
 class CorpusPipeline:
     DOCS = "corpus_docs"
     FINGERPRINTS = "corpus_fingerprints"
@@ -164,7 +172,7 @@ class CorpusPipeline:
         if self._done(ds):
             return {"ds": ds, "already_done": True}
         if embeddings is None and self.wh.exists(self.SIGN_INDEX):
-            raise ValueError(
+            raise CorpusContractError(
                 f"this corpus has an embedding sign index ({self.SIGN_INDEX!r}) but the "
                 f"run for ds={ds} supplies no embeddings: its retained docs would never "
                 "be sketched, so future increments' embedding near-dup probes could not "
@@ -241,6 +249,16 @@ class CorpusPipeline:
             prior_sign = (
                 self.wh.read(self.SIGN_INDEX) if self.wh.exists(self.SIGN_INDEX) else None
             )
+            if prior_sign is None and self.wh.exists(self.DOCS):
+                # the coverage guard's REVERSE direction: starting
+                # embedding dedup on a corpus with retained history
+                # leaves every prior doc unsketched — none of them can
+                # ever match a future probe. Legal (adopting embedding
+                # dedup late is a real migration), but the permanent
+                # recall hole must be visible at the moment it is
+                # created, not only retrospectively in old runs'
+                # docs_kept_without_embedding stats.
+                emb_stats["corpus_docs_unsketched"] = self.wh.read(self.DOCS).count()
             emb_new = embeddings.join(kept.select("doc_id"), "doc_id", "left_semi")
             if emb_new.limit(1).count() == 0:
                 # nothing to sketch (banded_sign_sketch derives dim from

@@ -13,7 +13,10 @@ import sys
 
 import pytest
 
-from batch_data_pipeline_exercise_spark.plans.corpus_pipeline import CorpusPipeline
+from batch_data_pipeline_exercise_spark.plans.corpus_pipeline import (
+    CorpusContractError,
+    CorpusPipeline,
+)
 
 # Each doc FAMILY gets its own long English paragraph (stopword-heavy,
 # >200 chars so the quality/lang filters pass); near-dups share a
@@ -209,14 +212,37 @@ def test_full_embedding_coverage_reports_zero(spark, corpus_wh):
 
 def test_omitting_embeddings_after_embedded_run_raises(spark, corpus_wh):
     """Once a corpus has a sign index, a run without embeddings would
-    silently punch an unfixable recall hole — it must refuse instead."""
+    silently punch an unfixable recall hole — it must refuse instead,
+    with the DEDICATED contract-error type (the CLI catches only that,
+    so incidental ValueErrors from pyspark/arrow keep their traceback)."""
     cp = CorpusPipeline(spark, corpus_wh)
     cp.run(_df(spark, DAY1_DOCS), "2021-03-01", embeddings=_edf(spark, DAY1_EMB))
-    with pytest.raises(ValueError, match="sign index"):
+    with pytest.raises(CorpusContractError, match="sign index"):
         cp.run(_df(spark, DAY2_DOCS), "2021-03-02")
     # the refused ds was not marked done: retrying WITH embeddings works
     s2 = cp.run(_df(spark, DAY2_DOCS), "2021-03-02", embeddings=_edf(spark, DAY2_EMB))
     assert s2["docs_kept"] == 1
+
+
+def test_late_embedding_adoption_surfaces_unsketched_history(spark, corpus_wh):
+    """The coverage guard's REVERSE direction: supplying embeddings for
+    the first time to a corpus that already has retained history starts
+    embedding dedup with every prior doc unsketched — permanently
+    unmatchable by future probes. The run must surface that count at the
+    moment the hole is created."""
+    cp = CorpusPipeline(spark, corpus_wh)
+    s1 = cp.run(_df(spark, DAY1_DOCS), "2021-03-01")  # text-only history
+    assert s1["docs_kept"] == 3
+    s2 = cp.run(_df(spark, DAY2_DOCS), "2021-03-02", embeddings=_edf(spark, DAY2_EMB))
+    assert s2["corpus_docs_unsketched"] == 3  # docs 1, 4, 5 — never probe-matchable
+    # the documented consequence is live: doc 15 duplicates unsketched
+    # doc 5's embedding and survives
+    assert 15 in {r["doc_id"] for r in cp.wh.read(cp.DOCS).collect()}
+
+    # a corpus that starts embedding dedup on day 1 never reports it
+    cp2 = CorpusPipeline(spark, corpus_wh + "_day1emb")
+    s = cp2.run(_df(spark, DAY1_DOCS), "2021-03-01", embeddings=_edf(spark, DAY1_EMB))
+    assert "corpus_docs_unsketched" not in s
 
 
 def test_maintain_compacts_accumulated_index_files(spark, corpus_wh):
