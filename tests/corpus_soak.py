@@ -1,0 +1,186 @@
+"""10-day corpus-pipeline soak — round-9 evidence script behind
+``evidence/CORPUS_SOAK_r09.jsonl``.
+
+The two-day test (``test_corpus_pipeline.py``) proves the O(increment)
+mechanics on 5-doc days; this soak proves they HOLD under accumulation:
+10 daily increments of fixed size (450 fresh sf0.1 docs + 25 injected
+cross-day dups each) driven through ``CorpusPipeline.run`` with nightly
+``maintain()`` compaction, recording per day
+
+    {"ds", "docs_in", "docs_shingled", "docs_kept", "corpus_total",
+     "wall_s", "cpu_s", "files": {layer: n}, "compacted": [...]}
+
+and asserting the three soak invariants:
+
+1. **flat per-day cost**: ``docs_shingled`` never exceeds the increment
+   size on ANY day — history is never re-shingled however large the
+   corpus grows (the Observation-API counter, not inspection);
+2. **bounded state**: after nightly ``maintain()`` every layer's
+   data-file count stays within the compaction budget
+   (``max_files_per_partition × partition_dirs``), so 10 days of
+   small appends cannot degenerate into thousands of files;
+3. **compaction is behavior-neutral**: a from-scratch rebuild of the
+   same 10 days into a fresh warehouse WITHOUT any ``maintain()`` call
+   yields a byte-identical final ``corpus_docs`` (doc_id, fingerprint,
+   shard, bin, ds) — the soak's compaction never changed a result.
+
+Dup injection per day d ≥ 2 (new doc_ids ≥ 1_000_000, so they can never
+collide with the sf0.1 pool): 10 exact-text copies of day-(d−1) fresh
+docs (fingerprint-index probes), 8 near-copies with one word substituted
+(stored-LSH cross probes), and 7 fresh texts carrying a PRIOR retained
+doc's embedding vector (sign-index cross probes). Day 1 injects its dups
+from its own fresh slice, so every day is the same 475-doc increment.
+
+Embeddings: full coverage (the pipeline's contract), deterministic
+16-d unit vectors hashed from doc_id — distinct doc_ids land far below
+the 0.95 cosine threshold, so only the 7 injected vector-copies per day
+can trip the embedding stage.
+
+Usage: python tests/corpus_soak.py [out_jsonl]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+from batch_data_pipeline_exercise_spark.plans.corpus_pipeline import CorpusPipeline  # noqa: E402
+from batch_data_pipeline_exercise_spark.session import get_spark  # noqa: E402
+from bench import _settled_totals  # noqa: E402
+
+SRC = "/root/testdata/sf0.1/documents.parquet"
+FRESH_PER_DAY = 450
+N_EXACT, N_NEAR, N_VEC = 10, 8, 7
+N_DAYS = 10
+
+
+def _unit_vec(doc_id: int, dim: int = 16) -> list[float]:
+    seed = int.from_bytes(hashlib.md5(str(doc_id).encode()).digest()[:4], "big")
+    v = np.random.RandomState(seed).standard_normal(dim)
+    return [float(x) for x in v / np.linalg.norm(v)]
+
+
+def _build_days(spark) -> list[tuple[str, list[tuple], list[tuple]]]:
+    """[(ds, doc_rows, emb_rows)] — doc rows (doc_id, text), emb rows
+    (doc_id, embedding). Deterministic; driver-side (4750 rows total)."""
+    pool = sorted(
+        spark.read.parquet(SRC).select("doc_id", "text").limit(N_DAYS * FRESH_PER_DAY).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    days = []
+    for d in range(1, N_DAYS + 1):
+        ds = f"2021-06-{d:02d}"
+        fresh = pool[(d - 1) * FRESH_PER_DAY : d * FRESH_PER_DAY]
+        src = pool[(max(d - 2, 0)) * FRESH_PER_DAY : (max(d - 2, 0)) * FRESH_PER_DAY + 25]
+        docs = [(int(r["doc_id"]), r["text"]) for r in fresh]
+        embs = [(i, _unit_vec(i)) for i, _ in docs]
+        nid = 1_000_000 + d * 1000
+        for i, r in enumerate(src[:N_EXACT]):  # exact-text copies
+            docs.append((nid + i, r["text"]))
+            embs.append((nid + i, _unit_vec(nid + i)))
+        for i, r in enumerate(src[N_EXACT : N_EXACT + N_NEAR]):  # near-copies
+            words = r["text"].split()
+            words[len(words) // 2] = "soakednearword"
+            docs.append((nid + 100 + i, " ".join(words)))
+            embs.append((nid + 100 + i, _unit_vec(nid + 100 + i)))
+        for i, r in enumerate(src[N_EXACT + N_NEAR : N_EXACT + N_NEAR + N_VEC]):
+            # fresh-text doc carrying a PRIOR doc's vector → sign-probe dup
+            vid = nid + 200 + i
+            words = (r["text"] + " entirely different tail of prose for the vector dup").split()
+            docs.append((vid, " ".join(reversed(words))))
+            embs.append((vid, _unit_vec(int(r["doc_id"]))))
+        days.append((ds, docs, embs))
+    return days
+
+
+def _run_sequence(spark, root: str, days, maintain: bool, ui_url, out: list | None) -> CorpusPipeline:
+    cp = CorpusPipeline(spark, root)
+    for ds, docs, embs in days:
+        ddf = spark.createDataFrame(docs, "doc_id long, text string")
+        edf = spark.createDataFrame(embs, "doc_id long, embedding array<double>")
+        before = _settled_totals(ui_url) if out is not None else None
+        t0 = time.perf_counter()
+        stats = cp.run(ddf, ds, embeddings=edf)
+        wall = time.perf_counter() - t0
+        compacted = cp.maintain() if maintain else []
+        if out is not None:
+            after = _settled_totals(ui_url)
+            cpu = round(after["cpu"] - before["cpu"], 2) if before and after else None
+            rec = {
+                **{k: stats[k] for k in ("ds", "docs_in", "docs_shingled", "docs_kept", "corpus_total")},
+                "embedding_pairs": stats.get("embedding_pairs"),
+                "wall_s": round(wall, 2),
+                "cpu_s": cpu,
+                "files": {t: cp.wh.file_count(t) for t in cp.MAINTAINED_TABLES if cp.wh.exists(t)},
+                "compacted": compacted,
+            }
+            out.append(rec)
+            print(json.dumps(rec), flush=True)
+            inc = len(docs)
+            assert stats["docs_shingled"] <= inc, (
+                f"{ds}: shingled {stats['docs_shingled']} > increment {inc} — history re-shingled"
+            )
+            for t in cp.MAINTAINED_TABLES:
+                if cp.wh.exists(t):
+                    budget = 8 * cp.wh.partition_dir_count(t)
+                    n = cp.wh.file_count(t)
+                    assert n <= budget, f"{ds}: {t} has {n} files > budget {budget}"
+    return cp
+
+
+def main() -> None:
+    out_path = Path(sys.argv[1]) if len(sys.argv) > 1 else REPO / "evidence" / "CORPUS_SOAK_r09.jsonl"
+    spark = get_spark(
+        app_name="corpus-soak",
+        master="local[32]",
+        shuffle_partitions=32,
+        extra_conf={"spark.ui.retainedStages": "100000", "spark.ui.retainedJobs": "100000"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    ui_url = spark.sparkContext.uiWebUrl
+    days = _build_days(spark)
+
+    records: list[dict] = []
+    with tempfile.TemporaryDirectory() as tmp:
+        cp = _run_sequence(spark, f"{tmp}/soak", days, maintain=True, ui_url=ui_url, out=records)
+        final = sorted(
+            (r["doc_id"], r["fingerprint_norm"], r["shard"], r["bin"], r["ds"])
+            for r in cp.wh.read(cp.DOCS).select("doc_id", "fingerprint_norm", "shard", "bin", "ds").collect()
+        )
+        # from-scratch rebuild, never compacted → identical final corpus
+        cp2 = _run_sequence(spark, f"{tmp}/rebuild", days, maintain=False, ui_url=ui_url, out=None)
+        rebuilt = sorted(
+            (r["doc_id"], r["fingerprint_norm"], r["shard"], r["bin"], r["ds"])
+            for r in cp2.wh.read(cp2.DOCS).select("doc_id", "fingerprint_norm", "shard", "bin", "ds").collect()
+        )
+        assert final == rebuilt, "soak (with nightly compaction) != from-scratch rebuild"
+
+    summary = {
+        "soak": "corpus_pipeline_10day",
+        "days": len(records),
+        "increment": FRESH_PER_DAY + N_EXACT + N_NEAR + N_VEC,
+        "final_corpus_total": records[-1]["corpus_total"],
+        "max_docs_shingled": max(r["docs_shingled"] for r in records),
+        "rebuild_equal": True,
+        "cpu_day2": records[1]["cpu_s"],
+        "cpu_day10": records[-1]["cpu_s"],
+    }
+    print(json.dumps(summary), flush=True)
+    out_path.parent.mkdir(exist_ok=True)
+    with out_path.open("w") as f:
+        for r in records + [summary]:
+            f.write(json.dumps(r) + "\n")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
