@@ -103,6 +103,15 @@ def main() -> None:
         name, _, reason = item.partition("=")
         skips[name.strip()] = reason.strip() or "skipped via SWEEP_SKIP"
 
+    # SWEEP_ONLY=q1,q2 restricts the sweep to a named subset — for
+    # targeted spot differentials at expensive SFs (e.g. the sf10
+    # top-5). Unknown names are an error, not a silent no-op.
+    only = {n.strip() for n in os.environ.get("SWEEP_ONLY", "").split(",") if n.strip()}
+    if only:
+        unknown = only - set(contract.REGISTRY)
+        if unknown:
+            raise SystemExit(f"SWEEP_ONLY names not in registry: {sorted(unknown)}")
+
     done: set[str] = set()
     if out.exists():
         for line in out.read_text().splitlines():
@@ -123,6 +132,8 @@ def main() -> None:
 
     with out.open("a") as fh:
         for name, q in sorted(contract.REGISTRY.items()):
+            if only and name not in only:
+                continue
             if name in done:
                 continue
             if name in skips:
