@@ -157,6 +157,37 @@ def lsh_candidate_pairs(band_keys: DataFrame, materialize: bool = True) -> DataF
     )
 
 
+def lsh_occupancy_stats(band_keys: DataFrame, bands: int) -> DataFrame:
+    """Pre-flight scout for the minhash-LSH candidate join — the text
+    twin of ``similarity.sign_lsh_occupancy_stats``: one narrow
+    (band, band_key) count shuffle over the ``lsh_band_keys`` output
+    (no pair materialization, no verify) returning a single row of
+    n_docs, n_buckets, max_occupancy, p99_occupancy, mean_occupancy and
+    candidate_pairs = Σ occ·(occ−1)/2 — the exact per-band collision
+    count and an upper bound on the distinct candidates the verify
+    stage would have to exact-Jaccard.
+
+    Why it earns its one extra signature pass at 100 TB: candidate
+    density is a CORPUS property invisible in the plan. The round-9
+    sf10 profile caught the flagship corpus pipeline at 11× CPU for
+    3.3× rows purely because its corpus (the deterministic half-splice
+    scale-up) grows every shared-half group linearly with SF, so
+    band-colliding candidates grow quadratically — work the verify
+    stage then faithfully performs. The scout prices that join before
+    it runs; if candidate_pairs is over budget, raise rows-per-band
+    (collision probability for a Jaccard-J pair is J^rows) and buy
+    recall back with bands before committing the cluster."""
+    occ = band_keys.groupBy("band", "band_key").agg(F.count("*").alias("occ"))
+    return occ.agg(
+        (F.sum("occ") / F.lit(bands)).cast("long").alias("n_docs"),
+        F.count("*").alias("n_buckets"),
+        F.max("occ").alias("max_occupancy"),
+        F.expr("percentile(occ, 0.99)").alias("p99_occupancy"),
+        F.avg("occ").alias("mean_occupancy"),
+        F.sum(F.col("occ") * (F.col("occ") - 1) / 2).cast("long").alias("candidate_pairs"),
+    )
+
+
 def exact_jaccard(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
     """True Jaccard for given pairs via two equi joins on (id, shingle) —
     computed ONLY for candidates, not all pairs. ``shingles`` must be

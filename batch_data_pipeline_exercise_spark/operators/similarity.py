@@ -464,6 +464,105 @@ def embedding_near_dup_pairs(
 
 
 
+def _bands_sql(dim: int, bands: int, rows_per_band: int, seed: int) -> str:
+    """The multi-band sign-sketch projection as ONE SQL expression
+    string over a pre-cast ``__vd`` array<double> column — shared by
+    ``banded_sign_sketch`` (the materialized index) and
+    ``sign_lsh_occupancy_stats`` (the pre-flight scout, which must NOT
+    pay the index's vector-pinning checkpoint). See
+    ``banded_sign_sketch`` for why this is a parsed string and not a
+    Column tree."""
+    planes = hyperplanes(dim, bands * rows_per_band, seed)
+
+    def plane_sql(p: list[float]) -> str:
+        return "array(" + ", ".join(f"{float(x)!r}D" for x in p) + ")"
+
+    def band_key_sql(bi: int) -> str:
+        terms = []
+        for r in range(rows_per_band):
+            dot = (
+                f"aggregate(zip_with(__vd, {plane_sql(planes[bi * rows_per_band + r])}, "
+                "(x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+            )
+            terms.append(f"(CASE WHEN {dot} >= 0 THEN CAST({2 ** r} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+        return " + ".join(terms)
+
+    return "array(" + ", ".join(
+        f"named_struct('band', {bi}, 'key', {band_key_sql(bi)})" for bi in range(bands)
+    ) + ")"
+
+
+def rows_per_band_for(n_vectors: int, target_occupancy: int = 256) -> int:
+    """Smallest ``rows_per_band`` that holds EXPECTED per-(band, key)
+    occupancy at or under ``target_occupancy`` for a corpus of
+    ``n_vectors``, assuming near-uniform sign bits (random hyperplanes
+    over centered data): each extra bit halves expected occupancy
+    n / 2^rows.
+
+    This is the sizing rule the sign-LSH docstrings describe in prose:
+    at fixed ``rows_per_band`` the expected occupancy — and with it the
+    per-bucket candidate count occ²/2 — grows LINEARLY with the corpus,
+    so the same 8×8 sketch that is comfortable at 60k vectors
+    (occ ≈ 234) generates ~600M candidate pairs at 200k vectors and a
+    multi-hundred-GB verify spill at 100 TB scale. Size the sketch to
+    the corpus, then buy recall back with ``bands`` (recall for a
+    cosine-c pair is 1 - (1 - p^rows)^bands, p = 1 - acos(c)/π).
+    Floor of 1; callers keep their own minimum (8 is the shipped
+    default) when corpora are small."""
+    rows = 1
+    while n_vectors > target_occupancy << rows:
+        rows += 1
+    return rows
+
+
+def sign_lsh_occupancy_stats(
+    embeddings: DataFrame,
+    bands: int = 8,
+    rows_per_band: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Pre-flight scout for the sign-LSH near-dup path: ONE narrow
+    (band, key) count shuffle — no index pin, no pair materialization —
+    returning a single row of the numbers that decide whether
+    ``embedding_near_dup_pairs`` at these parameters is launchable:
+
+      n_vectors, n_buckets, max_occupancy, p99_occupancy,
+      mean_occupancy, candidate_pairs — Σ occ·(occ−1)/2 over all
+      buckets: the EXACT per-band collision count and an upper bound on
+      distinct candidates (any-band dedup only shrinks it), i.e. the
+      row count the verify join would have to shuffle together with
+      both 4·dim-byte vectors.
+
+    At 100 TB this is the difference between a minutes-long scout job
+    and a dead cluster: run the scout, compare candidate_pairs against
+    the verify budget, and if it is over, re-run the scout at
+    ``rows_per_band_for(n)`` bits before committing to the real job
+    (measured: the shipped 8×8 sketch at a 200k-vector corpus predicts
+    806M per-band collisions — the run that exhausted a 250 GB volume
+    mid-spill — while 8×12 predicts 81M, which completes in 112 s wall
+    / 2,274 executor-CPU s; SCALE.md round-9)."""
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    bk = (
+        embeddings.withColumn("__vd", F.col(vec_col).cast("array<double>"))
+        .select(F.col(id_col).alias("id"), F.expr(_bands_sql(dim, bands, rows_per_band, seed)).alias("__bands"))
+        .select("id", F.explode("__bands").alias("bk"))
+        .select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    )
+    occ = bk.groupBy("band", "key").agg(F.count("*").alias("occ"))
+    return occ.agg(
+        (F.sum("occ") / F.lit(bands)).cast("long").alias("n_vectors"),
+        F.count("*").alias("n_buckets"),
+        F.max("occ").alias("max_occupancy"),
+        F.expr("percentile(occ, 0.99)").alias("p99_occupancy"),
+        F.avg("occ").alias("mean_occupancy"),
+        F.sum(F.col("occ") * (F.col("occ") - 1) / 2).cast("long").alias("candidate_pairs"),
+    )
+
+
 def banded_sign_sketch(
     embeddings: DataFrame,
     bands: int = 8,
@@ -491,25 +590,8 @@ def banded_sign_sketch(
     bit-identical to the Column form."""
     if dim is None:
         dim = len(embeddings.select(vec_col).first()[0])
-    planes = hyperplanes(dim, bands * rows_per_band, seed)
     v = F.col(vec_col).cast("array<double>")
-
-    def plane_sql(p: list[float]) -> str:
-        return "array(" + ", ".join(f"{float(x)!r}D" for x in p) + ")"
-
-    def band_key_sql(bi: int) -> str:
-        terms = []
-        for r in range(rows_per_band):
-            dot = (
-                f"aggregate(zip_with(__vd, {plane_sql(planes[bi * rows_per_band + r])}, "
-                "(x, y) -> x * y), 0D, (acc, x) -> acc + x)"
-            )
-            terms.append(f"(CASE WHEN {dot} >= 0 THEN CAST({2 ** r} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
-        return " + ".join(terms)
-
-    bands_sql = "array(" + ", ".join(
-        f"named_struct('band', {bi}, 'key', {band_key_sql(bi)})" for bi in range(bands)
-    ) + ")"
+    bands_sql = _bands_sql(dim, bands, rows_per_band, seed)
     # spread BEFORE the sketch projection when the input arrives in fewer
     # partitions than cores (single-row-group files): the sketch is
     # compute-dense per row and would otherwise fold on one core. Skipped

@@ -81,6 +81,24 @@ def _settled_totals(ui_url: str) -> dict[str, float] | None:
     return prev
 
 
+def _clear_session_state(spark) -> None:
+    """Drop every pinned block the finished query left behind — cached
+    tables and persistent RDDs, which is what ``localCheckpoint`` pins
+    become. Nothing is reused across registry queries (each fn rebuilds
+    its plan from parquet), but the blocks otherwise linger until the
+    async ContextCleaner notices the dropped references, and their
+    storage-memory footprint taxes the NEXT query's execution memory.
+    Measured (round 9, sf3): embedding_near_dup_pairs costs 1,184
+    executor-CPU s in a clean session but 3,079 s when profiled after
+    three checkpoint-heavy queries — a 2.6× attribution error from
+    extra spill, not from the query's own plan."""
+    spark.catalog.clearCache()
+    # py4j exposes the java.util.Map as a Python mapping
+    for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+        rdd.unpersist(True)
+    spark.sparkContext._jvm.System.gc()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -103,6 +121,7 @@ def main() -> None:
 
     # warmup: run the first headline query once, untimed
     headline[0].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+    _clear_session_state(spark)
 
     # three timed runs per query, keep the min — strips one-off codegen /
     # broadcast-build / JIT noise so numbers reflect steady-state (n=2
@@ -118,6 +137,7 @@ def main() -> None:
             q.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)
         timings[q.name] = round(best, 3)
+        _clear_session_state(spark)
         if prev is not None:
             cur = _settled_totals(ui_url)
             if cur is not None:

@@ -38,7 +38,7 @@ from batch_data_pipeline_exercise_spark.plans import (  # noqa: F401,E402
     contract_ext,
 )
 from batch_data_pipeline_exercise_spark.session import get_spark  # noqa: E402
-from bench import _settled_totals  # noqa: E402
+from bench import _clear_session_state, _settled_totals  # noqa: E402
 
 
 def main() -> None:
@@ -60,6 +60,7 @@ def main() -> None:
     # warmup absorbs JVM/codegen startup so the first profiled query
     # isn't charged for it
     contract.REGISTRY[names[0]].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+    _clear_session_state(spark)
 
     prev = _settled_totals(ui_url)
     with out_path.open("a") as fh:
@@ -67,6 +68,11 @@ def main() -> None:
             t0 = time.perf_counter()
             contract.REGISTRY[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             wall = time.perf_counter() - t0
+            # drop the query's pinned blocks BEFORE reading counters so
+            # the next query starts with clean execution memory — see
+            # bench._clear_session_state for the measured 2.6×
+            # cross-query attribution error this prevents
+            _clear_session_state(spark)
             rec: dict = {"q": name, "wall": round(wall, 2)}
             cur = _settled_totals(ui_url)
             if prev is not None and cur is not None:

@@ -232,3 +232,36 @@ def test_image_codec_real_pil_decode(spark):
     assert (r["width"], r["height"]) == (16, 9)
     assert abs(r["mean_luma"] - 128 / 255) < 1e-9
     assert r["phash"] == "ffffffffffffffff"
+
+
+def test_rows_per_band_for_sizing():
+    """The sizing rule halves expected occupancy per bit: the returned
+    rows is the smallest with n / 2^rows <= target."""
+    assert similarity.rows_per_band_for(256, target_occupancy=256) == 1
+    assert similarity.rows_per_band_for(60_000, target_occupancy=256) == 8
+    assert similarity.rows_per_band_for(200_000, target_occupancy=256) == 10
+    assert similarity.rows_per_band_for(10**9, target_occupancy=256) == 22
+    for n in (1, 2, 255, 257, 513, 10_000):
+        rows = similarity.rows_per_band_for(n, 256)
+        assert n <= 256 << rows
+        assert rows == 1 or n > 256 << (rows - 1)
+
+
+def test_sign_lsh_occupancy_stats_exact(spark, sf_dir):
+    """The scout's one-row summary must equal the same statistics
+    computed from the materialized index's exploded band keys — same
+    planes, same keys, no approximation — and its candidate_pairs must
+    upper-bound the distinct candidate count the real plan joins."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    kw = dict(bands=8, rows_per_band=8, seed=42, dim=64)
+    stats = similarity.sign_lsh_occupancy_stats(e, **kw).first()
+
+    bk = similarity._explode_band_keys(similarity.banded_sign_sketch(e, **kw))
+    occ = [r["c"] for r in bk.groupBy("band", "key").agg(F.count("*").alias("c")).collect()]
+    assert stats["n_vectors"] == e.count()
+    assert stats["n_buckets"] == len(occ)
+    assert stats["max_occupancy"] == max(occ)
+    assert stats["candidate_pairs"] == sum(c * (c - 1) // 2 for c in occ)
+
+    n_cand = similarity._bucketed_self_pairs(bk).distinct().count()
+    assert n_cand <= stats["candidate_pairs"]

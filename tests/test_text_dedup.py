@@ -233,3 +233,21 @@ def test_shingle_kernels_bind_once_edge_cases(spark):
             if sh:
                 expect.append((i, sh))
     assert got == sorted(expect)
+
+
+def test_lsh_occupancy_stats_exact(spark, docs):
+    """The minhash scout's one-row summary must equal the statistics
+    computed from the exploded band keys directly, and candidate_pairs
+    must upper-bound the distinct candidates the real join emits."""
+    sh = dedup.word_shingles(docs, "doc_id", "text", 3, distinct=False)
+    bk = dedup.lsh_band_keys(dedup.minhash_signatures(sh, k=32), bands=8, rows=4)
+    stats = dedup.lsh_occupancy_stats(bk, bands=8).first()
+
+    occ = [r["c"] for r in bk.groupBy("band", "band_key").agg(F.count("*").alias("c")).collect()]
+    assert stats["n_docs"] == docs.count()
+    assert stats["n_buckets"] == len(occ)
+    assert stats["max_occupancy"] == max(occ)
+    assert stats["candidate_pairs"] == sum(c * (c - 1) // 2 for c in occ)
+
+    n_cand = dedup.lsh_candidate_pairs(bk).count()
+    assert 0 < n_cand <= stats["candidate_pairs"]
