@@ -178,6 +178,42 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_lsh_occupancy",
+    oracle="WITH "
+    + _TOKS_CTE
+    + ", "
+    + _SHINGLES_CTE
+    + ", "
+    + _MH_WORDS
+    + ", "
+    + _MH_SIG
+    + ", "
+    + _BANDS_CTE
+    + ", occ AS (SELECT band, band_key, COUNT(*) AS occ FROM bands GROUP BY band, band_key)"
+    + " SELECT CAST(SUM(occ) / 8 AS BIGINT) AS n_docs, COUNT(*) AS n_buckets,"
+    + " MAX(occ) AS max_occupancy,"
+    + " CAST(SUM(occ * (occ - 1) / 2) AS BIGINT) AS candidate_pairs FROM occ",
+    doc="Pre-flight scout for the minhash-LSH candidate join "
+    "(dedup.lsh_occupancy_stats): one narrow (band, band_key) count "
+    "shuffle — no pair materialization — whose candidate_pairs column is "
+    "the exact per-band collision count the verify stage would process. "
+    "Prices the join before it runs: the round-9 sf10 profile showed the "
+    "flagship's candidates growing 3.34² on a replica-dense corpus while "
+    "survivor docs grew 3.34×; this scout turns that from a post-mortem "
+    "into a minutes-long pre-check (SCALE.md round-9). Integer-exact "
+    "columns only in the contract projection; the operator also reports "
+    "p99/mean occupancy (operator-level tests pin those).",
+)
+def doc_lsh_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(dedup.word_shingles(d, "doc_id", distinct=False), k=32)
+    bk = dedup.lsh_band_keys(sig, bands=8, rows=4)
+    return dedup.lsh_occupancy_stats(bk, bands=8).select(
+        "n_docs", "n_buckets", "max_occupancy", "candidate_pairs"
+    )
+
+
+@register(
     "doc_near_dup_verified",
     oracle="WITH "
     + _TOKS_CTE
@@ -1006,6 +1042,36 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, threshold=0.4, bands=_NEARDUP_BANDS, rows_per_band=_NEARDUP_ROWS, seed=42, dim=EMB_DIM
     )
     return out.select("id1", "id2")
+
+
+@register(
+    "embedding_lsh_occupancy",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    bk AS ({_banded_bk_sql()}),
+    occ AS (SELECT band, key, COUNT(*) AS occ FROM bk GROUP BY band, key)
+    SELECT CAST(SUM(occ) / {_NEARDUP_BANDS} AS BIGINT) AS n_vectors,
+           COUNT(*) AS n_buckets,
+           MAX(occ) AS max_occupancy,
+           CAST(SUM(occ * (occ - 1) / 2) AS BIGINT) AS candidate_pairs
+    FROM occ
+    """,
+    doc="Pre-flight scout for the sign-LSH near-dup join "
+    "(similarity.sign_lsh_occupancy_stats): one narrow (band, key) count "
+    "shuffle — no index pin, no pair materialization — whose "
+    "candidate_pairs column is the exact per-band collision count the "
+    "verify join would shuffle with two vectors attached. The round-9 "
+    "sf10 run made the case: the fixed 8×8 sketch predicts 806M "
+    "candidates at 200k vectors (the run that exhausted the disk) vs 81M "
+    "at the rows_per_band_for-sized 8×12, which completes (SCALE.md "
+    "round-9). Integer-exact columns only in the contract projection; "
+    "p99/mean occupancy stay operator-level.",
+)
+def embedding_lsh_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.sign_lsh_occupancy_stats(
+        e, bands=_NEARDUP_BANDS, rows_per_band=_NEARDUP_ROWS, seed=42, dim=EMB_DIM
+    ).select("n_vectors", "n_buckets", "max_occupancy", "candidate_pairs")
 
 
 @register(
