@@ -238,9 +238,19 @@ def minhash_near_dups(
     k: int = 32,
     bands: int = 8,
     threshold: float = 0.7,
+    max_candidates: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: returns (id1, id2, jaccard)
     pairs with verified ``jaccard >= threshold``. k = bands × rows.
+
+    ``max_candidates`` (opt-in) prices the candidate join with
+    ``lsh_occupancy_stats`` first — one extra signature pass — and
+    raises ``similarity.LshCandidateBudgetError`` when the verify stage
+    would exceed the budget (the round-9 sf10 profile measured the
+    flagship's candidates growing quadratically on a replica-dense
+    corpus; this gate turns that into a refusal with a sizing
+    suggestion instead of a cluster-scale surprise). A passing scout
+    changes nothing downstream.
 
     The multiset shingle stream feeds signatures directly (min over a
     multiset equals min over its support — no distinct shuffle); the
@@ -256,7 +266,14 @@ def minhash_near_dups(
     assert k % bands == 0
     sh = word_shingles(df, id_col, text_col, n, distinct=False)
     sig = minhash_signatures(sh, k)
-    cand = lsh_candidate_pairs(lsh_band_keys(sig, bands, k // bands)).localCheckpoint()
+    bk = lsh_band_keys(sig, bands, k // bands)
+    if max_candidates is not None:
+        from batch_data_pipeline_exercise_spark.operators.similarity import _check_candidate_budget
+
+        _check_candidate_budget(
+            lsh_occupancy_stats(bk, bands), max_candidates, bands, k // bands
+        )
+    cand = lsh_candidate_pairs(bk).localCheckpoint()
     ids = (
         cand.select(F.col("id1").alias("__cid"))
         .unionByName(cand.select(F.col("id2").alias("__cid")))

@@ -431,6 +431,7 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     dim: int | None = None,
     bucket_cap: int | None = None,
+    max_candidates: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via MULTI-BAND sign-bit LSH
     (the minhash-band construction transplanted to random hyperplanes):
@@ -455,7 +456,19 @@ def embedding_near_dup_pairs(
     occupancy guardrail — see ``_bucketed_self_pairs``: over-cap buckets
     contribute the identical pairs through a chunk-split so one
     degenerate bucket cannot pin an executor core; output is
-    byte-identical at any cap."""
+    byte-identical at any cap.
+
+    ``max_candidates`` (opt-in) runs the pre-flight scout first — one
+    extra narrow count shuffle — and raises
+    ``LshCandidateBudgetError`` with the exact collision count and a
+    sized ``rows_per_band`` suggestion when the verify join would
+    exceed the budget. When the scout passes, output is identical to
+    the unbudgeted call (the guard never touches the plan)."""
+    if max_candidates is not None:
+        _check_candidate_budget(
+            sign_lsh_occupancy_stats(embeddings, bands, rows_per_band, seed, id_col, vec_col, dim),
+            max_candidates, bands, rows_per_band,
+        )
     vecs = banded_sign_sketch(embeddings, bands, rows_per_band, seed, id_col, vec_col, dim)
     bk = _explode_band_keys(vecs)
     cand = _bucketed_self_pairs(bk, bucket_cap).distinct()
@@ -492,6 +505,15 @@ def _bands_sql(dim: int, bands: int, rows_per_band: int, seed: int) -> str:
     ) + ")"
 
 
+class LshCandidateBudgetError(ValueError):
+    """The pre-flight scout priced the LSH candidate join OVER the
+    caller's budget: carries the exact per-band collision count and a
+    corpus-sized ``rows_per_band`` suggestion so the caller can resize
+    and re-run instead of discovering the blowup as a dead executor (or
+    a full disk — the measured sf10 failure mode, SCALE.md round-9).
+    Raised only when the caller opts in via ``max_candidates``."""
+
+
 def rows_per_band_for(n_vectors: int, target_occupancy: int = 256) -> int:
     """Smallest ``rows_per_band`` that holds EXPECTED per-(band, key)
     occupancy at or under ``target_occupancy`` for a corpus of
@@ -513,6 +535,25 @@ def rows_per_band_for(n_vectors: int, target_occupancy: int = 256) -> int:
     while n_vectors > target_occupancy << rows:
         rows += 1
     return rows
+
+
+def _check_candidate_budget(stats_df: DataFrame, max_candidates: int, bands: int, rows_per_band: int) -> None:
+    """Shared budget gate over a scout's one-row summary (sign-LSH and
+    minhash paths). The suggestion solves expected candidates ≈
+    bands · n · occ / 2 ≤ budget for the occupancy target, then sizes
+    rows with ``rows_per_band_for``."""
+    s = stats_df.first()
+    n, cand = s[0], s["candidate_pairs"]
+    if cand > max_candidates:
+        occ_target = max(1, (2 * max_candidates) // (bands * max(n, 1)))
+        raise LshCandidateBudgetError(
+            f"LSH candidate join over budget: scout prices {cand:,} per-band "
+            f"collisions for {n:,} items at {bands}x{rows_per_band} "
+            f"(budget {max_candidates:,}). Resize the sketch: rows_per_band="
+            f"{max(rows_per_band + 1, rows_per_band_for(n, occ_target))} "
+            f"(expected occupancy <= {occ_target}), buying recall back with "
+            "more bands if needed."
+        )
 
 
 def sign_lsh_occupancy_stats(

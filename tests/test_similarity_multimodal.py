@@ -265,3 +265,31 @@ def test_sign_lsh_occupancy_stats_exact(spark, sf_dir):
 
     n_cand = similarity._bucketed_self_pairs(bk).distinct().count()
     assert n_cand <= stats["candidate_pairs"]
+
+
+def test_candidate_budget_gate(spark, vecs, sf_dir):
+    """Opt-in max_candidates refuses an over-budget join with the exact
+    scout price and a sizing suggestion; a passing budget changes
+    nothing in the output."""
+    kw = dict(threshold=0.99, bands=8, rows_per_band=8, seed=42, dim=16)
+    with pytest.raises(similarity.LshCandidateBudgetError, match="rows_per_band="):
+        similarity.embedding_near_dup_pairs(vecs, max_candidates=1, **kw).collect()
+    base = {(r["id1"], r["id2"]) for r in similarity.embedding_near_dup_pairs(vecs, **kw).collect()}
+    gated = {
+        (r["id1"], r["id2"])
+        for r in similarity.embedding_near_dup_pairs(vecs, max_candidates=10**9, **kw).collect()
+    }
+    assert gated == base and base
+
+
+def test_minhash_candidate_budget_gate(spark):
+    from batch_data_pipeline_exercise_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog near the river") for i in range(12)],
+        "doc_id int, text string",
+    )
+    with pytest.raises(similarity.LshCandidateBudgetError, match="collisions"):
+        dedup.minhash_near_dups(docs, "doc_id", max_candidates=3).collect()
+    ok = dedup.minhash_near_dups(docs, "doc_id", max_candidates=10**9)
+    assert ok.count() == 66  # all 12 identical docs pair up
