@@ -271,7 +271,15 @@ def minhash_near_dups(
         from batch_data_pipeline_exercise_spark.operators.similarity import _check_candidate_budget
 
         _check_candidate_budget(
-            lsh_occupancy_stats(bk, bands), max_candidates, bands, k // bands
+            lsh_occupancy_stats(bk, bands), max_candidates, bands, k // bands,
+            suggestion=(
+                "Raise rows per band (k/bands): a Jaccard-J candidate pair "
+                "band-collides with probability J^rows, so each extra row "
+                "multiplies sub-threshold collision odds by J while "
+                "threshold-level pairs keep most of theirs — then re-scout. "
+                "Identical-content groups collide at ANY rows; those "
+                "candidates are true positives the verify stage must price."
+            ),
         )
     cand = lsh_candidate_pairs(bk).localCheckpoint()
     ids = (

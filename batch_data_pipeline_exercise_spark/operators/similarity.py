@@ -537,22 +537,36 @@ def rows_per_band_for(n_vectors: int, target_occupancy: int = 256) -> int:
     return rows
 
 
-def _check_candidate_budget(stats_df: DataFrame, max_candidates: int, bands: int, rows_per_band: int) -> None:
-    """Shared budget gate over a scout's one-row summary (sign-LSH and
-    minhash paths). The suggestion solves expected candidates ≈
-    bands · n · occ / 2 ≤ budget for the occupancy target, then sizes
-    rows with ``rows_per_band_for``."""
+def _check_candidate_budget(
+    stats_df: DataFrame,
+    max_candidates: int,
+    bands: int,
+    rows_per_band: int,
+    suggestion: str | None = None,
+) -> None:
+    """Shared budget gate over a scout's one-row summary. The default
+    suggestion is the SIGN-LSH sizing rule (key space 2^rows, so
+    expected occupancy halves per row — solve bands · n · occ / 2 ≤
+    budget for the occupancy target). Callers whose bucket keys are
+    content-driven rather than key-space-driven (minhash: collision
+    probability is J^rows, occupancy does not follow n/2^rows) must
+    pass their own ``suggestion`` — the uniform-halving number would be
+    wrong in kind for them."""
     s = stats_df.first()
     n, cand = s[0], s["candidate_pairs"]
     if cand > max_candidates:
-        occ_target = max(1, (2 * max_candidates) // (bands * max(n, 1)))
+        if suggestion is None:
+            occ_target = max(1, (2 * max_candidates) // (bands * max(n, 1)))
+            suggestion = (
+                f"Resize the sketch: rows_per_band="
+                f"{max(rows_per_band + 1, rows_per_band_for(n, occ_target))} "
+                f"(expected occupancy <= {occ_target}), buying recall back "
+                "with more bands if needed."
+            )
         raise LshCandidateBudgetError(
             f"LSH candidate join over budget: scout prices {cand:,} per-band "
             f"collisions for {n:,} items at {bands}x{rows_per_band} "
-            f"(budget {max_candidates:,}). Resize the sketch: rows_per_band="
-            f"{max(rows_per_band + 1, rows_per_band_for(n, occ_target))} "
-            f"(expected occupancy <= {occ_target}), buying recall back with "
-            "more bands if needed."
+            f"(budget {max_candidates:,}). {suggestion}"
         )
 
 
