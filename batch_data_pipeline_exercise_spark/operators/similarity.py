@@ -757,9 +757,26 @@ def _bucketed_self_pairs(bk: DataFrame, cap: int | None = None) -> DataFrame:
     return pairs_small.unionByName(pairs_big)
 
 
+#: per-side payload estimate above which the verify joins fall back to
+#: shuffle. Below it the PINNED vector table broadcasts explicitly (the
+#: 10 MB auto threshold is far too timid here): the candidate list —
+#: routinely 10–1000× larger than the corpus — then never shuffles with
+#: two vectors attached, which is exactly the sort-merge spill that
+#: exhausted the disk in the round-9 sf10 run. At true scale (10⁹
+#: vectors ≫ the gate) the shuffle path is correct and sketch sizing
+#: bounds the candidate count instead.
+VERIFY_BROADCAST_MAX_BYTES = 128 * 2**20
+
+
 def _verify_cosine_pairs(cand: DataFrame, vecs: DataFrame, threshold: float) -> DataFrame:
     va = vecs.select(F.col("id").alias("id1"), F.col("__v").alias("__va"), F.col("__n").alias("__na"))
     vb = vecs.select(F.col("id").alias("id2"), F.col("__v").alias("__vb"), F.col("__n").alias("__nb"))
+    # vecs is always the materialized sketch pin, so the two driver
+    # actions here are reads of a cached table, not plan re-executions
+    first = vecs.select("__v").first()
+    n = vecs.count()
+    if first is not None and n * len(first[0]) * 8 * 1.5 <= VERIFY_BROADCAST_MAX_BYTES:
+        va, vb = F.broadcast(va), F.broadcast(vb)
     return (
         cand.join(va, "id1")
         .join(vb, "id2")
