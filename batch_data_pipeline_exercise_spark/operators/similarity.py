@@ -765,7 +765,7 @@ def _bucketed_self_pairs(bk: DataFrame, cap: int | None = None) -> DataFrame:
 #: exhausted the disk in the round-9 sf10 run. At true scale (10⁹
 #: vectors ≫ the gate) the shuffle path is correct and sketch sizing
 #: bounds the candidate count instead.
-VERIFY_BROADCAST_MAX_BYTES = 128 * 2**20
+VERIFY_BROADCAST_MAX_BYTES = 256 * 2**20
 
 
 def _verify_cosine_pairs(cand: DataFrame, vecs: DataFrame, threshold: float) -> DataFrame:
