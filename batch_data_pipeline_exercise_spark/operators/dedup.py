@@ -244,7 +244,13 @@ def minhash_near_dups(
     pairs with verified ``jaccard >= threshold``. k = bands × rows.
 
     ``max_candidates`` (opt-in) prices the candidate join with
-    ``lsh_occupancy_stats`` first — one extra signature pass — and
+    ``lsh_occupancy_stats`` first. When the gate is enabled the band
+    keys are PINNED (``localCheckpoint``) and shared between the scout
+    and the candidate join, so pricing costs one narrow (band, key)
+    count shuffle over materialized keys — shingling and the minhash
+    signature pass run once, not twice (a refusal still pays that one
+    linear pass: it is the bounded cost that makes the quadratic join
+    refusable). The gate then
     raises ``similarity.LshCandidateBudgetError`` when the verify stage
     would exceed the budget (the round-9 sf10 profile measured the
     flagship's candidates growing quadratically on a replica-dense
@@ -270,6 +276,7 @@ def minhash_near_dups(
     if max_candidates is not None:
         from batch_data_pipeline_exercise_spark.operators.similarity import _check_candidate_budget
 
+        bk = bk.localCheckpoint()  # scout + join share ONE signature pass
         _check_candidate_budget(
             lsh_occupancy_stats(bk, bands), max_candidates, bands, k // bands,
             suggestion=(

@@ -458,19 +458,23 @@ def embedding_near_dup_pairs(
     degenerate bucket cannot pin an executor core; output is
     byte-identical at any cap.
 
-    ``max_candidates`` (opt-in) runs the pre-flight scout first — one
-    extra narrow count shuffle — and raises
-    ``LshCandidateBudgetError`` with the exact collision count and a
-    sized ``rows_per_band`` suggestion when the verify join would
-    exceed the budget. When the scout passes, output is identical to
-    the unbudgeted call (the guard never touches the plan)."""
-    if max_candidates is not None:
-        _check_candidate_budget(
-            sign_lsh_occupancy_stats(embeddings, bands, rows_per_band, seed, id_col, vec_col, dim),
-            max_candidates, bands, rows_per_band,
-        )
+    ``max_candidates`` (opt-in) prices the candidate join BEFORE
+    launching it and raises ``LshCandidateBudgetError`` with the exact
+    collision count and a sized ``rows_per_band`` suggestion when the
+    verify join would exceed the budget. The gate reads the occupancy
+    summary off the SAME pinned sketch the join uses, so it costs one
+    narrow (band, key) count shuffle over already-materialized keys —
+    the hyperplane projection is NOT repeated (a refusal does pay the
+    linear sketch materialization, which is the bounded cost that makes
+    the quadratic join refusable at all). When the scout passes, output
+    is identical to the unbudgeted call (the guard never touches the
+    plan)."""
     vecs = banded_sign_sketch(embeddings, bands, rows_per_band, seed, id_col, vec_col, dim)
     bk = _explode_band_keys(vecs)
+    if max_candidates is not None:
+        _check_candidate_budget(
+            _occupancy_summary(bk, bands), max_candidates, bands, rows_per_band,
+        )
     cand = _bucketed_self_pairs(bk, bucket_cap).distinct()
     return _verify_cosine_pairs(cand, vecs, threshold)
 
@@ -553,7 +557,10 @@ def _check_candidate_budget(
     pass their own ``suggestion`` — the uniform-halving number would be
     wrong in kind for them."""
     s = stats_df.first()
-    n, cand = s[0], s["candidate_pairs"]
+    # aggregating ZERO rows yields null n/candidate_pairs — an empty
+    # corpus must read as "0 candidates: under budget", not a TypeError
+    # out of the None > int comparison
+    n, cand = s[0] or 0, s["candidate_pairs"] or 0
     if cand > max_candidates:
         if suggestion is None:
             occ_target = max(1, (2 * max_candidates) // (bands * max(n, 1)))
@@ -579,9 +586,15 @@ def sign_lsh_occupancy_stats(
     vec_col: str = "embedding",
     dim: int | None = None,
 ) -> DataFrame:
-    """Pre-flight scout for the sign-LSH near-dup path: ONE narrow
-    (band, key) count shuffle — no index pin, no pair materialization —
-    returning a single row of the numbers that decide whether
+    """Pre-flight scout for the sign-LSH near-dup path. Cost = the full
+    hyperplane projection pass (the dominant linear stage — re-executed
+    here, since the standalone scout deliberately pins nothing) plus ONE
+    narrow (band, key) count shuffle; pair materialization and verify —
+    the quadratic stages being priced — are skipped. Callers already
+    holding a pinned sketch should budget via ``max_candidates`` on the
+    pair operators instead, which reads the same summary off the pinned
+    keys without repeating the projection. Returns a single row of the
+    numbers that decide whether
     ``embedding_near_dup_pairs`` at these parameters is launchable:
 
       n_vectors, n_buckets, max_occupancy, p99_occupancy,
@@ -601,15 +614,30 @@ def sign_lsh_occupancy_stats(
     / 2,274 executor-CPU s; SCALE.md round-9)."""
     if dim is None:
         dim = len(embeddings.select(vec_col).first()[0])
+    # same pre-projection spread as banded_sign_sketch: the scout repeats
+    # the compute-dense hyperplane projection, and on single-row-group
+    # inputs it would otherwise fold onto one core — turning the
+    # "minutes-long scout" into the very pathology it exists to prevent
+    sc = embeddings.sparkSession.sparkContext
+    if _plan_partition_count(embeddings) < sc.defaultParallelism:
+        embeddings = embeddings.repartition(sc.defaultParallelism)
     bk = (
         embeddings.withColumn("__vd", F.col(vec_col).cast("array<double>"))
         .select(F.col(id_col).alias("id"), F.expr(_bands_sql(dim, bands, rows_per_band, seed)).alias("__bands"))
         .select("id", F.explode("__bands").alias("bk"))
         .select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     )
+    return _occupancy_summary(bk, bands, n_col="n_vectors")
+
+
+def _occupancy_summary(bk: DataFrame, bands: int, n_col: str = "n_vectors") -> DataFrame:
+    """One-row occupancy summary over an exploded (…, band, key) table —
+    the shared tail of the standalone scout and the in-line budget gate
+    (which feeds it the already-pinned sketch keys, so pricing the join
+    costs one narrow count shuffle, not a second projection pass)."""
     occ = bk.groupBy("band", "key").agg(F.count("*").alias("occ"))
     return occ.agg(
-        (F.sum("occ") / F.lit(bands)).cast("long").alias("n_vectors"),
+        (F.sum("occ") / F.lit(bands)).cast("long").alias(n_col),
         F.count("*").alias("n_buckets"),
         F.max("occ").alias("max_occupancy"),
         F.expr("percentile(occ, 0.99)").alias("p99_occupancy"),
@@ -771,12 +799,17 @@ VERIFY_BROADCAST_MAX_BYTES = 256 * 2**20
 def _verify_cosine_pairs(cand: DataFrame, vecs: DataFrame, threshold: float) -> DataFrame:
     va = vecs.select(F.col("id").alias("id1"), F.col("__v").alias("__va"), F.col("__n").alias("__na"))
     vb = vecs.select(F.col("id").alias("id2"), F.col("__v").alias("__vb"), F.col("__n").alias("__nb"))
-    # vecs is always the materialized sketch pin, so the two driver
-    # actions here are reads of a cached table, not plan re-executions
+    # vecs is USUALLY the materialized sketch pin, but the incremental
+    # path unions in a caller-supplied prior index that may be an
+    # arbitrary unpinned plan (e.g. read straight from parquet) — so the
+    # sizing probe must stay cheap on oversized inputs: a LIMIT-capped
+    # count stops scanning at threshold_rows+1 instead of paying a full
+    # count (twice) just to learn the index will never broadcast.
     first = vecs.select("__v").first()
-    n = vecs.count()
-    if first is not None and n * len(first[0]) * 8 * 1.5 <= VERIFY_BROADCAST_MAX_BYTES:
-        va, vb = F.broadcast(va), F.broadcast(vb)
+    if first is not None:
+        threshold_rows = int(VERIFY_BROADCAST_MAX_BYTES / (len(first[0]) * 8 * 1.5))
+        if vecs.limit(threshold_rows + 1).count() <= threshold_rows:
+            va, vb = F.broadcast(va), F.broadcast(vb)
     return (
         cand.join(va, "id1")
         .join(vb, "id2")

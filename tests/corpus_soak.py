@@ -72,9 +72,16 @@ def _unit_vec(doc_id: int, dim: int = 16) -> list[float]:
 def _build_days(spark) -> list[tuple[str, list[tuple], list[tuple]]]:
     """[(ds, doc_rows, emb_rows)] — doc rows (doc_id, text), emb rows
     (doc_id, embedding). Deterministic; driver-side (4750 rows total)."""
-    pool = sorted(
-        spark.read.parquet(SRC).select("doc_id", "text").limit(N_DAYS * FRESH_PER_DAY).collect(),
-        key=lambda r: r["doc_id"],
+    # orderBy BEFORE the limit: a bare .limit() truncates in parquet
+    # file/partition read order, so the soaked doc pool would depend on
+    # how the source happened to be written — ordering first makes the
+    # pool content-determined (the N smallest doc_ids) on any layout.
+    pool = (
+        spark.read.parquet(SRC)
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(N_DAYS * FRESH_PER_DAY)
+        .collect()
     )
     days = []
     for d in range(1, N_DAYS + 1):

@@ -293,3 +293,19 @@ def test_minhash_candidate_budget_gate(spark):
         dedup.minhash_near_dups(docs, "doc_id", max_candidates=3).collect()
     ok = dedup.minhash_near_dups(docs, "doc_id", max_candidates=10**9)
     assert ok.count() == 66  # all 12 identical docs pair up
+
+
+def test_candidate_budget_empty_corpus(spark):
+    """Round-10 advice fix: an opted-in budget over an EMPTY corpus must
+    read as "0 candidates: under budget" (the zero-row aggregate yields
+    null n/candidate_pairs), not crash with None > int."""
+    empty = spark.createDataFrame([], "vec_id int, embedding array<float>")
+    out = similarity.embedding_near_dup_pairs(
+        empty, threshold=0.9, bands=2, rows_per_band=2, seed=1, dim=4, max_candidates=10
+    )
+    assert out.count() == 0
+
+    from batch_data_pipeline_exercise_spark.operators import dedup
+
+    no_docs = spark.createDataFrame([], "doc_id int, text string")
+    assert dedup.minhash_near_dups(no_docs, "doc_id", max_candidates=10).count() == 0
