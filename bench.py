@@ -1,20 +1,24 @@
 #!/usr/bin/env python
 """Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints the bulky per-query ``resource`` map as its own JSON line first,
+Prints ONE COMPACT JSON LINE PER QUERY as it settles —
+``{"q": name, "wall": s, "cpu": s, "shuffle_mb": m, "input_mb": m}`` —
 then the compact headline as the LAST line of stdout:
-``{"metric": ..., "value": N, "unit": "sec", "queries": {name: sec}, "sf": ...}``
-(the driver tail-captures stdout with a fixed window, so the headline
-must stay small and last).
+``{"metric": ..., "value": N, "unit": "sec", "queries": {name: sec}, "sf": ...}``.
+The driver tail-captures stdout with a fixed window that truncates
+FRONT-first, so the newest complete records always survive: per-query
+lines beat one giant resource map (round-9 lesson: the single-line map
+lost 11 of 24 queries' counters to the window; round-8's even bigger
+single line truncated the headline itself).
 
 Each query is materialized with the ``noop`` sink (full execution, no
 driver collect) and timed wall-clock. A warmup run of the cheapest query
 absorbs JVM/codegen startup so numbers reflect steady-state throughput.
 
-Besides min-of-3 wall seconds, the detail line carries a ``resource`` map
-of per-query executor counters read from the Spark UI REST API (mean over
-the 3 runs): ``cpu`` (executor CPU seconds), ``shuffle_mb`` (shuffle
-write), ``input_mb`` (scan bytes). Wall time on a shared box swings
+Besides min-of-3 wall seconds, each per-query line carries executor
+counters read from the Spark UI REST API (mean over the 3 runs):
+``cpu`` (executor CPU seconds), ``shuffle_mb`` (shuffle write),
+``input_mb`` (scan bytes). Wall time on a shared box swings
 with host load (observed: identical plans, 22-37 s totals across
 runs); the counters are deterministic per plan, so round-over-round
 perf comparisons should read them first and treat wall as the tiebreak.
@@ -138,6 +142,7 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[q.name] = round(best, 3)
         _clear_session_state(spark)
+        line: dict[str, object] = {"q": q.name, "wall": round(best, 3)}
         if prev is not None:
             cur = _settled_totals(ui_url)
             if cur is not None:
@@ -145,25 +150,21 @@ def main() -> None:
                 resource[q.name] = {
                     k: round((cur[k] - prev[k]) / 3, 3) for k in ("cpu", "shuffle_mb", "input_mb")
                 }
+                line.update(resource[q.name])
                 prev = cur
             else:
                 # transient UI read failure: keep the last good baseline so
                 # collection resumes on the next query (the skipped delta
-                # would be misattributed, so this query is just missing)
+                # would be misattributed, so this query's counters are just
+                # missing, flagged on its own line)
                 resource_partial = True
+                line["resource_missing"] = True
+        # flush immediately: the per-query record must hit stdout before a
+        # later query can crash or the tail window can close over it
+        print(json.dumps(line), flush=True)
 
-    # The resource map is bulky and the driver's tail capture has a fixed
-    # window; emit it on its own line FIRST so the compact headline JSON
-    # below is always the intact last line of stdout (round-8 lesson:
-    # one giant line got front-truncated and the headline never parsed).
-    if resource:
-        detail = {
-            "resource": resource,
-            "cpu_total_sec": round(sum(r["cpu"] for r in resource.values()), 3),
-        }
-        if resource_partial:
-            detail["resource_partial"] = True
-        print(json.dumps(detail))
+    if resource_partial:
+        print(json.dumps({"resource_partial": True}), flush=True)
 
     out = {
         "metric": "headline_queries_total_wall",
