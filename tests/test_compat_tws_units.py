@@ -82,3 +82,28 @@ def test_recent_events_buffers_null_status():
     assert row["recent_statuses"] == f"created,{tws.NULL_STATUS},completed"
     # and the normalized sentinel (not None) is what went into state
     assert all(s is not None for _, s in p._recent._rows)
+
+
+def test_pbshim_retirement_tripwire():
+    """The _pbshim exists ONLY because the image ships no installed
+    google.protobuf >= 6.33.0 (the machine-checkable retirement note at
+    compat.py:41-46: pyspark 4.1.2's generated state-protocol code
+    demands 6.33.0 and the only discoverable runtime is the cloud-sdk
+    bundled 6.32.0). This test is the tripwire: it goes RED the moment
+    an image bump ships a sufficient INSTALLED protobuf, so the shim
+    cannot outlive its reason. importlib.metadata sees only installed
+    distributions — the shim's PYTHONPATH-vendored copy has no dist
+    metadata, so the shim cannot satisfy its own retirement check."""
+    import importlib.metadata
+
+    try:
+        ver = importlib.metadata.version("protobuf")
+    except importlib.metadata.PackageNotFoundError:
+        return  # no installed protobuf: the shim is still load-bearing
+    major, minor = (int(x) for x in ver.split(".")[:2])
+    assert (major, minor) < (6, 33), (
+        f"Installed protobuf {ver} satisfies pyspark's >= 6.33.0 gencode "
+        "requirement: DELETE batch_data_pipeline_exercise_spark/_pbshim, "
+        "compat.ensure_protobuf's lenient version patch, and this test "
+        "(see the retirement note in compat.py)."
+    )
