@@ -475,8 +475,25 @@ def embedding_near_dup_pairs(
         _check_candidate_budget(
             _occupancy_summary(bk, bands), max_candidates, bands, rows_per_band,
         )
-    cand = _bucketed_self_pairs(bk, bucket_cap).distinct()
-    return _verify_cosine_pairs(cand, vecs, threshold)
+    # ONE sizing probe feeds BOTH downstream gates (round-10: every
+    # extra Spark action costs a fixed ~2-5 executor-CPU s on a 32-way
+    # local session regardless of data size — the r9 guardrails' two
+    # added actions doubled this query's small-corpus CPU; see
+    # evidence/ABSCOUT_r10.jsonl): a LIMIT-capped count learns (a) the
+    # exact row count when small — lets _bucketed_self_pairs skip the
+    # over-cap occupancy scan when no bucket can need splitting — and
+    # (b) whether the pinned vectors fit the verify broadcast gate.
+    first = vecs.select("__v").first()
+    if first is None:
+        n_exact, do_broadcast = 0, False
+    else:
+        threshold_rows = int(VERIFY_BROADCAST_MAX_BYTES / (len(first[0]) * 8 * 1.5))
+        probe_cap = max(threshold_rows, SPLIT_GATE_MAX_ROWS)
+        n_probe = vecs.limit(probe_cap + 1).count()
+        n_exact = n_probe if n_probe <= probe_cap else None
+        do_broadcast = n_probe <= threshold_rows
+    cand = _bucketed_self_pairs(bk, bucket_cap, n_rows=n_exact).distinct()
+    return _verify_cosine_pairs(cand, vecs, threshold, broadcast=do_broadcast)
 
 
 
@@ -646,6 +663,39 @@ def _occupancy_summary(bk: DataFrame, bands: int, n_col: str = "n_vectors") -> D
     )
 
 
+def _incremental_occupancy_summary(
+    new_bk: DataFrame,
+    prior_bk: DataFrame,
+    bands: int,
+    keys: tuple[str, str] = ("band", "key"),
+    n_col: str = "n_vectors",
+) -> DataFrame:
+    """One-row pricing summary for an INCREMENTAL LSH probe: per bucket
+    the increment contributes c_new·(c_new−1)/2 within-increment pairs
+    plus c_new·c_prior cross pairs against the stored index — exactly
+    the rows ``incremental_embedding_pairs`` /
+    ``incremental_minhash_pairs`` emit (prior×prior never re-joins).
+    ``n_vectors`` counts the INCREMENT only: the budget guards the
+    increment's join, and the sizing suggestion derived from it resizes
+    the increment's sketch. Buckets with no new member cost nothing and
+    are excluded (left join from the new side)."""
+    b, k = keys
+    new_occ = new_bk.groupBy(b, k).agg(F.count("*").alias("__on"))
+    prior_occ = prior_bk.groupBy(b, k).agg(F.count("*").alias("__op"))
+    j = new_occ.join(prior_occ, [b, k], "left").na.fill({"__op": 0})
+    tot = F.col("__on") + F.col("__op")
+    return j.agg(
+        (F.sum("__on") / F.lit(bands)).cast("long").alias(n_col),
+        F.count("*").alias("n_buckets"),
+        F.max(tot).alias("max_occupancy"),
+        F.expr("percentile(__on + __op, 0.99)").alias("p99_occupancy"),
+        F.avg(tot).alias("mean_occupancy"),
+        F.sum(
+            F.col("__on") * (F.col("__on") - 1) / 2 + F.col("__on") * F.col("__op")
+        ).cast("long").alias("candidate_pairs"),
+    )
+
+
 def banded_sign_sketch(
     embeddings: DataFrame,
     bands: int = 8,
@@ -714,8 +764,19 @@ def _explode_band_keys(vecs: DataFrame) -> DataFrame:
 #: candidate rows on ONE executor core.
 SIGN_BUCKET_CAP = 512
 
+#: with the DEFAULT cap, corpora at or below this row count skip the
+#: over-cap occupancy scan entirely when the caller knows the exact row
+#: count: the degenerate worst case (every row in ONE bucket) is then
+#: ≤ n²/2 ≈ 8.4M pairs in a single task — sub-second work that cannot
+#: pin an executor, so pricing the split would cost more than the risk
+#: it retires. An EXPLICIT cap always runs the scan (tests force cap=2
+#: to prove split byte-identity; an operator that asks for a cap gets it).
+SPLIT_GATE_MAX_ROWS = 4096
 
-def _bucketed_self_pairs(bk: DataFrame, cap: int | None = None) -> DataFrame:
+
+def _bucketed_self_pairs(
+    bk: DataFrame, cap: int | None = None, n_rows: int | None = None
+) -> DataFrame:
     """Candidate pairs (id1 < id2) from a band-key table via the per-bucket
     equi self-join, with an OCCUPANCY GUARDRAIL: buckets holding more than
     ``cap`` members are handled by a triangle chunk-split that emits the
@@ -737,17 +798,55 @@ def _bucketed_self_pairs(bk: DataFrame, cap: int | None = None) -> DataFrame:
     cap at every SF (asserted in tests with a cap forced below observed
     occupancy).
 
-    The over-cap bucket list is at most rows/cap entries by construction
-    — broadcast; under-cap buckets take the plain map-side-filtered
-    self-join, so the only added cost for healthy corpora is one narrow
-    (band, key) count shuffle."""
+    Round-10 small-corpus fix (quiet-box A/B in
+    `evidence/ABSCOUT_r10.jsonl`: the r9 guardrail DOUBLED the query's
+    CPU at sf0.1, 12.7 vs 6.7 CPU s — a fixed per-action overhead plus
+    four extra plan subtrees, not data cost): two gates now drop the
+    guardrail when it provably cannot help, byte-identically.
+
+    1. ``n_rows`` (the caller's exact row count, when known from a probe
+       it already paid for): if ``n_rows <= cap`` NO bucket can exceed
+       the cap — skip the scan outright. With the DEFAULT cap, also skip
+       while ``n_rows <= SPLIT_GATE_MAX_ROWS``: the degenerate
+       worst-case single task is then sub-second. An explicit cap is
+       always honored.
+    2. Otherwise the over-cap bucket list (at most rows/cap entries by
+       construction) is materialized ONCE (``localCheckpoint``) and,
+       when EMPTY, the split plan — four extra subtrees, each re-scanning
+       band keys and rebuilding the broadcast — is dropped for the plain
+       self-join. A healthy large corpus pays exactly one narrow
+       (band, key) count shuffle + one empty-checkpoint read; a
+       degenerate one pays the same count plus the split it needs.
+
+    Output is byte-identical on every path: an empty (or impossible)
+    over-list makes the split plan degenerate to the plain join
+    row-for-row."""
+    explicit_cap = cap is not None
     if cap is None:
         cap = SIGN_BUCKET_CAP
-    over = F.broadcast(
+    if n_rows is not None and (
+        n_rows <= cap or (not explicit_cap and n_rows <= SPLIT_GATE_MAX_ROWS)
+    ):
+        return (
+            bk.alias("a")
+            .join(bk.alias("b"), ["band", "key"])
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        )
+    over_occ = (
         bk.groupBy("band", "key")
         .agg(F.count(F.lit(1)).alias("__occ"))
         .filter(F.col("__occ") > cap)
+        .localCheckpoint()
     )
+    if not over_occ.take(1):
+        return (
+            bk.alias("a")
+            .join(bk.alias("b"), ["band", "key"])
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        )
+    over = F.broadcast(over_occ)
     small = bk.join(over.select("band", "key"), ["band", "key"], "left_anti")
     pairs_small = (
         small.alias("a")
@@ -796,20 +895,28 @@ def _bucketed_self_pairs(bk: DataFrame, cap: int | None = None) -> DataFrame:
 VERIFY_BROADCAST_MAX_BYTES = 256 * 2**20
 
 
-def _verify_cosine_pairs(cand: DataFrame, vecs: DataFrame, threshold: float) -> DataFrame:
+def _verify_cosine_pairs(
+    cand: DataFrame, vecs: DataFrame, threshold: float, broadcast: bool | None = None
+) -> DataFrame:
     va = vecs.select(F.col("id").alias("id1"), F.col("__v").alias("__va"), F.col("__n").alias("__na"))
     vb = vecs.select(F.col("id").alias("id2"), F.col("__v").alias("__vb"), F.col("__n").alias("__nb"))
-    # vecs is USUALLY the materialized sketch pin, but the incremental
-    # path unions in a caller-supplied prior index that may be an
-    # arbitrary unpinned plan (e.g. read straight from parquet) — so the
-    # sizing probe must stay cheap on oversized inputs: a LIMIT-capped
-    # count stops scanning at threshold_rows+1 instead of paying a full
-    # count (twice) just to learn the index will never broadcast.
-    first = vecs.select("__v").first()
-    if first is not None:
-        threshold_rows = int(VERIFY_BROADCAST_MAX_BYTES / (len(first[0]) * 8 * 1.5))
-        if vecs.limit(threshold_rows + 1).count() <= threshold_rows:
-            va, vb = F.broadcast(va), F.broadcast(vb)
+    # broadcast=None → self-probe. vecs is USUALLY the materialized
+    # sketch pin, but the incremental path unions in a caller-supplied
+    # prior index that may be an arbitrary unpinned plan (e.g. read
+    # straight from parquet) — so the sizing probe must stay cheap on
+    # oversized inputs: a LIMIT-capped count stops scanning at
+    # threshold_rows+1 instead of paying a full count (twice) just to
+    # learn the index will never broadcast. Callers that already probed
+    # (embedding_near_dup_pairs shares one probe across its gates) pass
+    # the decision in to avoid repeating the actions.
+    if broadcast is None:
+        first = vecs.select("__v").first()
+        broadcast = False
+        if first is not None:
+            threshold_rows = int(VERIFY_BROADCAST_MAX_BYTES / (len(first[0]) * 8 * 1.5))
+            broadcast = vecs.limit(threshold_rows + 1).count() <= threshold_rows
+    if broadcast:
+        va, vb = F.broadcast(va), F.broadcast(vb)
     return (
         cand.join(va, "id1")
         .join(vb, "id2")
@@ -836,6 +943,7 @@ def incremental_embedding_pairs(
     vec_col: str = "embedding",
     dim: int | None = None,
     bucket_cap: int | None = None,
+    max_candidates: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Batch-over-batch embedding near-dup detection: sketch ONLY the new
     batch and probe it against the stored sign-sketch index — the
@@ -851,13 +959,34 @@ def incremental_embedding_pairs(
 
     Returns ``(pairs, updated_index)``: verified (id1, id2, cosine)
     pairs where at least one side is new, and the index to persist for
-    the next increment."""
+    the next increment.
+
+    ``max_candidates`` (opt-in) prices the increment's candidate join
+    BEFORE launching it — per bucket, c_new·(c_new−1)/2 within-increment
+    pairs plus c_new·c_prior probe hits against the stored index — and
+    raises ``LshCandidateBudgetError`` with the exact count and a sized
+    ``rows_per_band`` suggestion when it exceeds the budget. The scout
+    reads the pinned increment sketch (one narrow count shuffle) plus
+    one occupancy pass over the stored index's keys (a scan of the
+    persisted index table — its vectors are never read); a passing
+    scout changes nothing downstream."""
     new_vecs = banded_sign_sketch(new_embeddings, bands, rows_per_band, seed, id_col, vec_col, dim)
     new_bk = _explode_band_keys(new_vecs)
     if prior_index is None:
+        if max_candidates is not None:
+            _check_candidate_budget(
+                _occupancy_summary(new_bk, bands), max_candidates, bands, rows_per_band,
+            )
         cand = _bucketed_self_pairs(new_bk, bucket_cap).distinct()
         return _verify_cosine_pairs(cand, new_vecs, threshold), new_vecs
     prior_bk = _explode_band_keys(prior_index)
+    if max_candidates is not None:
+        _check_candidate_budget(
+            _incremental_occupancy_summary(new_bk, prior_bk, bands),
+            max_candidates,
+            bands,
+            rows_per_band,
+        )
     # within-increment pairs take the same occupancy guardrail as the
     # rebuild; the new×prior probe below is already bounded by increment
     # occupancy × prior occupancy per bucket (the increment side is small)
