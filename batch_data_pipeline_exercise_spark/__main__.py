@@ -165,6 +165,21 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_cor.add_argument("--ds", required=True, help="increment date, YYYY-MM-DD")
     p_cor.add_argument("--warehouse", required=True)
+    p_cor.add_argument(
+        "--max-text-candidates",
+        dest="max_text_candidates",
+        default="auto",
+        help="LSH candidate budget for the text near-dup stage: an integer, "
+        "'auto' (default: sized to the increment at the healthy-occupancy "
+        "ceiling), or 'off' — over-budget runs refuse with a sizing "
+        "suggestion instead of launching the join",
+    )
+    p_cor.add_argument(
+        "--max-embedding-candidates",
+        dest="max_embedding_candidates",
+        default="auto",
+        help="same budget for the embedding near-dup stage",
+    )
 
     p_aud = sub.add_parser(
         "audit",
@@ -472,11 +487,34 @@ def main(argv: list[str] | None = None) -> int:
             return _err(f"--docs path not found: {args.docs}")
         if args.embeddings and not os.path.exists(args.embeddings):
             return _err(f"--embeddings path not found: {args.embeddings}")
-        cp = CorpusPipeline(spark, args.warehouse)
+        def _budget_knob(raw: str) -> int | str | None:
+            if raw == "off":
+                return None
+            if raw == "auto":
+                return "auto"
+            try:
+                return int(raw)
+            except ValueError:
+                return None  # unreachable after the guard below
+
+        for raw in (args.max_text_candidates, args.max_embedding_candidates):
+            if raw not in ("auto", "off") and not raw.lstrip("-").isdigit():
+                return _err(
+                    f"budget must be an integer, 'auto', or 'off', got {raw!r}"
+                )
+        cp = CorpusPipeline(
+            spark,
+            args.warehouse,
+            max_text_candidates=_budget_knob(args.max_text_candidates),
+            max_embedding_candidates=_budget_knob(args.max_embedding_candidates),
+        )
         emb = spark.read.parquet(args.embeddings) if args.embeddings else None
         try:
             stats = cp.run(spark.read.parquet(args.docs), args.ds, embeddings=emb)
-        except CorpusContractError as e:  # embedding-indexed corpus run without --embeddings
+        except CorpusContractError as e:
+            # embedding-indexed run without --embeddings, or an
+            # over-budget LSH stage (refusal carries the sizing
+            # suggestion) — both are contract refusals, non-zero exit
             return _err(str(e))
         print(json.dumps({"ok": True, **stats}))
         return 0

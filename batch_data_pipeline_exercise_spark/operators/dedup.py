@@ -499,6 +499,7 @@ def incremental_minhash_pairs(
     n: int = 3,
     k: int = 32,
     bands: int = 8,
+    max_candidates: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Daily-increment near-dup candidates: signature-hash ONLY the new
     batch and probe it against the stored band-key index.
@@ -523,14 +524,51 @@ def incremental_minhash_pairs(
     self-join. Exact-Jaccard verification stays the caller's second
     step (``exact_jaccard``) — it needs the colliding docs' text, which
     a real pipeline fetches by key from the corpus store.
+
+    ``max_candidates`` (opt-in) prices the increment's candidate join
+    BEFORE launching it — per bucket, c_new·(c_new−1)/2 within-batch
+    pairs plus c_new·c_prior probe hits — and raises
+    ``similarity.LshCandidateBudgetError`` when it exceeds the budget.
+    The scout reads the already-pinned new band keys (one narrow count
+    shuffle) plus one occupancy pass over the stored index's keys; the
+    history's texts are never shingled. A passing scout changes nothing
+    downstream.
     """
+    from batch_data_pipeline_exercise_spark.operators.similarity import (
+        _check_candidate_budget,
+        _incremental_occupancy_summary,
+    )
+
+    _mh_suggestion = (
+        "Raise rows per band (k/bands): a Jaccard-J candidate pair "
+        "band-collides with probability J^rows, so each extra row "
+        "multiplies sub-threshold collision odds by J while "
+        "threshold-level pairs keep most of theirs — then re-scout. "
+        "Identical-content groups collide at ANY rows; those candidates "
+        "are true positives the verify stage must price."
+    )
     new_keys = lsh_band_keys(
         minhash_signatures(word_shingles(new_docs, id_col, text_col, n, distinct=False), k),
         bands,
         k // bands,
     ).localCheckpoint()
     if prior_band_keys is None:
+        if max_candidates is not None:
+            _check_candidate_budget(
+                lsh_occupancy_stats(new_keys, bands), max_candidates, bands,
+                k // bands, suggestion=_mh_suggestion,
+            )
         return lsh_candidate_pairs(new_keys, materialize=False), new_keys
+    if max_candidates is not None:
+        _check_candidate_budget(
+            _incremental_occupancy_summary(
+                new_keys, prior_band_keys, bands, keys=("band", "band_key")
+            ),
+            max_candidates,
+            bands,
+            k // bands,
+            suggestion=_mh_suggestion,
+        )
     new_new = lsh_candidate_pairs(new_keys, materialize=False)
     a, b = new_keys.alias("a"), prior_band_keys.alias("b")
     cross = (

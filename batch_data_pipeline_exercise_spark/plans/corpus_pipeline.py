@@ -49,6 +49,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from batch_data_pipeline_exercise_spark.operators import dedup, graph, similarity, text
+from batch_data_pipeline_exercise_spark.operators.similarity import LshCandidateBudgetError
 from batch_data_pipeline_exercise_spark.operators.quality import observe_load_metrics
 from batch_data_pipeline_exercise_spark.operators.sampling import assign_packing_bins
 from batch_data_pipeline_exercise_spark.sources.warehouse import Warehouse
@@ -79,6 +80,8 @@ class CorpusPipeline:
         cosine_threshold: float = 0.95,
         n_shards: int = 8,
         pack_budget: int = 2048,
+        max_text_candidates: int | str | None = "auto",
+        max_embedding_candidates: int | str | None = "auto",
     ):
         self.spark = spark
         self.wh = Warehouse(spark, warehouse_root)
@@ -88,6 +91,33 @@ class CorpusPipeline:
         self.cosine_threshold = cosine_threshold
         self.n_shards = n_shards
         self.pack_budget = pack_budget
+        self.max_text_candidates = max_text_candidates
+        self.max_embedding_candidates = max_embedding_candidates
+
+    # -- LSH candidate budgets (on by default: a nightly corpus run must
+    # -- not launch a join a scout would have refused in seconds) --------
+
+    #: both near-dup stages run 8 bands (the operators' defaults)
+    LSH_BANDS = 8
+    #: the sizing rule's expected-occupancy ceiling (``rows_per_band_for``
+    #: default): a healthy sketch holds per-bucket occupancy ≤ this
+    BUDGET_TARGET_OCCUPANCY = 256
+
+    def _budget(self, knob: int | str | None, n_increment: int) -> int | None:
+        """Resolve a budget knob for an increment of ``n_increment`` docs.
+        ``"auto"`` (the default) allows 4× the healthy-occupancy
+        collision ceiling: a rightly-sized sketch prices at most
+        ~1.5 · bands · n · target_occupancy candidates (cross-probe term
+        bands·n·occ plus within-increment bands·n·occ/2), so 4× passes
+        every healthy run untouched while a candidate-quadratic
+        degenerate increment (the measured sf10 disk-exhaustion shape)
+        is refused with a sizing suggestion. ``None`` disables the gate;
+        an int is used as-is."""
+        if knob is None:
+            return None
+        if knob == "auto":
+            return 4 * self.LSH_BANDS * max(n_increment, 1) * self.BUDGET_TARGET_OCCUPANCY
+        return int(knob)
 
     # -- replay bookkeeping (same shape as the CLI's _backfill_log) ----------
 
@@ -168,7 +198,13 @@ class CorpusPipeline:
         (docs that landed in the corpus unsketched), and a corpus that
         has started embedding dedup (the sign index exists) REFUSES a
         run that omits ``embeddings`` outright — silently skipping the
-        stage would punch a permanent, invisible recall hole."""
+        stage would punch a permanent, invisible recall hole.
+
+        Candidate budgets: both near-dup stages price their LSH joins
+        before launching them (default ``"auto"`` — see ``_budget``); an
+        over-budget increment raises ``CorpusContractError`` carrying
+        the operator's exact collision count and sizing suggestion, so a
+        nightly run refuses in seconds instead of dying mid-spill."""
         if self._done(ds):
             return {"ds": ds, "already_done": True}
         if embeddings is None and self.wh.exists(self.SIGN_INDEX):
@@ -220,7 +256,17 @@ class CorpusPipeline:
         # colliding docs' texts (new side from the increment, prior side
         # fetched BY KEY from corpus_docs)
         prior_lsh = self.wh.read(self.LSH_INDEX) if self.wh.exists(self.LSH_INDEX) else None
-        cand, lsh_union = dedup.incremental_minhash_pairs(prior_lsh, kept, "doc_id")
+        n_increment = int(obs_sh.get["docs_shingled"])
+        try:
+            cand, lsh_union = dedup.incremental_minhash_pairs(
+                prior_lsh, kept, "doc_id",
+                max_candidates=self._budget(self.max_text_candidates, n_increment),
+            )
+        except LshCandidateBudgetError as e:
+            raise CorpusContractError(
+                f"text near-dup stage for ds={ds} refused by the candidate budget "
+                f"(max_text_candidates={self.max_text_candidates!r}): {e}"
+            ) from e
         cand = cand.localCheckpoint()
         pair_ids = (
             cand.select(F.col("id1").alias("doc_id"))
@@ -267,13 +313,23 @@ class CorpusPipeline:
                     kept, ds, None, lsh_union, obs_in, obs_sh, emb_stats,
                     emb_ids=embeddings.select("doc_id"),
                 )
-            epairs, sign_union = similarity.incremental_embedding_pairs(
-                prior_sign,
-                emb_new,
-                threshold=self.cosine_threshold,
-                id_col="doc_id",
-                vec_col="embedding",
-            )
+            try:
+                epairs, sign_union = similarity.incremental_embedding_pairs(
+                    prior_sign,
+                    emb_new,
+                    threshold=self.cosine_threshold,
+                    id_col="doc_id",
+                    vec_col="embedding",
+                    max_candidates=self._budget(
+                        self.max_embedding_candidates, n_increment
+                    ),
+                )
+            except LshCandidateBudgetError as e:
+                raise CorpusContractError(
+                    f"embedding near-dup stage for ds={ds} refused by the candidate "
+                    f"budget (max_embedding_candidates="
+                    f"{self.max_embedding_candidates!r}): {e}"
+                ) from e
             epairs = epairs.localCheckpoint()
             kept = kept.join(
                 self._dup_drops(

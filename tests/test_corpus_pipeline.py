@@ -263,3 +263,80 @@ def test_maintain_compacts_accumulated_index_files(spark, corpus_wh):
     assert after == before
     # and a freshly-compacted warehouse is a no-op on the next cadence
     assert cp.maintain(max_files_per_partition=8) == []
+
+
+def test_budget_identity_on_normal_runs(spark, tmp_path):
+    """Round-10: the default 'auto' candidate budgets change NOTHING on a
+    healthy run — stats and retained corpus identical to budgets off."""
+    stats = {}
+    docs = {}
+    for knob, wh in (("auto", str(tmp_path / "wa")), (None, str(tmp_path / "wo"))):
+        cp = CorpusPipeline(
+            spark, wh, max_text_candidates=knob, max_embedding_candidates=knob
+        )
+        s1 = cp.run(_df(spark, DAY1_DOCS), "2024-01-01", _edf(spark, DAY1_EMB))
+        s2 = cp.run(_df(spark, DAY2_DOCS), "2024-01-02", _edf(spark, DAY2_EMB))
+        stats[knob] = (s1, s2)
+        docs[knob] = sorted(
+            (r["doc_id"], r["ds"]) for r in cp.wh.read(cp.DOCS).collect()
+        )
+    assert stats["auto"] == stats[None]
+    assert docs["auto"] == docs[None]
+
+
+def test_undersized_budget_refuses_with_suggestion(spark, corpus_wh):
+    """A deliberately-undersized budget refuses the text stage before the
+    join launches, as a CorpusContractError carrying the operator's exact
+    collision price and sizing suggestion; nothing is persisted for the
+    refused ds, so a resized retry is a clean first run."""
+    cp = CorpusPipeline(spark, corpus_wh, max_text_candidates=0)
+    with pytest.raises(CorpusContractError, match="Raise rows per band"):
+        cp.run(_df(spark, DAY1_DOCS), "2024-01-01", _edf(spark, DAY1_EMB))
+    assert not cp.wh.exists(cp.DOCS) and not cp.wh.exists(cp.LOG)
+
+    # resized (generous) retry of the SAME ds succeeds from scratch
+    ok = CorpusPipeline(spark, corpus_wh)
+    s = ok.run(_df(spark, DAY1_DOCS), "2024-01-01", _edf(spark, DAY1_EMB))
+    assert s["docs_kept"] == 3
+
+
+def test_undersized_embedding_budget_refuses_incremental_probe(spark, corpus_wh):
+    """Day-2 embedding stage prices the probe against the PERSISTED sign
+    index; budget 0 refuses it (doc 15 collides with retained doc 5)."""
+    ok = CorpusPipeline(spark, corpus_wh)
+    ok.run(_df(spark, DAY1_DOCS), "2024-01-01", _edf(spark, DAY1_EMB))
+    cp = CorpusPipeline(spark, corpus_wh, max_embedding_candidates=0)
+    with pytest.raises(CorpusContractError, match="max_embedding_candidates"):
+        cp.run(_df(spark, DAY2_DOCS), "2024-01-02", _edf(spark, DAY2_EMB))
+    # day-2 was not marked done — the corpus still holds only day 1
+    assert ok.run(_df(spark, DAY2_DOCS), "2024-01-02", _edf(spark, DAY2_EMB))[
+        "docs_kept"
+    ] > 0
+
+
+def test_corpus_cli_budget_flags(spark, corpus_wh, tmp_path):
+    """--max-text-candidates 0 exits 1 with the refusal; 'off' disables
+    the gate; a bad value is rejected before Spark work."""
+    docs_p = str(tmp_path / "docs.parquet")
+    emb_p = str(tmp_path / "emb.parquet")
+    _df(spark, DAY1_DOCS).write.parquet(docs_p)
+    _edf(spark, DAY1_EMB).write.parquet(emb_p)
+
+    def run_cli(*extra):
+        return subprocess.run(
+            [sys.executable, "-m", "batch_data_pipeline_exercise_spark", "corpus",
+             "--docs", docs_p, "--embeddings", emb_p, "--ds", "2024-01-01",
+             "--warehouse", corpus_wh, *extra],
+            capture_output=True, text=True,
+        )
+
+    bad = run_cli("--max-text-candidates", "lots")
+    assert bad.returncode == 2 and "must be an integer" in bad.stderr
+
+    refused = run_cli("--max-text-candidates", "0")
+    assert refused.returncode == 2 and "Raise rows per band" in refused.stderr
+
+    ok = run_cli("--max-text-candidates", "off", "--max-embedding-candidates", "off")
+    assert ok.returncode == 0, ok.stderr
+    out = json.loads(ok.stdout.strip().splitlines()[-1])
+    assert out["ok"] is True and out["docs_kept"] == 3

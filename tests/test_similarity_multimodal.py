@@ -309,3 +309,83 @@ def test_candidate_budget_empty_corpus(spark):
 
     no_docs = spark.createDataFrame([], "doc_id int, text string")
     assert dedup.minhash_near_dups(no_docs, "doc_id", max_candidates=10).count() == 0
+
+
+def test_incremental_candidate_budget_gate(spark, vecs):
+    """Round-10: the incremental operators take the same opt-in budget.
+    The increment-side pricing (c_new·(c_new−1)/2 + c_new·c_prior per
+    bucket) must refuse a degenerate increment against a stored index
+    with the sizing suggestion, and a generous budget must change
+    nothing vs the ungated call."""
+    kw = dict(threshold=0.99, bands=8, rows_per_band=8, seed=42, dim=16)
+    prior = similarity.banded_sign_sketch(
+        vecs.filter(F.col("vec_id") % 2 == 0), kw["bands"], kw["rows_per_band"],
+        kw["seed"], dim=kw["dim"],
+    )
+    inc = vecs.filter(F.col("vec_id") % 2 == 1)
+
+    with pytest.raises(similarity.LshCandidateBudgetError, match="rows_per_band="):
+        similarity.incremental_embedding_pairs(prior, inc, max_candidates=1, **kw)
+    base, _ = similarity.incremental_embedding_pairs(prior, inc, **kw)
+    gated, _ = similarity.incremental_embedding_pairs(prior, inc, max_candidates=10**9, **kw)
+    bset = {(r["id1"], r["id2"]) for r in base.collect()}
+    assert {(r["id1"], r["id2"]) for r in gated.collect()} == bset
+
+    # first-batch (no prior) path prices the plain self-join
+    with pytest.raises(similarity.LshCandidateBudgetError, match="rows_per_band="):
+        similarity.incremental_embedding_pairs(None, vecs, max_candidates=1, **kw)
+
+
+def test_incremental_minhash_budget_gate(spark):
+    from batch_data_pipeline_exercise_spark.operators import dedup
+
+    day1 = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog near the river") for i in range(6)],
+        "doc_id int, text string",
+    )
+    day2 = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog near the river") for i in range(10, 16)],
+        "doc_id int, text string",
+    )
+    _, index = dedup.incremental_minhash_pairs(None, day1, "doc_id")
+
+    # 6 identical new docs vs 6 identical stored: 15 within + 36 cross
+    # per band — over a budget of 3, with the minhash-family suggestion
+    with pytest.raises(similarity.LshCandidateBudgetError, match="Raise rows per band"):
+        dedup.incremental_minhash_pairs(index, day2, "doc_id", max_candidates=3)
+    pairs, _ = dedup.incremental_minhash_pairs(index, day2, "doc_id", max_candidates=10**9)
+    ungated, _ = dedup.incremental_minhash_pairs(index, day2, "doc_id")
+    pset = {(r["id1"], r["id2"]) for r in pairs.collect()}
+    assert pset == {(r["id1"], r["id2"]) for r in ungated.collect()}
+    # every pair touches a new doc; cross pairs dominate
+    assert all(i1 >= 10 or i2 >= 10 for i1, i2 in pset)
+
+    # first-batch path: within-batch 15 pairs per band over budget 3
+    with pytest.raises(similarity.LshCandidateBudgetError, match="Raise rows per band"):
+        dedup.incremental_minhash_pairs(None, day1, "doc_id", max_candidates=3)
+
+
+def test_incremental_occupancy_summary_exact(spark, vecs):
+    """The incremental pricing summary must equal hand-computed totals
+    over the two sides' exploded band keys."""
+    kw = dict(bands=4, rows_per_band=4, seed=7, dim=16)
+    prior = similarity.banded_sign_sketch(
+        vecs.filter(F.col("vec_id") % 2 == 0), kw["bands"], kw["rows_per_band"],
+        kw["seed"], dim=kw["dim"],
+    )
+    new = similarity.banded_sign_sketch(
+        vecs.filter(F.col("vec_id") % 2 == 1), kw["bands"], kw["rows_per_band"],
+        kw["seed"], dim=kw["dim"],
+    )
+    new_bk, prior_bk = similarity._explode_band_keys(new), similarity._explode_band_keys(prior)
+    s = similarity._incremental_occupancy_summary(new_bk, prior_bk, kw["bands"]).first()
+
+    occ = {}
+    for side, bk in (("n", new_bk), ("p", prior_bk)):
+        for r in bk.groupBy("band", "key").agg(F.count("*").alias("c")).collect():
+            occ.setdefault((r["band"], r["key"]), {"n": 0, "p": 0})[side] = r["c"]
+    buckets = {k: v for k, v in occ.items() if v["n"] > 0}
+    expected = sum(v["n"] * (v["n"] - 1) // 2 + v["n"] * v["p"] for v in buckets.values())
+    assert s["candidate_pairs"] == expected
+    assert s["n_buckets"] == len(buckets)
+    assert s["max_occupancy"] == max(v["n"] + v["p"] for v in buckets.values())
