@@ -425,6 +425,58 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.with_lang_id(d).select("doc_id", "lang_pred")
 
 
+def corpus_prep_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship's filter + exact-dedup stages, shared by the registry
+    query below and the near-dup sizing harness
+    (``tests/sized_flagship.py``) so a resized minhash stage runs over
+    the byte-identical survivor set the shipped parameters see.
+
+    The fused stats+quality+lang-id+fingerprint stage compiles clean
+    since the marker/stopword folds moved to per-needle regexp_count
+    (operators/text.py::_regexp_count_fold_sql) — the replace-fold
+    form blew janino's 64 KB whole-stage-codegen limit and dropped
+    this whole stage (the pipeline's biggest scan) to interpreted
+    execution. Measured at sf0.1: wall time is a wash (7.6 → 7.8 s,
+    within jitter — literal-pattern Java regex ≈ UTF8String.replace),
+    but the stage stays inside WSCG with headroom for composition.
+    Score ONCE, pin the scored rows, THEN filter. Filtering directly
+    on the derived lang_pred/quality_score columns looks free but is
+    not: predicate pushdown SUBSTITUTES the full 40-regex scorer
+    trees into the Filter (evaluated again beyond the projection's
+    copy), pushes that predicate through load()'s spreading exchange
+    onto the single-row-group SCAN side (one core), and the
+    re-inflated stage re-blows janino's 64 KB limit. Pinning the
+    compiled scorer projection first makes the filter a plain column
+    comparison: measured at sf0.1 the score+filter+window stage drops
+    3.0 s -> 0.8 s and every stage compiles (SCALE.md round-5). At
+    cluster scale this pin is the natural "persist the quality
+    scores" write between scoring and filtering."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = text.with_fingerprint(text.with_lang_id(text.with_quality_score(d)))
+    scored = scored.select(
+        "doc_id", "text", "quality_score", "n_tokens", "lang_pred", "fingerprint_norm"
+    ).localCheckpoint()
+    kept0 = scored.filter((F.col("lang_pred") == "en") & (F.col("quality_score") >= 0.6))
+    w = Window.partitionBy("fingerprint_norm")
+    kept1 = kept0.withColumn("__m", F.min("doc_id").over(w)).filter(F.col("doc_id") == F.col("__m"))
+    # Stage boundary: the survivor set feeds three consumers (near-dup
+    # pair generation, the cluster vertex list, the final join) —
+    # materialize once instead of re-running the text-stats/lang-id
+    # expression tree per branch. At cluster scale this is the
+    # persist-or-write point between the filter stage and the dedup
+    # stage of the pipeline. The explicit repartition matters: AQE
+    # coalesces the tiny-BYTES window shuffle to one partition, but the
+    # downstream work is compute-dense per row (shingling, 32-way
+    # hashing) — checkpointing single-partition would serialize it all
+    # onto one core (measured: 7.8 s -> 13.8 s when a pin briefly
+    # captured the coalesced layout).
+    # prune to the three columns the dedup/cluster/output stages touch
+    # before materializing — the stat/marker/fingerprint intermediates
+    # would otherwise be serialized into the checkpoint for nothing
+    kept1 = kept1.select("doc_id", "text", "quality_score", "n_tokens")
+    return kept1.repartition(spark.sparkContext.defaultParallelism).localCheckpoint()
+
+
 @register(
     "corpus_prep_pipeline",
     oracle="WITH RECURSIVE "
@@ -506,50 +558,7 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The fused stats+quality+lang-id+fingerprint stage compiles clean
-    # since the marker/stopword folds moved to per-needle regexp_count
-    # (operators/text.py::_regexp_count_fold_sql) — the replace-fold
-    # form blew janino's 64 KB whole-stage-codegen limit and dropped
-    # this whole stage (the pipeline's biggest scan) to interpreted
-    # execution. Measured at sf0.1: wall time is a wash (7.6 → 7.8 s,
-    # within jitter — literal-pattern Java regex ≈ UTF8String.replace),
-    # but the stage stays inside WSCG with headroom for composition.
-    # Score ONCE, pin the scored rows, THEN filter. Filtering directly
-    # on the derived lang_pred/quality_score columns looks free but is
-    # not: predicate pushdown SUBSTITUTES the full 40-regex scorer
-    # trees into the Filter (evaluated again beyond the projection's
-    # copy), pushes that predicate through load()'s spreading exchange
-    # onto the single-row-group SCAN side (one core), and the
-    # re-inflated stage re-blows janino's 64 KB limit. Pinning the
-    # compiled scorer projection first makes the filter a plain column
-    # comparison: measured at sf0.1 the score+filter+window stage drops
-    # 3.0 s -> 0.8 s and every stage compiles (SCALE.md round-5). At
-    # cluster scale this pin is the natural "persist the quality
-    # scores" write between scoring and filtering.
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    scored = text.with_fingerprint(text.with_lang_id(text.with_quality_score(d)))
-    scored = scored.select(
-        "doc_id", "text", "quality_score", "n_tokens", "lang_pred", "fingerprint_norm"
-    ).localCheckpoint()
-    kept0 = scored.filter((F.col("lang_pred") == "en") & (F.col("quality_score") >= 0.6))
-    w = Window.partitionBy("fingerprint_norm")
-    kept1 = kept0.withColumn("__m", F.min("doc_id").over(w)).filter(F.col("doc_id") == F.col("__m"))
-    # Stage boundary: the survivor set feeds three consumers (near-dup
-    # pair generation, the cluster vertex list, the final join) —
-    # materialize once instead of re-running the text-stats/lang-id
-    # expression tree per branch. At cluster scale this is the
-    # persist-or-write point between the filter stage and the dedup
-    # stage of the pipeline. The explicit repartition matters: AQE
-    # coalesces the tiny-BYTES window shuffle to one partition, but the
-    # downstream work is compute-dense per row (shingling, 32-way
-    # hashing) — checkpointing single-partition would serialize it all
-    # onto one core (measured: 7.8 s -> 13.8 s when a pin briefly
-    # captured the coalesced layout).
-    # prune to the three columns the dedup/cluster/output stages touch
-    # before materializing — the stat/marker/fingerprint intermediates
-    # would otherwise be serialized into the checkpoint for nothing
-    kept1 = kept1.select("doc_id", "text", "quality_score", "n_tokens")
-    kept1 = kept1.repartition(spark.sparkContext.defaultParallelism).localCheckpoint()
+    kept1 = corpus_prep_survivors(spark, sf_dir)
     ver = dedup.minhash_near_dups(kept1.select("doc_id", "text"), "doc_id", threshold=0.7)
     clusters = graph.dedup_clusters(ver.select("id1", "id2"), kept1.select("doc_id"))
     return (
