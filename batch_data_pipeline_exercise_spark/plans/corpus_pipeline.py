@@ -323,6 +323,10 @@ class CorpusPipeline:
                     max_candidates=self._budget(
                         self.max_embedding_candidates, n_increment
                     ),
+                    # free upper bound on the increment's rows (from the
+                    # shingle-stage observation): lets the within-increment
+                    # pair join skip its occupancy scan on small days
+                    n_new_rows=n_increment,
                 )
             except LshCandidateBudgetError as e:
                 raise CorpusContractError(

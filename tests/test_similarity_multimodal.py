@@ -318,18 +318,22 @@ def test_incremental_candidate_budget_gate(spark, vecs):
     with the sizing suggestion, and a generous budget must change
     nothing vs the ungated call."""
     kw = dict(threshold=0.99, bands=8, rows_per_band=8, seed=42, dim=16)
+    # split so the fixture's dup pairs CROSS the prior/increment boundary:
+    # prior holds 0..99, the increment holds 100 (near-dup of 10) and 102
+    # (exact copy of 0) — the probe path must find both
     prior = similarity.banded_sign_sketch(
-        vecs.filter(F.col("vec_id") % 2 == 0), kw["bands"], kw["rows_per_band"],
+        vecs.filter(F.col("vec_id") < 100), kw["bands"], kw["rows_per_band"],
         kw["seed"], dim=kw["dim"],
     )
-    inc = vecs.filter(F.col("vec_id") % 2 == 1)
+    inc = vecs.filter(F.col("vec_id") >= 100)
 
     with pytest.raises(similarity.LshCandidateBudgetError, match="rows_per_band="):
-        similarity.incremental_embedding_pairs(prior, inc, max_candidates=1, **kw)
+        similarity.incremental_embedding_pairs(prior, inc, max_candidates=0, **kw)
     base, _ = similarity.incremental_embedding_pairs(prior, inc, **kw)
     gated, _ = similarity.incremental_embedding_pairs(prior, inc, max_candidates=10**9, **kw)
     bset = {(r["id1"], r["id2"]) for r in base.collect()}
     assert {(r["id1"], r["id2"]) for r in gated.collect()} == bset
+    assert {(10, 100), (0, 102)} <= bset
 
     # first-batch (no prior) path prices the plain self-join
     with pytest.raises(similarity.LshCandidateBudgetError, match="rows_per_band="):
@@ -389,3 +393,32 @@ def test_incremental_occupancy_summary_exact(spark, vecs):
     assert s["candidate_pairs"] == expected
     assert s["n_buckets"] == len(buckets)
     assert s["max_occupancy"] == max(v["n"] + v["p"] for v in buckets.values())
+
+
+def test_incremental_n_new_rows_hint_is_result_identical(spark, vecs):
+    """The caller-supplied increment-size hint (exact or any upper
+    bound) only drops the occupancy scan — pairs and updated index are
+    identical with and without it, on both the first-batch and the
+    probe path."""
+    kw = dict(threshold=0.99, bands=8, rows_per_band=8, seed=42, dim=16)
+    prior = similarity.banded_sign_sketch(
+        vecs.filter(F.col("vec_id") < 100), kw["bands"], kw["rows_per_band"],
+        kw["seed"], dim=kw["dim"],
+    )
+    inc = vecs.filter(F.col("vec_id") >= 100)
+    n_exact = inc.count()
+
+    def pairset(prior_index, n_hint):
+        p, _ = similarity.incremental_embedding_pairs(
+            prior_index, inc, n_new_rows=n_hint, **kw
+        )
+        return {(r["id1"], r["id2"]) for r in p.collect()}
+
+    for prior_index in (None, prior):
+        base = pairset(prior_index, None)
+        assert pairset(prior_index, n_exact) == base
+        assert pairset(prior_index, n_exact * 10) == base  # loose upper bound
+        if prior_index is not None:
+            # the probe path must find the fixture's cross-boundary dups;
+            # the 2-doc first batch legitimately holds no within pairs
+            assert {(10, 100), (0, 102)} <= base
