@@ -86,6 +86,18 @@ def resumable(rec: dict) -> bool:
 
 def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # big-SF hygiene: DuckDB's default memory limit (80% of RAM) lets one
+    # heavy oracle spill tens of raw GB to the shared volume (the sf3
+    # flagship oracle died on ENOSPC at >80 GB temp), and two concurrent
+    # sweep shards at the default would overcommit the box. Both knobs
+    # are opt-in so the single-process default behavior is unchanged.
+    if os.environ.get("SWEEP_DUCK_MEM"):
+        con.execute(f"PRAGMA memory_limit='{os.environ['SWEEP_DUCK_MEM']}'")
+    if os.environ.get("SWEEP_DUCK_THREADS"):
+        con.execute(f"PRAGMA threads={int(os.environ['SWEEP_DUCK_THREADS'])}")
+    if os.environ.get("SWEEP_DUCK_TMP"):
+        os.makedirs(os.environ["SWEEP_DUCK_TMP"], exist_ok=True)
+        con.execute(f"PRAGMA temp_directory='{os.environ['SWEEP_DUCK_TMP']}'")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         src = f"{p}/*.parquet" if os.path.isdir(p) else p
