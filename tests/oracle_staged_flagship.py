@@ -57,7 +57,7 @@ def main() -> None:
     con = duckdb.connect()
     con.execute("PRAGMA threads=24")
     # modest cap: the point is bounded per-stage spill, not RAM heroics
-    con.execute("PRAGMA memory_limit='40GB'")
+    con.execute(f"PRAGMA memory_limit='{os.environ.get('FLAG_DUCK_MEM', '40GB')}'")
     con.execute(f"PRAGMA temp_directory='{work}/tmp'")
     p = os.path.join(sf_dir, "documents.parquet")
     src = f"{p}/*.parquet" if os.path.isdir(p) else p
