@@ -1,0 +1,171 @@
+"""Staged, disk-bounded DuckDB oracle runs for the MINHASH-FAMILY
+registry queries at scale factors where the monolithic oracles exceed
+local temp space.
+
+Same diagnosis as `tests/oracle_staged_flagship.py` (which see): the
+family's oracles all open with the identical `toks -> sh -> words ->
+sig -> bands -> cand` CTE chain over the full `documents` corpus, and
+DuckDB plans each 3 KB statement as ONE pipeline whose intermediates
+are live simultaneously and spill raw. At sf3 the r10 sweep measured
+`dedup_aware_split` and `doc_dup_clusters` dying on ENOSPC after tens
+of GB of spill — while their Spark sides finished in 70-98 s.
+
+This runner:
+  1. stages the shared prefix tables ONCE as ZSTD parquet
+     (`sh`, `sig`, `cand` — exactly the fragment SQL from
+     `plans/contract_ext`, executed stage-by-stage), and
+  2. for each family query REWRITES its registered oracle by stripping
+     the shared CTE fragments (exact-text removal of the same module
+     constants the oracle was composed from), so the tail SQL — the
+     part that differs per query — runs verbatim against the staged
+     views. Nothing is re-implemented; the oracle is re-SCHEDULED.
+  3. compares against the Spark side with run_sweep's strictness
+     (row counts equal + symmetric EXCEPT ALL empty) and appends a
+     `mode: staged-oracle` match record per query.
+
+Usage:
+  python tests/oracle_staged_minhash.py [sf_dir] [workdir] [out.jsonl] [q1,q2,...]
+Defaults: /tmp/sf3, /tmp/mhoracle, evidence/STAGEDORACLE_sf3_r10.jsonl,
+all family queries.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+import duckdb  # noqa: E402
+
+from batch_data_pipeline_exercise_spark.plans import contract  # noqa: E402
+from batch_data_pipeline_exercise_spark.plans import (  # noqa: F401,E402
+    contract2,
+    contract3,
+    contract4,
+    contract5,
+    contract6,
+)
+from batch_data_pipeline_exercise_spark.plans import contract_ext as ce  # noqa: E402
+from batch_data_pipeline_exercise_spark.session import get_spark  # noqa: E402
+
+# every query whose oracle opens with (a prefix of) the shared chain
+FAMILY = [
+    "doc_minhash_lsh_pairs",
+    "doc_incremental_lsh_pairs",
+    "dup_graph_degree_histogram",
+    "doc_near_dup_verified",
+    "doc_dup_clusters",
+    "dedup_aware_split",
+    "doc_containment_pairs",
+    "doc_ngram_jaccard_pairs",
+]
+
+# the exact module constants the oracles are composed from; stripping
+# them (plus their list separator) leaves each query's own tail
+FRAGS = [ce._TOKS_CTE, ce._SHINGLES_CTE, ce._MH_WORDS, ce._MH_SIG, ce._CAND_CTE]
+
+
+def strip_shared(oracle: str) -> str:
+    o = oracle
+    for frag in FRAGS:
+        o = o.replace(frag + ", ", "").replace(frag, "")
+    # "WITH RECURSIVE , sym AS ..." / "WITH , dfreq AS ..." -> keep WITH
+    o = re.sub(r"WITH(\s+RECURSIVE)?\s*,", lambda m: "WITH" + (m.group(1) or "") + " ", o, count=1)
+    # "WITH  SELECT ..." (no CTEs left) -> plain SELECT
+    o = re.sub(r"^\s*WITH(\s+RECURSIVE)?\s+SELECT", "SELECT", o.strip(), count=1)
+    for marker in ("toks AS (", " sh AS (", "words AS (", " sig AS (", "bands AS ("):
+        assert marker not in o, f"shared fragment survived the strip: {marker}"
+    return o
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf3"
+    work = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/mhoracle")
+    out = Path(sys.argv[3] if len(sys.argv) > 3 else REPO / "evidence" / "STAGEDORACLE_sf3_r10.jsonl")
+    queries = sys.argv[4].split(",") if len(sys.argv) > 4 else FAMILY
+    if work.exists():
+        shutil.rmtree(work)
+    (work / "tmp").mkdir(parents=True)
+
+    con = duckdb.connect()
+    con.execute(f"PRAGMA threads={int(os.environ.get('MH_DUCK_THREADS', '24'))}")
+    con.execute(f"PRAGMA memory_limit='{os.environ.get('MH_DUCK_MEM', '40GB')}'")
+    con.execute(f"PRAGMA temp_directory='{work}/tmp'")
+    p = os.path.join(sf_dir, "documents.parquet")
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{src}'")
+
+    fh = out.open("a")
+
+    def emit(rec: dict) -> None:
+        print(json.dumps(rec), flush=True)
+        fh.write(json.dumps(rec) + "\n")
+        fh.flush()
+
+    def stage(name: str, sql: str) -> None:
+        t0 = time.time()
+        dest = work / f"{name}.parquet"
+        con.execute(f"COPY ({sql}) TO '{dest}' (FORMAT PARQUET, COMPRESSION ZSTD)")
+        con.execute(f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM '{dest}'")
+        n = con.execute(f"SELECT count(*) FROM {name}").fetchone()[0]
+        emit({
+            "stage": name, "rows": n, "mb": round(dest.stat().st_size / 1e6, 1),
+            "t": round(time.time() - t0, 1),
+            "disk_free_gb": round(shutil.disk_usage(work).free / 1e9, 1),
+        })
+
+    stage("sh", f"WITH {ce._TOKS_CTE}, {ce._SHINGLES_CTE} SELECT * FROM sh")
+    stage("sig", f"WITH {ce._MH_WORDS}, {ce._MH_SIG} SELECT * FROM sig")
+    stage("cand", f"WITH {ce._CAND_CTE} SELECT * FROM cand")
+
+    spark = get_spark(app_name="mh-oracle-staged", master="local[32]", shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    for q in queries:
+        entry = contract.REGISTRY[q]
+        tail = strip_shared(entry.oracle)
+        rec: dict = {"q": q, "mode": "staged-oracle", "sf_dir": sf_dir}
+        try:
+            t0 = time.time()
+            spark_dest = work / f"spark_{q}.parquet"
+            entry.fn(spark, sf_dir).write.mode("overwrite").parquet(str(spark_dest))
+            rec["ts"] = round(time.time() - t0, 1)
+            t0 = time.time()
+            oracle_dest = work / f"oracle_{q}.parquet"
+            con.execute(f"COPY ({tail}) TO '{oracle_dest}' (FORMAT PARQUET, COMPRESSION ZSTD)")
+            rec["td"] = round(time.time() - t0, 1)
+            con.execute(f"CREATE OR REPLACE VIEW oracle_out AS SELECT * FROM '{oracle_dest}'")
+            cols = ", ".join(sorted(
+                r[0] for r in con.execute(
+                    "SELECT column_name FROM information_schema.columns WHERE table_name='oracle_out'"
+                ).fetchall()
+            ))
+            s, o = f"'{spark_dest}/*.parquet'", "oracle_out"
+            n_s = con.execute(f"SELECT count(*) FROM {s}").fetchone()[0]
+            n_o = con.execute(f"SELECT count(*) FROM {o}").fetchone()[0]
+            d1 = con.execute(
+                f"SELECT count(*) FROM (SELECT {cols} FROM {s} EXCEPT ALL SELECT {cols} FROM {o})"
+            ).fetchone()[0]
+            d2 = con.execute(
+                f"SELECT count(*) FROM (SELECT {cols} FROM {o} EXCEPT ALL SELECT {cols} FROM {s})"
+            ).fetchone()[0]
+            rec.update({
+                "match": n_s == n_o and d1 == 0 and d2 == 0,
+                "n": n_s, "n_oracle": n_o, "only_spark": d1, "only_oracle": d2,
+            })
+        except Exception as e:  # keep going; the record carries the failure
+            rec["oracle_err"] = f"{type(e).__name__}: {e}"[:400]
+        emit(rec)
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
