@@ -67,6 +67,17 @@ FAMILY = [
     "doc_ngram_jaccard_pairs",
 ]
 
+# the 5-gram dup-graph pair: same pathology, different inline prefix
+# (toks -> 5-gram sh -> UNCAPPED df self-join into edges e). The edge
+# aggregation is re-scheduled as a shingle-hash-partitioned partial
+# count + SUM (exactly Spark's map-side-combine shuffle shape): ni is
+# additive across disjoint shingle partitions, and HAVING >= 5 applies
+# to the summed count, so the result set is identical to the monolithic
+# `GROUP BY 1,2 HAVING COUNT(*) >= 5` — which at sf3 spilled 44 GB raw
+# and died on ENOSPC inside one DuckDB pipeline.
+FAMILY5 = ["dup_graph_pagerank2", "dup_graph_triangles"]
+E_CHUNKS = 8
+
 # the exact module constants the oracles are composed from; stripping
 # them (plus their list separator) leaves each query's own tail
 FRAGS = [ce._TOKS_CTE, ce._SHINGLES_CTE, ce._MH_WORDS, ce._MH_SIG, ce._CAND_CTE]
@@ -89,7 +100,7 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf3"
     work = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/mhoracle")
     out = Path(sys.argv[3] if len(sys.argv) > 3 else REPO / "evidence" / "STAGEDORACLE_sf3_r10.jsonl")
-    queries = sys.argv[4].split(",") if len(sys.argv) > 4 else FAMILY
+    queries = sys.argv[4].split(",") if len(sys.argv) > 4 else FAMILY + FAMILY5
     if work.exists():
         shutil.rmtree(work)
     (work / "tmp").mkdir(parents=True)
@@ -121,16 +132,50 @@ def main() -> None:
             "disk_free_gb": round(shutil.disk_usage(work).free / 1e9, 1),
         })
 
-    stage("sh", f"WITH {ce._TOKS_CTE}, {ce._SHINGLES_CTE} SELECT * FROM sh")
-    stage("sig", f"WITH {ce._MH_WORDS}, {ce._MH_SIG} SELECT * FROM sig")
-    stage("cand", f"WITH {ce._CAND_CTE} SELECT * FROM cand")
+    mh_queries = [q for q in queries if q in FAMILY]
+    g5_queries = [q for q in queries if q in FAMILY5]
+
+    if mh_queries:
+        stage("sh", f"WITH {ce._TOKS_CTE}, {ce._SHINGLES_CTE} SELECT * FROM sh")
+        stage("sig", f"WITH {ce._MH_WORDS}, {ce._MH_SIG} SELECT * FROM sig")
+        stage("cand", f"WITH {ce._CAND_CTE} SELECT * FROM cand")
+
+    if g5_queries:
+        # the two oracles share a byte-identical toks+sh prefix; lift it
+        # from the registered text so the staged SQL is the oracle's own
+        o5 = contract.REGISTRY[g5_queries[0]].oracle
+        prefix5 = o5[o5.index("toks AS"):o5.rindex(",", 0, o5.index("e AS ("))]
+        stage("sh5", f"WITH {prefix5} SELECT * FROM sh")
+        t0 = time.time()
+        for k in range(E_CHUNKS):
+            stage(f"e_part{k}", f"""
+              SELECT a.doc_id AS src, b.doc_id AS dst, COUNT(*) AS c
+              FROM sh5 a JOIN sh5 b
+                ON a.s = b.s AND a.doc_id < b.doc_id
+              WHERE hash(a.s) % {E_CHUNKS} = {k}
+              GROUP BY 1, 2
+            """)
+        parts = ", ".join(f"'{work}/e_part{k}.parquet'" for k in range(E_CHUNKS))
+        stage("e", f"""
+          SELECT src, dst FROM (
+            SELECT src, dst, SUM(c) AS c FROM read_parquet([{parts}]) GROUP BY 1, 2
+          ) WHERE c >= 5
+        """)
+        emit({"stage": "e_total", "t": round(time.time() - t0, 1)})
 
     spark = get_spark(app_name="mh-oracle-staged", master="local[32]", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
 
-    for q in queries:
+    for q in mh_queries + g5_queries:
         entry = contract.REGISTRY[q]
-        tail = strip_shared(entry.oracle)
+        if q in FAMILY5:
+            o = entry.oracle
+            # tail = everything after the e CTE, run against the staged
+            # views; the CTE list reopens with WITH when a tail remains
+            after_e = o.index("bidir AS") if "bidir AS" in o else o.index("SELECT e1.src")
+            tail = ("WITH " + o[after_e:]) if "bidir AS" in o else o[after_e:]
+        else:
+            tail = strip_shared(entry.oracle)
         rec: dict = {"q": q, "mode": "staged-oracle", "sf_dir": sf_dir}
         try:
             t0 = time.time()
