@@ -163,12 +163,81 @@ def main() -> None:
         """)
         emit({"stage": "e_total", "t": round(time.time() - t0, 1)})
 
+    def min_label_clusters() -> None:
+        """Materialize `clusters_lp(doc_id, cluster)` — the SAME component
+        function the reach-CTE oracles compute (cluster = MIN doc_id
+        reachable, self included) via min-label-propagation fixpoint.
+
+        Why not the registered recursive CTE: `reach` materializes the
+        FULL transitive closure — Σ m·(m−1) rows over components — and
+        the sf3 candidate graph percolates into one 88,761-node giant
+        component (union-find over the staged cand.parquet), putting the
+        closure at 7.9e9 rows. No scheduling fixes that; it is the same
+        oracle-side degeneracy documented for embedding_dedup_survivors
+        since r6. Label propagation computes the identical min-id-per-
+        component in O(edges) per round for diameter rounds, exactly like
+        the Spark side's iterative components (operators/graph.py) — an
+        independent ENGINE (DuckDB) even if no longer an independent
+        ALGORITHM family."""
+        t0 = time.time()
+        con.execute("""
+          CREATE OR REPLACE TABLE lab AS
+          SELECT doc_id, doc_id AS label FROM (
+            SELECT id1 AS doc_id FROM cand UNION SELECT id2 FROM cand
+          )
+        """)
+        con.execute("""
+          CREATE OR REPLACE TABLE bidir_c AS
+          SELECT id1 AS u, id2 AS v FROM cand UNION ALL SELECT id2, id1 FROM cand
+        """)
+        rounds = 0
+        while True:
+            rounds += 1
+            con.execute("""
+              CREATE OR REPLACE TABLE lab_next AS
+              SELECT l.doc_id,
+                     LEAST(l.label, COALESCE(MIN(ln.label), l.label)) AS label
+              FROM lab l
+              LEFT JOIN bidir_c b ON b.u = l.doc_id
+              LEFT JOIN lab ln ON ln.doc_id = b.v
+              GROUP BY l.doc_id, l.label
+            """)
+            changed = con.execute(
+                "SELECT count(*) FROM lab l JOIN lab_next n USING (doc_id) WHERE l.label <> n.label"
+            ).fetchone()[0]
+            con.execute("CREATE OR REPLACE TABLE lab AS SELECT * FROM lab_next")
+            if changed == 0:
+                break
+        con.execute("""
+          CREATE OR REPLACE TABLE clusters_lp AS
+          SELECT d.doc_id, COALESCE(l.label, d.doc_id) AS cluster
+          FROM documents d LEFT JOIN lab l ON l.doc_id = d.doc_id
+        """)
+        emit({"stage": "clusters_labelprop", "rounds": rounds,
+              "rows": con.execute("SELECT count(*) FROM clusters_lp").fetchone()[0],
+              "t": round(time.time() - t0, 1)})
+
+    REACH_QUERIES = {"doc_dup_clusters", "dedup_aware_split"}
+    labelprop_done = False
+
     spark = get_spark(app_name="mh-oracle-staged", master="local[32]", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
 
     for q in mh_queries + g5_queries:
         entry = contract.REGISTRY[q]
-        if q in FAMILY5:
+        mode = "staged-oracle"
+        if q in REACH_QUERIES and os.environ.get("MH_LABELPROP", "1") == "1":
+            mode = "staged-oracle-labelprop"
+            if not labelprop_done:
+                min_label_clusters()
+                labelprop_done = True
+            if q == "doc_dup_clusters":
+                tail = "SELECT doc_id, cluster FROM clusters_lp"
+            else:
+                o = entry.oracle
+                split_expr = o[o.index("CASE WHEN"):o.index("END AS split") + len("END AS split")]
+                tail = f"SELECT doc_id, cluster, {split_expr} FROM clusters_lp"
+        elif q in FAMILY5:
             o = entry.oracle
             # tail = everything after the e CTE, run against the staged
             # views; the CTE list reopens with WITH when a tail remains
@@ -176,7 +245,7 @@ def main() -> None:
             tail = ("WITH " + o[after_e:]) if "bidir AS" in o else o[after_e:]
         else:
             tail = strip_shared(entry.oracle)
-        rec: dict = {"q": q, "mode": "staged-oracle", "sf_dir": sf_dir}
+        rec: dict = {"q": q, "mode": mode, "sf_dir": sf_dir}
         try:
             t0 = time.time()
             spark_dest = work / f"spark_{q}.parquet"
