@@ -660,12 +660,17 @@ def supplier_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       FROM flagged
+    ), entries AS (
+      SELECT user_id, session_id, ts, event_id,
+             FIRST_VALUE(event_type) OVER (PARTITION BY user_id, session_id
+                                           ORDER BY ts, event_id) AS entry_type_w
+      FROM numbered
     ), sessions AS (
       SELECT user_id, session_id,
-             MIN(struct_pack(ts := ts, event_id := event_id, event_type := event_type)).event_type AS entry_type,
+             MIN(entry_type_w) AS entry_type,
              COUNT(*) AS n_events,
              date_diff('microsecond', MIN(ts), MAX(ts)) AS dur_us
-      FROM numbered GROUP BY user_id, session_id
+      FROM entries GROUP BY user_id, session_id
     )
     SELECT entry_type,
            CAST(COUNT(*) AS BIGINT) AS n_sessions,
@@ -679,9 +684,14 @@ def supplier_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Bounce-rate report by session ENTRY event type: 30-minute-gap "
     "sessionization (identical lag/running-sum islands as "
     "user_sessions, with the (ts, event_id) total order carried into "
-    "every window so ties cannot reorder), entry event via an arg-min "
-    "struct aggregate (no second window pass), bounce = single-event "
-    "session. Duration is an exact integer microsecond difference; "
+    "every window so ties cannot reorder), entry event via a "
+    "FIRST_VALUE window over (user_id, session_id) — this replaced an "
+    "arg-min struct aggregate whose MIN(struct_pack(...)).field form "
+    "leaks memory unboundedly in DuckDB 1.x at millions of groups "
+    "(measured at sf3: 126 GB RSS under a 30 GB memory_limit, host "
+    "OOM; the window form is hash-identical at sf0.1 and runs sf3 in "
+    "0.7 s), bounce = single-event session. Duration is an exact "
+    "integer microsecond difference; "
     "the two ratios are single divisions of exact integers. Plan: one "
     "exchange on user_id reused by both windows, then two hash "
     "aggregates that only ever shrink the data.",
