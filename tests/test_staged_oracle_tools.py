@@ -1,0 +1,108 @@
+"""Drift protection for the staged-oracle evidence tooling.
+
+The staged runners (`oracle_staged_flagship/minhash/split.py`) re-schedule
+registered oracle SQL across parquet stage boundaries by exact-text
+surgery on the module fragments. These tests pin the two invariants that
+surgery depends on — (a) the splitter/stripper produce runnable SQL whose
+results equal the monolithic statement, and (b) the chunked edge
+aggregation is count-preserving — on sf0.001 DuckDB alone (no Spark
+session), so an oracle-text edit that would silently break the big-SF
+evidence path fails CI instead.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import duckdb
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+from batch_data_pipeline_exercise_spark.plans import contract  # noqa: E402
+from batch_data_pipeline_exercise_spark.plans import (  # noqa: F401,E402
+    contract2,
+    contract3,
+    contract4,
+    contract5,
+    contract6,
+    contract_ext,
+)
+from tests.oracle_staged_minhash import FAMILY, FAMILY5, strip_shared  # noqa: E402
+from tests.oracle_staged_split import split_at_cte  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in ("documents", "events"):
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return c
+
+
+def _rows(con, sql):
+    return sorted(map(tuple, con.execute(sql).fetchall()))
+
+
+def test_split_at_cte_equals_monolithic(con):
+    oracle = contract.REGISTRY["session_bounce_stats"].oracle
+    stage_sql, tail = split_at_cte(oracle, "sessions")
+    con.execute(f"CREATE OR REPLACE TABLE sessions AS {stage_sql}")
+    assert _rows(con, tail) == _rows(con, oracle)
+    con.execute("DROP TABLE sessions")
+
+
+def test_split_at_cte_halves_are_substrings():
+    oracle = contract.REGISTRY["session_bounce_stats"].oracle
+    stage_sql, tail = split_at_cte(oracle, "sessions")
+    # the CTE body and the final select are the oracle's own text
+    assert stage_sql.lstrip().startswith("WITH")
+    assert tail.lstrip().startswith("SELECT entry_type")
+    assert tail.strip() in oracle
+
+
+def test_strip_shared_covers_every_family_oracle(con):
+    # staged views the stripped tails expect
+    con.execute(f"CREATE OR REPLACE TABLE sh AS WITH {contract_ext._TOKS_CTE}, "
+                f"{contract_ext._SHINGLES_CTE} SELECT * FROM sh")
+    con.execute(f"CREATE OR REPLACE TABLE sig AS WITH {contract_ext._MH_WORDS}, "
+                f"{contract_ext._MH_SIG} SELECT * FROM sig")
+    con.execute(f"CREATE OR REPLACE TABLE cand AS WITH {contract_ext._CAND_CTE} "
+                "SELECT * FROM cand")
+    for q in FAMILY:
+        oracle = contract.REGISTRY[q].oracle
+        tail = strip_shared(oracle)  # raises if a fragment survives
+        if q in ("doc_dup_clusters", "dedup_aware_split"):
+            continue  # recursive closure fine at sf0.001 but covered below
+        assert _rows(con, tail) == _rows(con, oracle), q
+    # reach queries: staged tail vs monolithic on the tiny corpus
+    for q in ("doc_dup_clusters", "dedup_aware_split"):
+        oracle = contract.REGISTRY[q].oracle
+        assert _rows(con, strip_shared(oracle)) == _rows(con, oracle), q
+
+
+def test_chunked_edge_aggregation_is_count_preserving(con):
+    o5 = contract.REGISTRY[FAMILY5[0]].oracle
+    prefix5 = o5[o5.index("toks AS"):o5.rindex(",", 0, o5.index("e AS ("))]
+    con.execute(f"CREATE OR REPLACE TABLE sh5 AS WITH {prefix5} SELECT * FROM sh")
+    mono = _rows(con, """
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM sh5 a JOIN sh5 b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 5
+    """)
+    chunks = " UNION ALL ".join(
+        f"""SELECT a.doc_id AS src, b.doc_id AS dst, COUNT(*) AS c
+            FROM sh5 a JOIN sh5 b ON a.s = b.s AND a.doc_id < b.doc_id
+            WHERE hash(a.s) % 4 = {k} GROUP BY 1, 2"""
+        for k in range(4)
+    )
+    chunked = _rows(con, f"""
+      SELECT src, dst FROM (
+        SELECT src, dst, SUM(c) AS c FROM ({chunks}) GROUP BY 1, 2
+      ) WHERE c >= 5
+    """)
+    assert chunked == mono
