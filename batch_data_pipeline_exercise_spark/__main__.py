@@ -492,15 +492,25 @@ def main(argv: list[str] | None = None) -> int:
                 return None
             if raw == "auto":
                 return "auto"
-            try:
-                return int(raw)
-            except ValueError:
-                return None  # unreachable after the guard below
+            return int(raw)  # guard below guarantees this parses
 
+        # validate with the SAME parse the knob uses: a lexical check
+        # (isdigit) accepts strings int() rejects (unicode digits) and
+        # negatives, and a parse failure inside _budget_knob would
+        # silently map to None — turning the safety gate OFF for the
+        # exact inputs that should be errors
         for raw in (args.max_text_candidates, args.max_embedding_candidates):
-            if raw not in ("auto", "off") and not raw.lstrip("-").isdigit():
+            if raw in ("auto", "off"):
+                continue
+            try:
+                val = int(raw)
+            except ValueError:
                 return _err(
-                    f"budget must be an integer, 'auto', or 'off', got {raw!r}"
+                    f"budget must be a non-negative integer, 'auto', or 'off', got {raw!r}"
+                )
+            if val < 0:
+                return _err(
+                    f"budget must be a non-negative integer, 'auto', or 'off', got {raw!r}"
                 )
         cp = CorpusPipeline(
             spark,

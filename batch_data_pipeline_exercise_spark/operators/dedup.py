@@ -273,7 +273,8 @@ def minhash_near_dups(
     sh = word_shingles(df, id_col, text_col, n, distinct=False)
     sig = minhash_signatures(sh, k)
     bk = lsh_band_keys(sig, bands, k // bands)
-    if max_candidates is not None:
+    gated = max_candidates is not None
+    if gated:
         from batch_data_pipeline_exercise_spark.operators.similarity import _check_candidate_budget
 
         bk = bk.localCheckpoint()  # scout + join share ONE signature pass
@@ -288,7 +289,10 @@ def minhash_near_dups(
                 "candidates are true positives the verify stage must price."
             ),
         )
-    cand = lsh_candidate_pairs(bk).localCheckpoint()
+    # when gated, bk is ALREADY pinned for the scout — a second
+    # localCheckpoint inside lsh_candidate_pairs would re-read and
+    # re-write the whole key table for nothing
+    cand = lsh_candidate_pairs(bk, materialize=not gated).localCheckpoint()
     ids = (
         cand.select(F.col("id1").alias("__cid"))
         .unionByName(cand.select(F.col("id2").alias("__cid")))

@@ -471,27 +471,39 @@ def embedding_near_dup_pairs(
     plan)."""
     vecs = banded_sign_sketch(embeddings, bands, rows_per_band, seed, id_col, vec_col, dim)
     bk = _explode_band_keys(vecs)
-    if max_candidates is not None:
-        _check_candidate_budget(
-            _occupancy_summary(bk, bands), max_candidates, bands, rows_per_band,
-        )
     # ONE sizing probe feeds BOTH downstream gates (round-10: every
     # extra Spark action costs a fixed ~2-5 executor-CPU s on a 32-way
     # local session regardless of data size — the r9 guardrails' two
     # added actions doubled this query's small-corpus CPU; see
-    # evidence/ABSCOUT_r10.jsonl): a LIMIT-capped count learns (a) the
-    # exact row count when small — lets _bucketed_self_pairs skip the
-    # over-cap occupancy scan when no bucket can need splitting — and
+    # evidence/ABSCOUT_r10.jsonl). Gated callers already pay one action
+    # for the occupancy summary, which carries the EXACT item count —
+    # reuse it instead of relearning n with a second probe; ungated
+    # callers learn it from a LIMIT-capped count. Either way the count
+    # decides (a) whether _bucketed_self_pairs can skip the over-cap
+    # occupancy scan (no bucket can need splitting at tiny n) and
     # (b) whether the pinned vectors fit the verify broadcast gate.
-    first = vecs.select("__v").first()
-    if first is None:
-        n_exact, do_broadcast = 0, False
+    if max_candidates is not None:
+        s = _check_candidate_budget(
+            _occupancy_summary(bk, bands), max_candidates, bands, rows_per_band,
+        )
+        n = s["n_vectors"] or 0
+        if n == 0:
+            n_exact, do_broadcast = 0, False
+        else:
+            width = dim if dim is not None else len(vecs.select("__v").first()[0])
+            threshold_rows = int(VERIFY_BROADCAST_MAX_BYTES / (width * 8 * 1.5))
+            n_exact = n if n <= max(threshold_rows, SPLIT_GATE_MAX_ROWS) else None
+            do_broadcast = n <= threshold_rows
     else:
-        threshold_rows = int(VERIFY_BROADCAST_MAX_BYTES / (len(first[0]) * 8 * 1.5))
-        probe_cap = max(threshold_rows, SPLIT_GATE_MAX_ROWS)
-        n_probe = vecs.limit(probe_cap + 1).count()
-        n_exact = n_probe if n_probe <= probe_cap else None
-        do_broadcast = n_probe <= threshold_rows
+        first = vecs.select("__v").first()
+        if first is None:
+            n_exact, do_broadcast = 0, False
+        else:
+            threshold_rows = int(VERIFY_BROADCAST_MAX_BYTES / (len(first[0]) * 8 * 1.5))
+            probe_cap = max(threshold_rows, SPLIT_GATE_MAX_ROWS)
+            n_probe = vecs.limit(probe_cap + 1).count()
+            n_exact = n_probe if n_probe <= probe_cap else None
+            do_broadcast = n_probe <= threshold_rows
     cand = _bucketed_self_pairs(bk, bucket_cap, n_rows=n_exact).distinct()
     return _verify_cosine_pairs(cand, vecs, threshold, broadcast=do_broadcast)
 
@@ -564,7 +576,7 @@ def _check_candidate_budget(
     bands: int,
     rows_per_band: int,
     suggestion: str | None = None,
-) -> None:
+):
     """Shared budget gate over a scout's one-row summary. The default
     suggestion is the SIGN-LSH sizing rule (key space 2^rows, so
     expected occupancy halves per row — solve bands · n · occ / 2 ≤
@@ -572,7 +584,11 @@ def _check_candidate_budget(
     content-driven rather than key-space-driven (minhash: collision
     probability is J^rows, occupancy does not follow n/2^rows) must
     pass their own ``suggestion`` — the uniform-halving number would be
-    wrong in kind for them."""
+    wrong in kind for them.
+
+    Returns the summary Row so a passing caller can reuse the exact
+    item count it already paid one action for (e.g. to skip the sizing
+    probe) instead of relearning it with another."""
     s = stats_df.first()
     # aggregating ZERO rows yields null n/candidate_pairs — an empty
     # corpus must read as "0 candidates: under budget", not a TypeError
@@ -592,6 +608,7 @@ def _check_candidate_budget(
             f"collisions for {n:,} items at {bands}x{rows_per_band} "
             f"(budget {max_candidates:,}). {suggestion}"
         )
+    return s
 
 
 def sign_lsh_occupancy_stats(

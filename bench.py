@@ -133,6 +133,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     resource: dict[str, dict[str, float]] = {}
     resource_partial = False
+    prev_stale = False
     prev = _settled_totals(ui_url)
     for q in headline:
         best = float("inf")
@@ -145,20 +146,29 @@ def main() -> None:
         line: dict[str, object] = {"q": q.name, "wall": round(best, 3)}
         if prev is not None:
             cur = _settled_totals(ui_url)
-            if cur is not None:
+            if cur is None:
+                # transient UI read failure: this query's counters are
+                # missing, flagged on its own line — and the baseline is
+                # now STALE (it predates this query's runs)
+                resource_partial = True
+                line["resource_missing"] = True
+                prev_stale = True
+            elif prev_stale:
+                # the delta since the last good baseline spans BOTH the
+                # query whose read failed and this one — attributing it
+                # here would inflate this query by its neighbor's whole
+                # cost, so drop this delta too and re-baseline from cur
+                resource_partial = True
+                line["resource_missing"] = True
+                prev = cur
+                prev_stale = False
+            else:
                 # mean over the 3 identical runs — per-run plan cost
                 resource[q.name] = {
                     k: round((cur[k] - prev[k]) / 3, 3) for k in ("cpu", "shuffle_mb", "input_mb")
                 }
                 line.update(resource[q.name])
                 prev = cur
-            else:
-                # transient UI read failure: keep the last good baseline so
-                # collection resumes on the next query (the skipped delta
-                # would be misattributed, so this query's counters are just
-                # missing, flagged on its own line)
-                resource_partial = True
-                line["resource_missing"] = True
         # flush immediately: the per-query record must hit stdout before a
         # later query can crash or the tail window can close over it
         print(json.dumps(line), flush=True)

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import sys
 import time
@@ -57,8 +58,13 @@ def split_at_cte(oracle: str, name: str) -> tuple[str, str]:
     and including CTE `name` (its body becomes the top-level SELECT);
     tail_sql is the rest of the statement, expecting `name` to exist as
     a view. Both halves are substrings of the original text."""
-    marker = f"{name} AS ("
-    i = oracle.index(marker)
+    # word-boundary anchor: a raw substring search for "sessions AS ("
+    # would match inside "user_sessions AS (" and mis-split the statement
+    m = re.search(rf"(?<![A-Za-z0-9_]){re.escape(name)} AS \(", oracle)
+    if m is None:
+        raise ValueError(f"CTE {name!r} not found in oracle")
+    marker = m.group(0)
+    i = m.start()
     # find the matching close paren of the CTE body
     depth, j = 0, i + len(marker) - 1
     for j in range(i + len(marker) - 1, len(oracle)):

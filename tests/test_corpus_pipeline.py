@@ -331,7 +331,13 @@ def test_corpus_cli_budget_flags(spark, corpus_wh, tmp_path):
         )
 
     bad = run_cli("--max-text-candidates", "lots")
-    assert bad.returncode == 2 and "must be an integer" in bad.stderr
+    assert bad.returncode == 2 and "must be a non-negative integer" in bad.stderr
+
+    # a negative value must be rejected up front too, NOT silently mapped
+    # to None (which would turn the safety gate off for exactly the
+    # inputs that should be errors)
+    neg = run_cli("--max-text-candidates", "-5")
+    assert neg.returncode == 2 and "must be a non-negative integer" in neg.stderr
 
     refused = run_cli("--max-text-candidates", "0")
     assert refused.returncode == 2 and "Raise rows per band" in refused.stderr

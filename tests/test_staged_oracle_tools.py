@@ -65,6 +65,19 @@ def test_split_at_cte_halves_are_substrings():
     assert tail.strip() in oracle
 
 
+def test_split_at_cte_is_word_boundary_anchored():
+    oracle = ("WITH user_sessions AS (SELECT 1 AS x), "
+              "sessions AS (SELECT x FROM user_sessions) "
+              "SELECT * FROM sessions")
+    stage_sql, tail = split_at_cte(oracle, "sessions")
+    # must anchor on the bare `sessions` CTE, not inside `user_sessions`
+    assert stage_sql.startswith("WITH user_sessions AS (SELECT 1 AS x)")
+    assert stage_sql.endswith("SELECT x FROM user_sessions")
+    assert tail.strip() == "SELECT * FROM sessions"
+    with pytest.raises(ValueError):
+        split_at_cte(oracle, "nope")
+
+
 def test_strip_shared_covers_every_family_oracle(con):
     # staged views the stripped tails expect
     con.execute(f"CREATE OR REPLACE TABLE sh AS WITH {contract_ext._TOKS_CTE}, "
