@@ -161,6 +161,24 @@ def main() -> None:
                 rec["t"] = round(time.time() - t0, 1)
                 fh.write(json.dumps(rec) + "\n")
                 fh.flush()
+                # self-heal a DEAD session: a big-SF query can kill the
+                # JVM (heap OOM), after which every remaining query would
+                # burn-fail with 'Cannot call methods on a stopped
+                # SparkContext' — 64 junk records in one observed sf10
+                # run. Probe liveness with a trivial job; rebuild on
+                # failure so the sweep continues (the failed query's
+                # record stands; resume re-runs it in a fresh process).
+                try:
+                    spark.range(1).count()
+                except Exception:  # noqa: BLE001
+                    try:
+                        spark.stop()
+                    except Exception:  # noqa: BLE001
+                        pass
+                    spark = get_spark(
+                        app_name="registry-sweep", master="local[32]", shuffle_partitions=32
+                    )
+                    spark.sparkContext.setLogLevel("ERROR")
                 continue
             rec["ts"] = round(time.time() - t0, 1)
             if q.oracle:
