@@ -44,15 +44,14 @@ import duckdb  # noqa: E402
 from batch_data_pipeline_exercise_spark.plans import contract  # noqa: E402
 from batch_data_pipeline_exercise_spark.plans import contract_ext as ce  # noqa: E402
 from batch_data_pipeline_exercise_spark.session import get_spark  # noqa: E402
+from tests.sweep_routing import fresh_workdir  # noqa: E402
 
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf3"
     work = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/flagoracle")
     out = Path(sys.argv[3] if len(sys.argv) > 3 else REPO / "evidence" / "FLAGORACLE_sf3_r10.jsonl")
-    if work.exists():
-        shutil.rmtree(work)
-    (work / "tmp").mkdir(parents=True)
+    fresh_workdir(work)
 
     con = duckdb.connect()
     con.execute("PRAGMA threads=24")

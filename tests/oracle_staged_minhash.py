@@ -54,6 +54,7 @@ from batch_data_pipeline_exercise_spark.plans import (  # noqa: F401,E402
 )
 from batch_data_pipeline_exercise_spark.plans import contract_ext as ce  # noqa: E402
 from batch_data_pipeline_exercise_spark.session import get_spark  # noqa: E402
+from tests.sweep_routing import fresh_workdir  # noqa: E402
 
 # every query whose oracle opens with (a prefix of) the shared chain
 FAMILY = [
@@ -83,6 +84,78 @@ E_CHUNKS = 8
 FRAGS = [ce._TOKS_CTE, ce._SHINGLES_CTE, ce._MH_WORDS, ce._MH_SIG, ce._CAND_CTE]
 
 
+def min_label_clusters(con: "duckdb.DuckDBPyConnection", emit=lambda rec: None) -> None:
+    """Materialize `clusters_lp(doc_id, cluster)` — the SAME component
+    function the reach-CTE oracles compute (cluster = MIN doc_id
+    reachable, self included) via min-label-propagation fixpoint, over
+    the `cand` and `documents` views the caller has staged.
+
+    Why not the registered recursive CTE: `reach` materializes the
+    FULL transitive closure — Σ m·(m−1) rows over components — and
+    the sf3 candidate graph percolates into one 88,761-node giant
+    component (union-find over the staged cand.parquet), putting the
+    closure at 7.9e9 rows. No scheduling fixes that; it is the same
+    oracle-side degeneracy documented for embedding_dedup_survivors
+    since r6. Label propagation computes the identical min-id-per-
+    component in O(edges) per round for diameter rounds, exactly like
+    the Spark side's iterative components (operators/graph.py) — an
+    independent ENGINE (DuckDB) even if no longer an independent
+    ALGORITHM family. Equivalence to the recursive-CTE oracles is
+    pinned at sf0.001 in tests/test_staged_oracle_tools.py."""
+    t0 = time.time()
+    con.execute("""
+      CREATE OR REPLACE TABLE lab AS
+      SELECT doc_id, doc_id AS label FROM (
+        SELECT id1 AS doc_id FROM cand UNION SELECT id2 FROM cand
+      )
+    """)
+    con.execute("""
+      CREATE OR REPLACE TABLE bidir_c AS
+      SELECT id1 AS u, id2 AS v FROM cand UNION ALL SELECT id2, id1 FROM cand
+    """)
+    rounds = 0
+    while True:
+        rounds += 1
+        con.execute("""
+          CREATE OR REPLACE TABLE lab_next AS
+          SELECT l.doc_id,
+                 LEAST(l.label, COALESCE(MIN(ln.label), l.label)) AS label
+          FROM lab l
+          LEFT JOIN bidir_c b ON b.u = l.doc_id
+          LEFT JOIN lab ln ON ln.doc_id = b.v
+          GROUP BY l.doc_id, l.label
+        """)
+        changed = con.execute(
+            "SELECT count(*) FROM lab l JOIN lab_next n USING (doc_id) WHERE l.label <> n.label"
+        ).fetchone()[0]
+        con.execute("CREATE OR REPLACE TABLE lab AS SELECT * FROM lab_next")
+        if changed == 0:
+            break
+    con.execute("""
+      CREATE OR REPLACE TABLE clusters_lp AS
+      SELECT d.doc_id, COALESCE(l.label, d.doc_id) AS cluster
+      FROM documents d LEFT JOIN lab l ON l.doc_id = d.doc_id
+    """)
+    emit({"stage": "clusters_labelprop", "rounds": rounds,
+          "rows": con.execute("SELECT count(*) FROM clusters_lp").fetchone()[0],
+          "t": round(time.time() - t0, 1)})
+
+
+def split_case_expr(oracle: str) -> str:
+    """Extract dedup_aware_split's CASE ... END AS split expression from
+    the registered oracle text — the only query-specific piece the
+    labelprop tail needs. Exact-text surgery like strip_shared; the
+    sf0.001 equivalence test pins that the extraction stays valid."""
+    return oracle[oracle.index("CASE WHEN"):oracle.index("END AS split") + len("END AS split")]
+
+
+def labelprop_tail(q: str, oracle: str) -> str:
+    """The per-query SELECT over the staged clusters_lp table."""
+    if q == "doc_dup_clusters":
+        return "SELECT doc_id, cluster FROM clusters_lp"
+    return f"SELECT doc_id, cluster, {split_case_expr(oracle)} FROM clusters_lp"
+
+
 def strip_shared(oracle: str) -> str:
     o = oracle
     for frag in FRAGS:
@@ -101,9 +174,7 @@ def main() -> None:
     work = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/mhoracle")
     out = Path(sys.argv[3] if len(sys.argv) > 3 else REPO / "evidence" / "STAGEDORACLE_sf3_r10.jsonl")
     queries = sys.argv[4].split(",") if len(sys.argv) > 4 else FAMILY + FAMILY5
-    if work.exists():
-        shutil.rmtree(work)
-    (work / "tmp").mkdir(parents=True)
+    fresh_workdir(work)
 
     con = duckdb.connect()
     con.execute(f"PRAGMA threads={int(os.environ.get('MH_DUCK_THREADS', '24'))}")
@@ -163,60 +234,6 @@ def main() -> None:
         """)
         emit({"stage": "e_total", "t": round(time.time() - t0, 1)})
 
-    def min_label_clusters() -> None:
-        """Materialize `clusters_lp(doc_id, cluster)` — the SAME component
-        function the reach-CTE oracles compute (cluster = MIN doc_id
-        reachable, self included) via min-label-propagation fixpoint.
-
-        Why not the registered recursive CTE: `reach` materializes the
-        FULL transitive closure — Σ m·(m−1) rows over components — and
-        the sf3 candidate graph percolates into one 88,761-node giant
-        component (union-find over the staged cand.parquet), putting the
-        closure at 7.9e9 rows. No scheduling fixes that; it is the same
-        oracle-side degeneracy documented for embedding_dedup_survivors
-        since r6. Label propagation computes the identical min-id-per-
-        component in O(edges) per round for diameter rounds, exactly like
-        the Spark side's iterative components (operators/graph.py) — an
-        independent ENGINE (DuckDB) even if no longer an independent
-        ALGORITHM family."""
-        t0 = time.time()
-        con.execute("""
-          CREATE OR REPLACE TABLE lab AS
-          SELECT doc_id, doc_id AS label FROM (
-            SELECT id1 AS doc_id FROM cand UNION SELECT id2 FROM cand
-          )
-        """)
-        con.execute("""
-          CREATE OR REPLACE TABLE bidir_c AS
-          SELECT id1 AS u, id2 AS v FROM cand UNION ALL SELECT id2, id1 FROM cand
-        """)
-        rounds = 0
-        while True:
-            rounds += 1
-            con.execute("""
-              CREATE OR REPLACE TABLE lab_next AS
-              SELECT l.doc_id,
-                     LEAST(l.label, COALESCE(MIN(ln.label), l.label)) AS label
-              FROM lab l
-              LEFT JOIN bidir_c b ON b.u = l.doc_id
-              LEFT JOIN lab ln ON ln.doc_id = b.v
-              GROUP BY l.doc_id, l.label
-            """)
-            changed = con.execute(
-                "SELECT count(*) FROM lab l JOIN lab_next n USING (doc_id) WHERE l.label <> n.label"
-            ).fetchone()[0]
-            con.execute("CREATE OR REPLACE TABLE lab AS SELECT * FROM lab_next")
-            if changed == 0:
-                break
-        con.execute("""
-          CREATE OR REPLACE TABLE clusters_lp AS
-          SELECT d.doc_id, COALESCE(l.label, d.doc_id) AS cluster
-          FROM documents d LEFT JOIN lab l ON l.doc_id = d.doc_id
-        """)
-        emit({"stage": "clusters_labelprop", "rounds": rounds,
-              "rows": con.execute("SELECT count(*) FROM clusters_lp").fetchone()[0],
-              "t": round(time.time() - t0, 1)})
-
     REACH_QUERIES = {"doc_dup_clusters", "dedup_aware_split"}
     labelprop_done = False
 
@@ -229,14 +246,9 @@ def main() -> None:
         if q in REACH_QUERIES and os.environ.get("MH_LABELPROP", "1") == "1":
             mode = "staged-oracle-labelprop"
             if not labelprop_done:
-                min_label_clusters()
+                min_label_clusters(con, emit)
                 labelprop_done = True
-            if q == "doc_dup_clusters":
-                tail = "SELECT doc_id, cluster FROM clusters_lp"
-            else:
-                o = entry.oracle
-                split_expr = o[o.index("CASE WHEN"):o.index("END AS split") + len("END AS split")]
-                tail = f"SELECT doc_id, cluster, {split_expr} FROM clusters_lp"
+            tail = labelprop_tail(q, entry.oracle)
         elif q in FAMILY5:
             o = entry.oracle
             # tail = everything after the e CTE, run against the staged

@@ -27,7 +27,6 @@ from __future__ import annotations
 import json
 import os
 import re
-import shutil
 import sys
 import time
 from pathlib import Path
@@ -47,6 +46,7 @@ from batch_data_pipeline_exercise_spark.plans import (  # noqa: F401,E402
     contract_ext,
 )
 from batch_data_pipeline_exercise_spark.session import get_spark  # noqa: E402
+from tests.sweep_routing import fresh_workdir  # noqa: E402
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -82,7 +82,16 @@ def split_at_cte(oracle: str, name: str) -> tuple[str, str]:
         stage_sql = prefix.rstrip(",") + " " + body  # keep the earlier CTE list
     tail = oracle[j + 1:].lstrip()
     if tail.startswith(","):
-        tail = "WITH " + tail[1:].lstrip()
+        # a WITH RECURSIVE statement must reopen as WITH RECURSIVE even
+        # when the split lands before the recursive CTE — DuckDB scopes
+        # the keyword to the whole CTE list (plain WITH would fail or
+        # misparse the recursive member)
+        kw = (
+            "WITH RECURSIVE "
+            if re.match(r"\s*WITH\s+RECURSIVE\b", oracle, re.IGNORECASE)
+            else "WITH "
+        )
+        tail = kw + tail[1:].lstrip()
     return stage_sql, tail
 
 
@@ -91,10 +100,7 @@ def main() -> None:
     out = Path(sys.argv[2])
     pairs = [a.split("=", 1) for a in sys.argv[3:]]
 
-    work = Path("/tmp/splitoracle")
-    if work.exists():
-        shutil.rmtree(work)
-    (work / "tmp").mkdir(parents=True)
+    work = fresh_workdir("/tmp/splitoracle")
 
     con = duckdb.connect()
     con.execute(f"PRAGMA threads={int(os.environ.get('SPLIT_DUCK_THREADS', '16'))}")

@@ -32,12 +32,27 @@ comma-separated queries to record as ``{"skip": reason}`` without
 running (``name=reason`` to say why) — for known-pathological
 (SF, oracle) combinations like a transitive-closure CTE over a
 degenerate pair graph.
+
+Big-SF routing (r11): at sf >= each entry's threshold (inferred from
+the dir name, ``SWEEP_SF`` overrides, ``SWEEP_STAGED=0`` disables) the
+sweep consults ``tests/sweep_routing.py`` and, with zero manual steps:
+shells out to the staged-execution oracle runners for queries whose
+monolithic DuckDB plan is known to die (ENOSPC past ~80 GB raw spill at
+sf3 — the runners append ``mode: "staged-oracle"`` records to the SAME
+evidence file); records the measured reason for known-infeasible
+differentials (quadratic brute-force baselines) as deliberate skips;
+compares >=1M-row result sets via parquet + symmetric EXCEPT ALL in
+DuckDB instead of a driver collect; and annotates mismatches that stay
+inside a documented approximation envelope (HLL error bound, 1-ulp
+float drift) as ``documented`` after CHECKING the envelope holds.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
+import subprocess
 import sys
 import time
 from pathlib import Path
@@ -46,6 +61,8 @@ REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
 import duckdb  # noqa: E402
+
+from tests import sweep_routing  # noqa: E402
 
 from batch_data_pipeline_exercise_spark.plans import contract  # noqa: E402
 from batch_data_pipeline_exercise_spark.plans import (  # noqa: F401,E402
@@ -71,7 +88,9 @@ def _row_key(row: tuple):
 
 def resumable(rec: dict) -> bool:
     """True if a recorded sweep line counts as DONE on resume: passes
-    (match true or rows-only) and deliberate skips. Failures re-run.
+    (match true or rows-only), deliberate skips, and mismatches verified
+    inside a documented approximation envelope (``documented`` is only
+    ever written after the envelope check passes). Failures re-run.
     Requires an AFFIRMATIVE completion marker (``skip`` or the ``n``
     row count every completed run records) — a truncated-but-valid
     record like ``{"q": "x"}`` from a killed run's partial flush must
@@ -80,7 +99,7 @@ def resumable(rec: dict) -> bool:
         "n" in rec
         and "spark_err" not in rec
         and "oracle_err" not in rec
-        and rec.get("match") is not False
+        and (rec.get("match") is not False or "documented" in rec)
     )
 
 
@@ -105,12 +124,40 @@ def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def parquet_match(con: duckdb.DuckDBPyConnection, spark_dest: Path, oracle_dest: Path) -> dict:
+    """Staged-runner-strictness compare without a driver collect: row
+    counts equal AND symmetric EXCEPT ALL empty over all columns."""
+    con.execute(f"CREATE OR REPLACE VIEW oracle_out AS SELECT * FROM '{oracle_dest}'")
+    cols = ", ".join(sorted(
+        r[0] for r in con.execute(
+            "SELECT column_name FROM information_schema.columns WHERE table_name='oracle_out'"
+        ).fetchall()
+    ))
+    s = f"'{spark_dest}/*.parquet'"
+    n_s = con.execute(f"SELECT count(*) FROM {s}").fetchone()[0]
+    n_o = con.execute("SELECT count(*) FROM oracle_out").fetchone()[0]
+    d1 = con.execute(
+        f"SELECT count(*) FROM (SELECT {cols} FROM {s} EXCEPT ALL SELECT {cols} FROM oracle_out)"
+    ).fetchone()[0]
+    d2 = con.execute(
+        f"SELECT count(*) FROM (SELECT {cols} FROM oracle_out EXCEPT ALL SELECT {cols} FROM {s})"
+    ).fetchone()[0]
+    return {
+        "mode": "parquet-compare",
+        "match": n_s == n_o and d1 == 0 and d2 == 0,
+        "n": n_s, "n_oracle": n_o, "only_spark": d1, "only_oracle": d2,
+    }
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out = Path(sys.argv[2]) if len(sys.argv) > 2 else REPO / "evidence" / "SWEEP_local.jsonl"
     out.parent.mkdir(exist_ok=True)
 
-    skips: dict[str, str] = {}
+    sf = sweep_routing.infer_sf(sf_dir)
+    routing = sweep_routing.routing_enabled()
+
+    skips: dict[str, str] = dict(sweep_routing.auto_skips(sf)) if routing else {}
     for item in filter(None, os.environ.get("SWEEP_SKIP", "").split(",")):
         name, _, reason = item.partition("=")
         skips[name.strip()] = reason.strip() or "skipped via SWEEP_SKIP"
@@ -138,7 +185,54 @@ def main() -> None:
                 # a later (fixed) record for the same query still resumes
                 done.discard(name)
 
-    spark = get_spark(app_name="registry-sweep", master="local[32]", shuffle_partitions=32)
+    # staged-oracle routing: run each family's runner ONCE (it stages the
+    # shared CTE prefix, appends mode:"staged-oracle" records to the same
+    # file) BEFORE the sweep's own Spark session exists — the runners
+    # bring their own, and two concurrent local[32] JVMs would thrash.
+    routed: set[str] = (
+        {q for q, r in sweep_routing.STAGED_ORACLES.items() if sf >= r.min_sf}
+        if routing
+        else set()
+    )
+    pending = [
+        q for q in sorted(routed)
+        if q not in done and q not in skips and (not only or q in only)
+    ]
+    for (runner, group), qs in sorted(sweep_routing.staged_groups(sf, pending).items()):
+        workdir = f"/tmp/sweepstaged_{group}"
+        cmd = [sys.executable, str(REPO / "tests" / runner), sf_dir, workdir, str(out)]
+        if group == "minhash":
+            cmd.append(",".join(qs))
+        print(f"routing {qs} -> {runner}", flush=True)
+        rc = subprocess.run(cmd).returncode
+        recorded: dict[str, bool] = {}  # q -> resumable?
+        for line in out.read_text().splitlines() if out.exists() else []:
+            try:
+                rec = json.loads(line)
+            except ValueError:
+                continue
+            if rec.get("q") in qs:
+                recorded[rec["q"]] = resumable(rec)
+        done.update(q for q, ok in recorded.items() if ok)
+        # a hard runner crash leaves queries recordless: account for them
+        # explicitly (resume re-routes them in a fresh process)
+        with out.open("a") as fh:
+            for q in qs:
+                if q not in recorded:
+                    fh.write(json.dumps(
+                        {"q": q, "spark_err": f"staged runner {runner} rc={rc} produced no record"}
+                    ) + "\n")
+
+    pqwork: Path | None = None
+
+    spark = get_spark(
+        app_name="registry-sweep",
+        master="local[32]",
+        shuffle_partitions=32,
+        # mid-size sf10 collects (several-M-row results) exceed the 1g
+        # default; truly huge results route to parquet_match instead
+        extra_conf={"spark.driver.maxResultSize": "4g"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     con = duck_connect(sf_dir)
 
@@ -152,10 +246,21 @@ def main() -> None:
                 fh.write(json.dumps({"q": name, "skip": skips[name]}) + "\n")
                 fh.flush()
                 continue
+            if name in routed:
+                continue  # handled (or failure-recorded) by a staged runner
+            use_pq = bool(q.oracle) and routing and sweep_routing.wants_parquet_compare(name, sf)
+            if use_pq and pqwork is None:
+                pqwork = sweep_routing.fresh_workdir("/tmp/sweepcompare")
             t0 = time.time()
             rec: dict = {"q": name}
+            spark_dest = None
             try:
-                srows = sorted((tuple(r) for r in q.fn(spark, sf_dir).collect()), key=_row_key)
+                if use_pq:
+                    spark_dest = pqwork / f"spark_{name}.parquet"
+                    q.fn(spark, sf_dir).write.mode("overwrite").parquet(str(spark_dest))
+                    srows = []
+                else:
+                    srows = sorted((tuple(r) for r in q.fn(spark, sf_dir).collect()), key=_row_key)
             except Exception as e:  # noqa: BLE001 — evidence, not control flow
                 rec["spark_err"] = str(e)[:200]
                 rec["t"] = round(time.time() - t0, 1)
@@ -184,7 +289,15 @@ def main() -> None:
             if q.oracle:
                 t1 = time.time()
                 try:
-                    drows = sorted(map(tuple, con.execute(q.oracle).fetchall()), key=_row_key)
+                    if use_pq:
+                        oracle_dest = pqwork / f"oracle_{name}.parquet"
+                        con.execute(
+                            f"COPY ({q.oracle}) TO '{oracle_dest}' "
+                            "(FORMAT PARQUET, COMPRESSION ZSTD)"
+                        )
+                        rec.update(parquet_match(con, spark_dest, oracle_dest))
+                    else:
+                        drows = sorted(map(tuple, con.execute(q.oracle).fetchall()), key=_row_key)
                 except Exception as e:  # noqa: BLE001
                     rec["oracle_err"] = str(e)[:200]
                     rec["t"] = round(time.time() - t0, 1)
@@ -192,22 +305,35 @@ def main() -> None:
                     fh.flush()
                     continue
                 rec["td"] = round(time.time() - t1, 1)
-                rec["match"] = srows == drows
-                if not rec["match"]:
-                    # a bounded sample of (spark_row, oracle_row) at the
-                    # first diverging sorted positions — enough to see a
-                    # magnitude (e.g. an HLL estimate) without rerunning
-                    sample = [
-                        [repr(s), repr(d)]
-                        for s, d in zip(srows, drows)
-                        if s != d
-                    ][:3]
-                    if len(srows) != len(drows):
-                        sample.append([f"n_spark={len(srows)}", f"n_duck={len(drows)}"])
-                    rec["diff"] = sample
+                if use_pq:
+                    shutil.rmtree(spark_dest, ignore_errors=True)
+                    oracle_dest.unlink(missing_ok=True)
+                else:
+                    rec["match"] = srows == drows
+                    if not rec["match"]:
+                        # a bounded sample of (spark_row, oracle_row) at the
+                        # first diverging sorted positions — enough to see a
+                        # magnitude (e.g. an HLL estimate) without rerunning
+                        sample = [
+                            [repr(s), repr(d)]
+                            for s, d in zip(srows, drows)
+                            if s != d
+                        ][:3]
+                        if len(srows) != len(drows):
+                            sample.append([f"n_spark={len(srows)}", f"n_duck={len(drows)}"])
+                        rec["diff"] = sample
+                        dd = sweep_routing.DOCUMENTED_DIVERGENCES.get(name)
+                        if (
+                            routing
+                            and dd
+                            and sf >= dd[0]
+                            and sweep_routing.within_envelope(srows, drows, dd[1])
+                        ):
+                            rec["documented"] = dd[2]
             else:
                 rec["match"] = None
-            rec["n"] = len(srows)
+            if not use_pq:
+                rec["n"] = len(srows)
             rec["t"] = round(time.time() - t0, 1)
             fh.write(json.dumps(rec) + "\n")
             fh.flush()
@@ -225,16 +351,21 @@ def main() -> None:
     n_match = sum(1 for r in final.values() if r.get("match") is True)
     n_rows_only = sum(1 for r in final.values() if "n" in r and r.get("match") is None)
     n_skip = sum(1 for r in final.values() if "skip" in r)
-    n_fail = len(final) - n_match - n_rows_only - n_skip
+    n_doc = sum(
+        1 for r in final.values() if r.get("match") is False and "documented" in r
+    )
+    n_fail = len(final) - n_match - n_rows_only - n_skip - n_doc
     print(
         json.dumps(
             {
                 "sf_dir": sf_dir,
+                "sf": sf,
                 "queries": len(contract.REGISTRY),
                 "resumed_past": len(done),
                 "oracle_match": n_match,
                 "rows_only": n_rows_only,
                 "skipped": n_skip,
+                "documented_divergence": n_doc,
                 "failures": n_fail,
                 "out": str(out),
             }

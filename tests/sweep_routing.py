@@ -1,0 +1,269 @@
+"""Routing table for the full-registry differential sweep.
+
+Round 10 proved every heavy query exact at big SF, but only via
+hand-launched staged runners whose verdicts were manually merged into
+the canonical sweep file — a curation step a future round could get
+wrong (r10 verdict, "What's wrong" #1). This module makes the routing
+data, so `tests/run_sweep.py` consults it and ONE command produces the
+fully-accounted evidence file:
+
+- ``STAGED_ORACLES``: queries whose registered oracle is correct SQL
+  that DuckDB's monolithic plan cannot execute at sf >= min_sf
+  (sum-over-stages raw spill -> ENOSPC; measured at sf3 in r10). The
+  sweep shells out to the staged runner — the SAME oracle text executed
+  with parquet stage boundaries — which appends ``mode:
+  "staged-oracle"`` records to the same evidence file.
+- ``KNOWN_SKIPS``: (SF, query) combinations where the DIFFERENTIAL
+  itself is infeasible or meaningless at scale (quadratic brute-force
+  DuckDB baselines, the recursive-closure degeneracy) — recorded as
+  deliberate skips with the measured reason, exactly what r10 passed
+  via the SWEEP_SKIP env var.
+- ``DOCUMENTED_DIVERGENCES``: queries exact at test SF whose big-SF
+  mismatch is a quantified approximation boundary (HLL estimate error
+  inside the asserted lgK=17 bound; 1-ulp dot-product reduction-order
+  drift). The sweep verifies the divergence stays INSIDE the documented
+  envelope before annotating the record — outside it, the record stays
+  a plain failure.
+- ``PARQUET_COMPARE``: queries whose result set at sf >= min_sf is too
+  large for the collect-and-sort comparison (sf3 measured n >= ~1M;
+  lineitem_unpivot alone is 180M rows at sf10, past any sane
+  ``spark.driver.maxResultSize``). These compare via parquet files and
+  symmetric EXCEPT ALL in DuckDB — the staged runners' compare, equal
+  strictness (exact value equality over all columns), no driver
+  collect.
+
+Routing keys off the scale factor inferred from the sweep dir name
+(``.../sf10`` -> 10.0), overridable with ``SWEEP_SF``; ``SWEEP_STAGED=0``
+disables all auto-routing (the pre-r11 behavior).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import re
+import shutil
+from dataclasses import dataclass
+from pathlib import Path
+
+# ---------------------------------------------------------------- staged
+
+
+@dataclass(frozen=True)
+class StagedRoute:
+    """One query's staged-oracle route: shell out to tests/<runner> when
+    sweeping at sf >= min_sf. Queries sharing a ``group`` are handed to
+    one runner invocation so the shared CTE prefix is staged once."""
+
+    runner: str
+    group: str
+    min_sf: float
+
+
+_MINHASH_FAMILY = [
+    # shared toks -> sh -> words -> sig -> bands -> cand prefix; the
+    # monolithic statements spill raw past 80 GB at sf3 (ENOSPC,
+    # evidence/SWEEP_sf3_r10.jsonl) while each stage is small in parquet
+    "doc_minhash_lsh_pairs",
+    "doc_incremental_lsh_pairs",
+    "dup_graph_degree_histogram",
+    "doc_near_dup_verified",
+    "doc_dup_clusters",
+    "dedup_aware_split",
+    "doc_containment_pairs",
+    "doc_ngram_jaccard_pairs",
+    # 5-gram dup-graph pair: same pathology, edge build re-scheduled as
+    # shingle-hash-partitioned partial counts (44 GB raw spill at sf3)
+    "dup_graph_pagerank2",
+    "dup_graph_triangles",
+]
+
+STAGED_ORACLES: dict[str, StagedRoute] = {
+    **{
+        q: StagedRoute("oracle_staged_minhash.py", "minhash", 3.0)
+        for q in _MINHASH_FAMILY
+    },
+    # 12-CTE flagship: >80 GB raw spill / ENOSPC at sf3 monolithic;
+    # staged oracle exact at sf3 AND sf10 (FLAGORACLE_sf{3,10}_r10.jsonl)
+    "corpus_prep_pipeline": StagedRoute("oracle_staged_flagship.py", "flagship", 3.0),
+}
+
+# ------------------------------------------------------------------ skips
+
+# query -> (min_sf, reason). All reasons carry the r9/r10 measurements
+# that justify them; SWEEP_SKIP env entries override these.
+KNOWN_SKIPS: dict[str, tuple[float, str]] = {
+    "embedding_dedup_survivors": (
+        1.0,
+        "sf>=1 oracle pathological: DuckDB recursive-CTE transitive closure "
+        "degenerates into all-pairs reachability inside large clusters "
+        "(documented since r6; sf3 giant component puts the closure at 7.9e9 "
+        "rows). Spark components verified via embedding_near_dup_pairs + "
+        "doc_dup_clusters; survivors logic oracle-exact at sf0.01",
+    ),
+    "ann_cosine_topk": (
+        10.0,
+        "DuckDB brute-force oracle is 600k x 600k = 3.6e11 cosine pairs at "
+        "sf10; exact at sf1 (r07) and sf3 (r10)",
+    ),
+    "ann_cosine_topk_ivf": (
+        10.0,
+        "same quadratic DuckDB baseline at sf10; exact at sf3",
+    ),
+    "ann_cosine_topk_lsh": (
+        10.0,
+        "same quadratic DuckDB verify baseline at sf10; exact at sf3",
+    ),
+    "embedding_near_dup_pairs": (
+        10.0,
+        "sf10 at the registry's fixed 8x8 test-scale params IS the scouted "
+        "806M-candidate cliff on both engines (EMBSCALE_sf10_r09.jsonl); "
+        "sized 8x12 run verified exact at sf10 in r9",
+    ),
+    "embedding_incremental_near_dups": (
+        10.0,
+        "same 8x8-at-100x cliff as embedding_near_dup_pairs; exact at sf3",
+    ),
+    "dup_graph_pagerank2": (
+        10.0,
+        "sf10: uncapped 5-gram edge self-join quadratic on both engines at "
+        "100x; staged-oracle-exact at sf3 (STAGEDORACLE_sf3_r10.jsonl)",
+    ),
+    "dup_graph_triangles": (
+        10.0,
+        "sf10: triangle count grows cubically with clique size (50M at "
+        "sf3); staged-oracle-exact at sf3",
+    ),
+}
+
+# ------------------------------------------------- documented divergences
+
+# query -> (min_sf, rel_tol, reason). Applied only when a mismatch is
+# observed AND every diverging cell is numeric within rel_tol — the
+# envelope check runs, it is not assumed.
+DOCUMENTED_DIVERGENCES: dict[str, tuple[float, float, str]] = {
+    "embedding_norm_stats": (
+        1.0,
+        1e-12,
+        "double dot-product reduction order (DuckDB SIMD pairwise vs Spark "
+        "sequential fold); max rel 6.2e-16 at sf3 (NORMSTATS_sf3_r10.json)",
+    ),
+    "user_reach_by_type": (
+        1.0,
+        0.01,
+        "HLL lgK=17 estimate vs DuckDB exact distinct; +0.29% at sf3 inside "
+        "the ~0.4% bound asserted in tests/test_sketches.py",
+    ),
+    "user_reach_rolling_7d_hll": (
+        1.0,
+        0.01,
+        "HLL lgK=17 estimate vs DuckDB exact distinct; +0.29% at sf3 inside "
+        "the ~0.4% bound asserted in tests/test_sketches.py",
+    ),
+}
+
+# ------------------------------------------------------- parquet compare
+
+# Result sets measured >= ~1M rows at sf3 (SWEEP_sf3_r10.jsonl): at 100x
+# the collect-and-sort compare is driver-bound (lineitem_unpivot hit
+# spark.driver.maxResultSize at sf10 with 180M rows). min_sf per query.
+PARQUET_COMPARE: dict[str, float] = {
+    q: 3.0
+    for q in [
+        "lineitem_unpivot",
+        "order_penny_allocation",
+        "order_surrogate_keys",
+        "order_value_quartiles",
+        "orders_priority_decoded",
+        "orders_zorder_keys",
+        "rolling_7day_customer_revenue",
+        "imputed_event_values",
+        "event_session_windows",
+        "user_activity_spans",
+        "scd2_incremental_intervals",
+        "event_type_intervals",
+        "doc_prefix_fuzzy_pairs",
+        "incremental_top3_orders",
+        "top3_orders_per_customer",
+        "user_daily_value_filled",
+    ]
+}
+
+# ----------------------------------------------------------------- utils
+
+
+def infer_sf(sf_dir: str) -> float:
+    """Scale factor from the sweep dir name (``.../sf10`` -> 10.0).
+    ``SWEEP_SF`` overrides; an unrecognizable name routes nothing (0.0)
+    — conservative: the pre-r11 monolithic behavior."""
+    env = os.environ.get("SWEEP_SF")
+    if env:
+        return float(env)
+    m = re.search(r"sf(\d+(?:\.\d+)?)$", os.path.basename(os.path.normpath(sf_dir)))
+    return float(m.group(1)) if m else 0.0
+
+
+def routing_enabled() -> bool:
+    return os.environ.get("SWEEP_STAGED", "1") != "0"
+
+
+def auto_skips(sf: float) -> dict[str, str]:
+    return {q: reason for q, (min_sf, reason) in KNOWN_SKIPS.items() if sf >= min_sf}
+
+
+def staged_groups(sf: float, queries) -> dict[tuple[str, str], list[str]]:
+    """Group the routable subset of ``queries`` by (runner, group)."""
+    groups: dict[tuple[str, str], list[str]] = {}
+    for q in queries:
+        route = STAGED_ORACLES.get(q)
+        if route and sf >= route.min_sf:
+            groups.setdefault((route.runner, route.group), []).append(q)
+    return groups
+
+
+def wants_parquet_compare(q: str, sf: float) -> bool:
+    return sf >= PARQUET_COMPARE.get(q, math.inf)
+
+
+def within_envelope(srows, drows, rel_tol: float) -> bool:
+    """True iff the two sorted row lists differ only in numeric cells
+    within ``rel_tol`` relative error. Row counts must match and rows
+    pair positionally — a sort-order scramble fails closed (the record
+    then stays a plain mismatch for a human to look at)."""
+    if len(srows) != len(drows):
+        return False
+    for s, d in zip(srows, drows):
+        if len(s) != len(d):
+            return False
+        for a, b in zip(s, d):
+            if a == b:
+                continue
+            if isinstance(a, bool) or isinstance(b, bool):
+                return False
+            if not isinstance(a, (int, float)) or not isinstance(b, (int, float)):
+                return False
+            if math.isnan(a) or math.isnan(b):
+                return False
+            if abs(a - b) > rel_tol * max(abs(a), abs(b)):
+                return False
+    return True
+
+
+_WORKDIR_MARKER = ".staged-oracle-workdir"
+
+
+def fresh_workdir(path) -> Path:
+    """Recreate a staged-runner scratch dir, refusing to delete anything
+    that does not look like one (marker file): a mistyped positional arg
+    (e.g. the sf_dir) must not be rmtree'd."""
+    path = Path(path)
+    if path.exists():
+        if any(path.iterdir()) and not (path / _WORKDIR_MARKER).exists():
+            raise SystemExit(
+                f"refusing to delete non-empty {path}: no {_WORKDIR_MARKER} "
+                "marker — not a staged-oracle workdir (mistyped argument?)"
+            )
+        shutil.rmtree(path)
+    (path / "tmp").mkdir(parents=True)
+    (path / _WORKDIR_MARKER).touch()
+    return path

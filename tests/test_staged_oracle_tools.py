@@ -119,3 +119,59 @@ def test_chunked_edge_aggregation_is_count_preserving(con):
       ) WHERE c >= 5
     """)
     assert chunked == mono
+
+
+def test_labelprop_equals_recursive_cte_oracles(con):
+    """The staged-oracle-labelprop mode (doc_dup_clusters /
+    dedup_aware_split at sf >= 3) substitutes min-label propagation for
+    the recursive-CTE closure and extracts the split CASE expression by
+    exact-text surgery — pin both against the registered oracles at
+    sf0.001 so an oracle edit cannot silently break the big-SF evidence
+    path (r10 ADVICE.md)."""
+    from tests.oracle_staged_minhash import labelprop_tail, min_label_clusters
+
+    con.execute(
+        f"CREATE OR REPLACE TABLE cand AS WITH {contract_ext._TOKS_CTE}, "
+        f"{contract_ext._SHINGLES_CTE}, {contract_ext._MH_WORDS}, "
+        f"{contract_ext._MH_SIG}, {contract_ext._CAND_CTE} SELECT * FROM cand"
+    )
+    min_label_clusters(con)
+    for q in ("doc_dup_clusters", "dedup_aware_split"):
+        oracle = contract.REGISTRY[q].oracle
+        assert _rows(con, labelprop_tail(q, oracle)) == _rows(con, oracle), q
+
+
+def test_split_at_cte_preserves_recursive_keyword():
+    oracle = (
+        "WITH RECURSIVE base AS (SELECT 1 AS x), "
+        "walk AS (SELECT x FROM base UNION ALL SELECT x + 1 FROM walk WHERE x < 3) "
+        "SELECT max(x) AS m FROM walk"
+    )
+    stage_sql, tail = split_at_cte(oracle, "base")
+    assert stage_sql == "SELECT 1 AS x"
+    # the tail reopens the CTE list: RECURSIVE must survive the re-emit,
+    # or the recursive member fails (or misparses) in DuckDB
+    assert tail.startswith("WITH RECURSIVE ")
+    con = duckdb.connect()
+    con.execute(f"CREATE TABLE base AS {stage_sql}")
+    assert con.execute(tail).fetchall() == con.execute(oracle).fetchall()
+
+
+def test_fresh_workdir_refuses_foreign_directories(tmp_path):
+    """A mistyped positional arg (e.g. the sf_dir) must not be rmtree'd:
+    only empty dirs or ones carrying the staged-oracle marker recycle."""
+    from tests.sweep_routing import fresh_workdir
+
+    precious = tmp_path / "sfdata"
+    precious.mkdir()
+    (precious / "documents.parquet").write_bytes(b"x")
+    with pytest.raises(SystemExit, match="refusing to delete"):
+        fresh_workdir(precious)
+    assert (precious / "documents.parquet").exists()
+
+    work = tmp_path / "scratch"
+    fresh_workdir(work)  # fresh create
+    (work / "stage.parquet").write_bytes(b"x")
+    fresh_workdir(work)  # marker present: recycles
+    assert not (work / "stage.parquet").exists()
+    assert (work / "tmp").is_dir()

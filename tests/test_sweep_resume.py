@@ -46,3 +46,75 @@ def test_last_record_wins():
         else:
             done.discard(rec["q"])
     assert done == {"fixed"}
+
+
+def test_documented_divergence_resumes():
+    """A mismatch verified inside a documented approximation envelope is
+    an accounted outcome, not a failure to re-run."""
+    assert resumable({"q": "a", "match": False, "n": 5, "documented": "HLL bound"})
+    assert not resumable({"q": "a", "match": False, "n": 5})
+
+
+def test_sf_inference(monkeypatch):
+    from tests import sweep_routing as sr
+
+    monkeypatch.delenv("SWEEP_SF", raising=False)
+    assert sr.infer_sf("/root/testdata/sf0.01") == 0.01
+    assert sr.infer_sf("/tmp/sf10") == 10.0
+    assert sr.infer_sf("/tmp/sf3/") == 3.0
+    assert sr.infer_sf("/data/whatever") == 0.0  # unrecognizable: route nothing
+    monkeypatch.setenv("SWEEP_SF", "7")
+    assert sr.infer_sf("/data/whatever") == 7.0
+
+
+def test_routing_thresholds():
+    """Staged routes and known skips engage at the measured cliffs: the
+    minhash family monolithic oracles die at sf3 (ENOSPC), the quadratic
+    brute-force differentials at sf10."""
+    from tests import sweep_routing as sr
+
+    assert not sr.staged_groups(0.01, sr.STAGED_ORACLES)  # test SF: monolithic
+    g3 = sr.staged_groups(3.0, sr.STAGED_ORACLES)
+    assert ("oracle_staged_minhash.py", "minhash") in g3
+    assert ("oracle_staged_flagship.py", "flagship") in g3
+    assert "doc_minhash_lsh_pairs" in g3[("oracle_staged_minhash.py", "minhash")]
+
+    assert "ann_cosine_topk" not in sr.auto_skips(3.0)
+    assert "ann_cosine_topk" in sr.auto_skips(10.0)
+    # skip takes precedence downstream, but the route map still lists the
+    # graph pair at sf10 — run_sweep checks skips first
+    assert "embedding_dedup_survivors" in sr.auto_skips(1.0)
+
+    assert not sr.wants_parquet_compare("lineitem_unpivot", 0.01)
+    assert sr.wants_parquet_compare("lineitem_unpivot", 3.0)
+    assert not sr.wants_parquet_compare("orders_by_status", 10.0)
+
+    # every routing key is a real registry query (typo guard)
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from batch_data_pipeline_exercise_spark.plans import contract  # noqa: F401
+    from batch_data_pipeline_exercise_spark.plans import (  # noqa: F401
+        contract2, contract3, contract4, contract5, contract6, contract_ext,
+    )
+    known = set(contract.REGISTRY)
+    for name in (
+        set(sr.STAGED_ORACLES) | set(sr.KNOWN_SKIPS)
+        | set(sr.DOCUMENTED_DIVERGENCES) | set(sr.PARQUET_COMPARE)
+    ):
+        assert name in known, name
+
+
+def test_within_envelope():
+    from tests.sweep_routing import within_envelope
+
+    exact = [("a", 1, 2.0), ("b", 2, 3.0)]
+    assert within_envelope(exact, exact, 0.0)
+    drift = [("a", 1, 2.0 * (1 + 5e-13)), ("b", 2, 3.0)]
+    assert within_envelope(drift, exact, 1e-12)
+    assert not within_envelope(drift, exact, 1e-14)
+    # non-numeric divergence, row-count drift, and NaN all fail closed
+    assert not within_envelope([("x", 1)], [("y", 1)], 1.0)
+    assert not within_envelope([(1,)], [(1,), (2,)], 1.0)
+    assert not within_envelope([(float("nan"),)], [(float("nan"),)], 1.0)
+    assert not within_envelope([(True,)], [(2,)], 1.0)  # bools are not "numeric drift"
