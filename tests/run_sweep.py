@@ -236,12 +236,30 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     con = duck_connect(sf_dir)
 
+    # long-lived sessions accumulate JVM state _clear_session_state cannot
+    # drop (README: an 8 GB session OOMed on its 8th heavy sf10 query) —
+    # proactively rebuild the context every N completed queries at big SF
+    # instead of only self-healing after a crash. 0 disables.
+    recycle_every = int(os.environ.get("SWEEP_RECYCLE_EVERY", "20" if sf >= 3 else "0"))
+    since_recycle = 0
+
     with out.open("a") as fh:
         for name, q in sorted(contract.REGISTRY.items()):
             if only and name not in only:
                 continue
             if name in done:
                 continue
+            if recycle_every and since_recycle >= recycle_every:
+                spark.stop()
+                spark = get_spark(
+                    app_name="registry-sweep",
+                    master="local[32]",
+                    shuffle_partitions=32,
+                    extra_conf={"spark.driver.maxResultSize": "4g"},
+                )
+                spark.sparkContext.setLogLevel("ERROR")
+                since_recycle = 0
+            since_recycle += 1
             if name in skips:
                 fh.write(json.dumps({"q": name, "skip": skips[name]}) + "\n")
                 fh.flush()
