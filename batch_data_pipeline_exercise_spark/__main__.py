@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import re
 import sys
 from datetime import datetime
 
@@ -179,6 +180,23 @@ def main(argv: list[str] | None = None) -> int:
         dest="max_embedding_candidates",
         default="auto",
         help="same budget for the embedding near-dup stage",
+    )
+    p_cor.add_argument(
+        "--expected-corpus-docs",
+        dest="expected_corpus_docs",
+        default=None,
+        help="size the LSH sketches for a corpus that will grow to this "
+        "many docs (recall-aware: cheapest bands x rows meeting both the "
+        "occupancy ceiling and --min-recall at each stage's threshold). "
+        "Omit to use the operators' defaults. The first run bakes the "
+        "config into the warehouse; later runs must match it",
+    )
+    p_cor.add_argument(
+        "--min-recall",
+        dest="min_recall",
+        type=float,
+        default=None,
+        help="recall floor for --expected-corpus-docs sizing (default 0.9)",
     )
 
     p_aud = sub.add_parser(
@@ -494,29 +512,40 @@ def main(argv: list[str] | None = None) -> int:
                 return "auto"
             return int(raw)  # guard below guarantees this parses
 
-        # validate with the SAME parse the knob uses: a lexical check
-        # (isdigit) accepts strings int() rejects (unicode digits) and
-        # negatives, and a parse failure inside _budget_knob would
-        # silently map to None — turning the safety gate OFF for the
-        # exact inputs that should be errors
+        # strict decimal form: int() alone would quietly accept
+        # underscore/whitespace/sign forms ('1_0' -> 10, ' 5 ' -> 5) the
+        # error message implies are invalid; everything the regex admits
+        # parses identically inside _budget_knob, so guard and knob can
+        # never disagree
         for raw in (args.max_text_candidates, args.max_embedding_candidates):
             if raw in ("auto", "off"):
                 continue
-            try:
-                val = int(raw)
-            except ValueError:
+            if not re.fullmatch(r"\d+", raw):
                 return _err(
                     f"budget must be a non-negative integer, 'auto', or 'off', got {raw!r}"
                 )
-            if val < 0:
-                return _err(
-                    f"budget must be a non-negative integer, 'auto', or 'off', got {raw!r}"
-                )
+        if args.expected_corpus_docs is not None and not re.fullmatch(
+            r"\d+", args.expected_corpus_docs
+        ):
+            return _err(
+                f"--expected-corpus-docs must be a non-negative integer, "
+                f"got {args.expected_corpus_docs!r}"
+            )
+        if args.min_recall is not None and not 0.0 < args.min_recall < 1.0:
+            return _err(f"--min-recall must be in (0, 1), got {args.min_recall!r}")
+        sizing = {}
+        if args.expected_corpus_docs is not None:
+            sizing["expected_corpus_docs"] = int(args.expected_corpus_docs)
+            if args.min_recall is not None:
+                sizing["min_recall"] = args.min_recall
+        elif args.min_recall is not None:
+            return _err("--min-recall requires --expected-corpus-docs")
         cp = CorpusPipeline(
             spark,
             args.warehouse,
             max_text_candidates=_budget_knob(args.max_text_candidates),
             max_embedding_candidates=_budget_knob(args.max_embedding_candidates),
+            **sizing,
         )
         emb = spark.read.parquet(args.embeddings) if args.embeddings else None
         try:

@@ -29,6 +29,18 @@ from pyspark.sql import functions as F
 from batch_data_pipeline_exercise_spark.operators import text as text_ops
 from batch_data_pipeline_exercise_spark.operators.text import tokenize
 
+#: minhash-specific caveat appended to the recall-aware budget-refusal
+#: suggestion (see similarity._check_candidate_budget): band keys are
+#: content-driven, so the occupancy model behind the suggested size is
+#: a starting point, and duplicate-dense corpora keep their true
+#: positives at any size.
+_MH_NOTE = (
+    "Minhash occupancy is content-driven — re-scout at the suggested "
+    "size before committing. Identical-content groups collide at ANY "
+    "rows; those candidates are true positives the verify stage must "
+    "price."
+)
+
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text", normalized: bool = True) -> DataFrame:
     """Keep the lowest-id representative per identical text (md5 keyed;
@@ -280,14 +292,9 @@ def minhash_near_dups(
         bk = bk.localCheckpoint()  # scout + join share ONE signature pass
         _check_candidate_budget(
             lsh_occupancy_stats(bk, bands), max_candidates, bands, k // bands,
-            suggestion=(
-                "Raise rows per band (k/bands): a Jaccard-J candidate pair "
-                "band-collides with probability J^rows, so each extra row "
-                "multiplies sub-threshold collision odds by J while "
-                "threshold-level pairs keep most of theirs — then re-scout. "
-                "Identical-content groups collide at ANY rows; those "
-                "candidates are true positives the verify stage must price."
-            ),
+            p=threshold,
+            threshold_label=f"jaccard >= {threshold}",
+            note=_MH_NOTE,
         )
     # when gated, bk is ALREADY pinned for the scout — a second
     # localCheckpoint inside lsh_candidate_pairs would re-read and
@@ -504,9 +511,15 @@ def incremental_minhash_pairs(
     k: int = 32,
     bands: int = 8,
     max_candidates: int | None = None,
+    threshold: float = 0.7,
 ) -> tuple[DataFrame, DataFrame]:
     """Daily-increment near-dup candidates: signature-hash ONLY the new
     batch and probe it against the stored band-key index.
+
+    ``threshold`` is the caller's downstream Jaccard verify threshold —
+    used ONLY to size the budget-refusal suggestion (the recall-aware
+    resize quotes predicted recall at this threshold); candidate
+    generation itself is threshold-free.
 
     A growing corpus must not re-shingle its history every day — at
     100 TB that's the whole job. The band-key table (bands × one md5 per
@@ -543,14 +556,6 @@ def incremental_minhash_pairs(
         _incremental_occupancy_summary,
     )
 
-    _mh_suggestion = (
-        "Raise rows per band (k/bands): a Jaccard-J candidate pair "
-        "band-collides with probability J^rows, so each extra row "
-        "multiplies sub-threshold collision odds by J while "
-        "threshold-level pairs keep most of theirs — then re-scout. "
-        "Identical-content groups collide at ANY rows; those candidates "
-        "are true positives the verify stage must price."
-    )
     new_keys = lsh_band_keys(
         minhash_signatures(word_shingles(new_docs, id_col, text_col, n, distinct=False), k),
         bands,
@@ -560,7 +565,8 @@ def incremental_minhash_pairs(
         if max_candidates is not None:
             _check_candidate_budget(
                 lsh_occupancy_stats(new_keys, bands), max_candidates, bands,
-                k // bands, suggestion=_mh_suggestion,
+                k // bands, p=threshold,
+                threshold_label=f"jaccard >= {threshold}", note=_MH_NOTE,
             )
         return lsh_candidate_pairs(new_keys, materialize=False), new_keys
     if max_candidates is not None:
@@ -571,7 +577,9 @@ def incremental_minhash_pairs(
             max_candidates,
             bands,
             k // bands,
-            suggestion=_mh_suggestion,
+            p=threshold,
+            threshold_label=f"jaccard >= {threshold}",
+            note=_MH_NOTE,
         )
     new_new = lsh_candidate_pairs(new_keys, materialize=False)
     a, b = new_keys.alias("a"), prior_band_keys.alias("b")

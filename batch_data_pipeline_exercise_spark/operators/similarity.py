@@ -11,6 +11,7 @@ and are baked into the plan as literals.
 
 from __future__ import annotations
 
+import math
 import random
 
 from pyspark.sql import Column, DataFrame
@@ -485,6 +486,8 @@ def embedding_near_dup_pairs(
     if max_candidates is not None:
         s = _check_candidate_budget(
             _occupancy_summary(bk, bands), max_candidates, bands, rows_per_band,
+            p=cosine_collision_p(threshold),
+            threshold_label=f"cosine >= {threshold}",
         )
         n = s["n_vectors"] or 0
         if n == 0:
@@ -570,21 +573,122 @@ def rows_per_band_for(n_vectors: int, target_occupancy: int = 256) -> int:
     return rows
 
 
+#: default recall floor for sized-sketch suggestions: a resize that
+#: forfeits more than 10% of threshold-level pairs is not a "fix", it is
+#: a different (and silently weaker) dedup contract — callers wanting a
+#: cheaper sketch opt into a lower floor explicitly.
+SIZING_MIN_RECALL = 0.9
+
+
+def lsh_recall(p: float, bands: int, rows_per_band: int) -> float:
+    """The standard LSH banding S-curve: probability that a pair whose
+    per-row collision probability is ``p`` shares at least one of
+    ``bands`` bands of ``rows_per_band`` rows each — 1 - (1 - p^r)^b.
+    For minhash, p = the pair's Jaccard similarity; for sign-bit
+    hyperplane LSH, p = ``cosine_collision_p(cosine)``. Measured against
+    the replica-dense scale corpora in evidence/SIZEDRECALL_r11.jsonl
+    (predicted vs observed lost-pair fraction per Jaccard bin —
+    ``tests/test_sizing_model.py`` pins the agreement)."""
+    return 1.0 - (1.0 - p**rows_per_band) ** bands
+
+
+def cosine_collision_p(cos: float) -> float:
+    """Per-hyperplane agreement probability for a pair at the given
+    cosine: 1 - theta/pi (Goemans–Williamson). The ``p`` to feed
+    ``lsh_recall``/``bands_rows_for`` for the sign-LSH operators."""
+    return 1.0 - math.acos(max(-1.0, min(1.0, cos))) / math.pi
+
+
+def bands_rows_for(
+    threshold: float,
+    min_recall: float = SIZING_MIN_RECALL,
+    n_vectors: int = 0,
+    target_occupancy: int = 256,
+    p: float | None = None,
+    max_bands: int = 1024,
+) -> tuple[int, int, float]:
+    """Cheapest ``(bands, rows_per_band, predicted_recall)`` meeting BOTH
+    constraints the sizing story needs (round-10 verdict: occupancy-only
+    sizing steered callers into silent under-recall — the measured cost
+    of "just raise rows_per_band" was 49% of threshold-proximal verified
+    pairs at sf10, evidence/SIZEDFLAG_r10.jsonl):
+
+    - **occupancy**: ``rows_per_band >= rows_per_band_for(n_vectors,
+      target_occupancy)`` — expected per-bucket occupancy stays at or
+      under target so per-bucket candidate work occ²/2 stays bounded.
+      This floor assumes near-uniform keys (exact for sign-LSH over
+      centered data; for minhash band keys occupancy is content-driven,
+      so treat the returned size as the starting point and re-scout —
+      the budget gate stays the ground truth).
+    - **recall**: ``lsh_recall(p, bands, rows) >= min_recall`` at the
+      caller's threshold, via the S-curve 1-(1-p^r)^b. ``p`` defaults to
+      ``threshold`` itself (minhash: a Jaccard-J pair row-collides with
+      probability J); sign-LSH callers pass
+      ``p=cosine_collision_p(threshold)``.
+
+    Cost model: total sketch width bands·rows (hash evaluations per item,
+    index bytes, and — at fixed occupancy — candidate volume all scale
+    with it). Each extra row past the floor multiplies the bands needed
+    by ~1/p, so the optimum hugs the occupancy floor; the small search
+    absorbs integer-ceiling wrinkles. Raises ``ValueError`` when no
+    ``bands <= max_bands`` reaches the floor (thresholds near 0 at huge
+    corpora) — quoting the infeasible numbers beats returning a sketch
+    that silently under-recalls."""
+    if not 0.0 < min_recall < 1.0:
+        raise ValueError(f"min_recall must be in (0, 1), got {min_recall}")
+    p = threshold if p is None else p
+    if not 0.0 < p < 1.0:
+        raise ValueError(f"per-row collision probability must be in (0, 1), got {p}")
+    rows_floor = rows_per_band_for(n_vectors, target_occupancy)
+    best: tuple[int, int, float] | None = None
+    for rows in range(rows_floor, rows_floor + 9):
+        miss = 1.0 - p**rows
+        if miss >= 1.0:  # p^rows below float eps: no band count reaches the floor
+            continue
+        if miss <= 0.0:
+            bands = 1
+        else:
+            bands = max(1, math.ceil(math.log(1.0 - min_recall) / math.log(miss)))
+        if bands > max_bands:
+            continue
+        if best is None or (bands * rows, bands) < (best[0] * best[1], best[0]):
+            best = (bands, rows, lsh_recall(p, bands, rows))
+    if best is None:
+        raise ValueError(
+            f"no sketch with bands <= {max_bands} reaches recall >= {min_recall} "
+            f"at per-row collision p={p:.4f} with the occupancy floor "
+            f"rows_per_band >= {rows_floor} (n={n_vectors:,}, target occupancy "
+            f"{target_occupancy}); lower min_recall, raise target_occupancy, or "
+            "shard the corpus."
+        )
+    return best
+
+
 def _check_candidate_budget(
     stats_df: DataFrame,
     max_candidates: int,
     bands: int,
     rows_per_band: int,
     suggestion: str | None = None,
+    p: float | None = None,
+    threshold_label: str = "",
+    min_recall: float = SIZING_MIN_RECALL,
+    note: str = "",
 ):
     """Shared budget gate over a scout's one-row summary. The default
-    suggestion is the SIGN-LSH sizing rule (key space 2^rows, so
-    expected occupancy halves per row — solve bands · n · occ / 2 ≤
-    budget for the occupancy target). Callers whose bucket keys are
-    content-driven rather than key-space-driven (minhash: collision
-    probability is J^rows, occupancy does not follow n/2^rows) must
-    pass their own ``suggestion`` — the uniform-halving number would be
-    wrong in kind for them.
+    suggestion is RECALL-AWARE (round-10 verdict task 1): it solves the
+    occupancy target from the budget, then asks ``bands_rows_for`` for
+    the cheapest sketch meeting that floor AND ``min_recall`` at the
+    caller's threshold — and quotes BOTH numbers (the occupancy ceiling
+    and the predicted recall, next to the current config's recall), so a
+    resize can never silently trade recall away. Callers pass ``p`` =
+    per-row collision probability at their verify threshold (minhash:
+    the Jaccard threshold itself; sign-LSH:
+    ``cosine_collision_p(cosine)``) and a human label like
+    ``"jaccard >= 0.7"``; the occupancy floor is the sign-LSH uniform
+    model, so minhash callers should re-scout after resizing (``note``
+    carries caller-specific caveats into the message). ``suggestion``
+    overrides the whole sentence for callers with bespoke sizing.
 
     Returns the summary Row so a passing caller can reuse the exact
     item count it already paid one action for (e.g. to skip the sizing
@@ -597,12 +701,58 @@ def _check_candidate_budget(
     if cand > max_candidates:
         if suggestion is None:
             occ_target = max(1, (2 * max_candidates) // (bands * max(n, 1)))
-            suggestion = (
-                f"Resize the sketch: rows_per_band="
-                f"{max(rows_per_band + 1, rows_per_band_for(n, occ_target))} "
-                f"(expected occupancy <= {occ_target}), buying recall back "
-                "with more bands if needed."
-            )
+            if p is not None:
+                # degenerate thresholds (p -> 0 or 1) would blow up the
+                # closed form's logs; the clamp keeps the SUGGESTION sane
+                # without touching gate semantics
+                p = min(max(p, 1e-6), 1.0 - 1e-9)
+                try:
+                    # over-budget at the CURRENT rows means the resize must
+                    # actually shrink buckets: floor the suggested rows at
+                    # current+1 as well as the occupancy-model floor, then
+                    # size bands to hold the recall floor at those rows
+                    sr = max(
+                        rows_per_band + 1, rows_per_band_for(n, occ_target)
+                    )
+                    miss = 1.0 - p**sr
+                    if miss >= 1.0:  # p^rows underflowed to 0
+                        raise ValueError(
+                            f"p^rows underflows at rows_per_band={sr} — no "
+                            "practical band count reaches the recall floor."
+                        )
+                    sb = max(1, math.ceil(math.log(1.0 - min_recall) / math.log(miss)))
+                    if sb > 4096:
+                        raise ValueError(
+                            f"bands={sb} needed at rows_per_band={sr} — "
+                            "past any practical sketch width."
+                        )
+                    srec = lsh_recall(p, sb, sr)
+                    suggestion = (
+                        f"Resize the sketch: bands={sb}, rows_per_band={sr} — "
+                        f"expected occupancy <= {occ_target} at n={n:,}, "
+                        f"predicted recall at {threshold_label or f'p={p:.3f}'} "
+                        f"= {srec:.3f} vs {lsh_recall(p, bands, rows_per_band):.3f} "
+                        f"for the current {bands}x{rows_per_band} "
+                        f"(recall floor {min_recall}; raising rows_per_band "
+                        "alone multiplies threshold-level miss odds per row — "
+                        "the suggested bands buy that recall back)."
+                    )
+                except ValueError as sizing_err:
+                    suggestion = (
+                        f"No sketch meets both the occupancy target "
+                        f"(<= {occ_target} at n={n:,}) and recall >= "
+                        f"{min_recall}: {sizing_err} Raise max_candidates or "
+                        "relax min_recall explicitly."
+                    )
+            else:
+                suggestion = (
+                    f"Resize the sketch: rows_per_band="
+                    f"{max(rows_per_band + 1, rows_per_band_for(n, occ_target))} "
+                    f"(expected occupancy <= {occ_target}), buying recall back "
+                    "with more bands if needed."
+                )
+            if note:
+                suggestion = f"{suggestion} {note}"
         raise LshCandidateBudgetError(
             f"LSH candidate join over budget: scout prices {cand:,} per-band "
             f"collisions for {n:,} items at {bands}x{rows_per_band} "
@@ -1004,6 +1154,8 @@ def incremental_embedding_pairs(
         if max_candidates is not None:
             _check_candidate_budget(
                 _occupancy_summary(new_bk, bands), max_candidates, bands, rows_per_band,
+                p=cosine_collision_p(threshold),
+                threshold_label=f"cosine >= {threshold}",
             )
         cand = _bucketed_self_pairs(new_bk, bucket_cap, n_rows=n_new_rows).distinct()
         return _verify_cosine_pairs(cand, new_vecs, threshold), new_vecs
@@ -1014,6 +1166,8 @@ def incremental_embedding_pairs(
             max_candidates,
             bands,
             rows_per_band,
+            p=cosine_collision_p(threshold),
+            threshold_label=f"cosine >= {threshold}",
         )
     # within-increment pairs take the same occupancy guardrail as the
     # rebuild; the new×prior probe below is already bounded by increment

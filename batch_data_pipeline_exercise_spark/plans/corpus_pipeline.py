@@ -69,6 +69,7 @@ class CorpusPipeline:
     LSH_INDEX = "corpus_lsh_index"
     SIGN_INDEX = "corpus_sign_index"
     LOG = "_corpus_log"
+    SKETCH_CONFIG = "_corpus_sketch_config"
 
     def __init__(
         self,
@@ -82,6 +83,8 @@ class CorpusPipeline:
         pack_budget: int = 2048,
         max_text_candidates: int | str | None = "auto",
         max_embedding_candidates: int | str | None = "auto",
+        expected_corpus_docs: int | None = None,
+        min_recall: float = similarity.SIZING_MIN_RECALL,
     ):
         self.spark = spark
         self.wh = Warehouse(spark, warehouse_root)
@@ -93,17 +96,43 @@ class CorpusPipeline:
         self.pack_budget = pack_budget
         self.max_text_candidates = max_text_candidates
         self.max_embedding_candidates = max_embedding_candidates
+        self.min_recall = min_recall
+        if expected_corpus_docs is None:
+            # the operators' shipped defaults (k=32/8 bands minhash,
+            # 8x8 sign-LSH) — comfortable to ~60k docs per the sizing
+            # rule, and what every existing corpus index was built with
+            self.text_bands, self.text_rows = 8, 4
+            self.emb_bands, self.emb_rows = 8, 8
+        else:
+            # recall-aware sizing (round-10 verdict): the S-curve picks
+            # the cheapest sketch meeting BOTH the occupancy ceiling at
+            # the expected corpus size and the recall floor at each
+            # stage's verify threshold — sizing for the corpus the index
+            # will GROW INTO, since band keys are baked into the
+            # persisted index and cannot change per increment
+            self.text_bands, self.text_rows, _ = similarity.bands_rows_for(
+                jaccard_threshold, min_recall, expected_corpus_docs,
+                self.BUDGET_TARGET_OCCUPANCY,
+            )
+            self.emb_bands, self.emb_rows, _ = similarity.bands_rows_for(
+                cosine_threshold, min_recall, expected_corpus_docs,
+                self.BUDGET_TARGET_OCCUPANCY,
+                p=similarity.cosine_collision_p(cosine_threshold),
+            )
 
     # -- LSH candidate budgets (on by default: a nightly corpus run must
     # -- not launch a join a scout would have refused in seconds) --------
 
-    #: both near-dup stages run 8 bands (the operators' defaults)
-    LSH_BANDS = 8
     #: the sizing rule's expected-occupancy ceiling (``rows_per_band_for``
     #: default): a healthy sketch holds per-bucket occupancy ≤ this
     BUDGET_TARGET_OCCUPANCY = 256
 
-    def _budget(self, knob: int | str | None, n_increment: int) -> int | None:
+    @property
+    def text_k(self) -> int:
+        """Minhash signature width = bands × rows for the text stage."""
+        return self.text_bands * self.text_rows
+
+    def _budget(self, knob: int | str | None, n_increment: int, bands: int) -> int | None:
         """Resolve a budget knob for an increment of ``n_increment`` docs.
         ``"auto"`` (the default) allows 4× the healthy-occupancy
         collision ceiling: a rightly-sized sketch prices at most
@@ -116,8 +145,47 @@ class CorpusPipeline:
         if knob is None:
             return None
         if knob == "auto":
-            return 4 * self.LSH_BANDS * max(n_increment, 1) * self.BUDGET_TARGET_OCCUPANCY
+            return 4 * bands * max(n_increment, 1) * self.BUDGET_TARGET_OCCUPANCY
         return int(knob)
+
+    # -- sketch-config constancy guard ---------------------------------------
+
+    def _check_sketch_config(self) -> None:
+        """Refuse a run whose sketch parameters differ from the ones the
+        persisted indexes were built with. Band keys are pure functions
+        of (content, k/bands resp. bands/rows/seed): probing a stored
+        index with keys from a DIFFERENT config never collides, so a
+        mismatched resume would not error — it would silently report
+        zero cross-increment near-dups forever. First run records the
+        config; every later run must match (resizing an existing corpus
+        means rebuilding its indexes, which is a migration, not a knob)."""
+        cfg = (self.text_k, self.text_bands, self.emb_bands, self.emb_rows)
+        if not self.wh.exists(self.SKETCH_CONFIG):
+            self.wh.append(
+                self.spark.createDataFrame(
+                    [cfg],
+                    "text_k int, text_bands int, emb_bands int, emb_rows int",
+                ),
+                self.SKETCH_CONFIG,
+            )
+            return
+        stored = self.wh.read(self.SKETCH_CONFIG).first()
+        stored_cfg = (
+            stored["text_k"], stored["text_bands"],
+            stored["emb_bands"], stored["emb_rows"],
+        )
+        if stored_cfg != cfg:
+            raise CorpusContractError(
+                f"sketch config mismatch: this corpus's indexes were built with "
+                f"text k={stored_cfg[0]}/bands={stored_cfg[1]}, embedding "
+                f"bands={stored_cfg[2]}x rows={stored_cfg[3]}, but the pipeline "
+                f"was constructed with text k={cfg[0]}/bands={cfg[1]}, embedding "
+                f"bands={cfg[2]}x rows={cfg[3]}. Probing a persisted LSH index "
+                "with keys from a different sketch never collides — the run "
+                "would silently miss every cross-increment near-dup. Construct "
+                "the pipeline with the original config, or rebuild the corpus "
+                "indexes under the new one."
+            )
 
     # -- replay bookkeeping (same shape as the CLI's _backfill_log) ----------
 
@@ -207,6 +275,7 @@ class CorpusPipeline:
         nightly run refuses in seconds instead of dying mid-spill."""
         if self._done(ds):
             return {"ds": ds, "already_done": True}
+        self._check_sketch_config()
         if embeddings is None and self.wh.exists(self.SIGN_INDEX):
             raise CorpusContractError(
                 f"this corpus has an embedding sign index ({self.SIGN_INDEX!r}) but the "
@@ -260,7 +329,11 @@ class CorpusPipeline:
         try:
             cand, lsh_union = dedup.incremental_minhash_pairs(
                 prior_lsh, kept, "doc_id",
-                max_candidates=self._budget(self.max_text_candidates, n_increment),
+                k=self.text_k, bands=self.text_bands,
+                max_candidates=self._budget(
+                    self.max_text_candidates, n_increment, self.text_bands
+                ),
+                threshold=self.jaccard_threshold,
             )
         except LshCandidateBudgetError as e:
             raise CorpusContractError(
@@ -318,10 +391,12 @@ class CorpusPipeline:
                     prior_sign,
                     emb_new,
                     threshold=self.cosine_threshold,
+                    bands=self.emb_bands,
+                    rows_per_band=self.emb_rows,
                     id_col="doc_id",
                     vec_col="embedding",
                     max_candidates=self._budget(
-                        self.max_embedding_candidates, n_increment
+                        self.max_embedding_candidates, n_increment, self.emb_bands
                     ),
                     # free upper bound on the increment's rows (from the
                     # shingle-stage observation): lets the within-increment

@@ -51,6 +51,31 @@ def main() -> None:
     ).localCheckpoint()
     n_base = base_ver.count()
 
+    def jhist(df):
+        return {
+            f"{r['b'] / 20:.2f}": r["c"]
+            for r in df.groupBy(F.floor(F.col("jaccard") * 20).alias("b"))
+            .agg(F.count("*").alias("c"))
+            .orderBy("b")
+            .collect()
+        }
+
+    # the DENOMINATOR the sizing model's validation needs: per-bin counts
+    # of ALL baseline-verified pairs, so predicted lost-fraction per bin
+    # (1 - lsh_recall(J_mid, sized)) can be compared to lost/baseline
+    print(
+        json.dumps(
+            {
+                "harness": "tests/sized_recall_probe.py",
+                "sf_dir": sf_dir,
+                "baseline": f"{BASELINE[0]}/{BASELINE[1]}",
+                "baseline_verified": n_base,
+                "baseline_hist_binfloor": jhist(base_ver),
+            }
+        ),
+        flush=True,
+    )
+
     for k, bands in sized:
         bk = dedup.lsh_band_keys(
             dedup.minhash_signatures(
@@ -61,13 +86,7 @@ def main() -> None:
         )
         cand = dedup.lsh_candidate_pairs(bk).localCheckpoint()
         lost = base_ver.join(cand, ["id1", "id2"], "left_anti")
-        hist = {
-            f"{r['b'] / 20:.2f}": r["c"]
-            for r in lost.groupBy(F.floor(F.col("jaccard") * 20).alias("b"))
-            .agg(F.count("*").alias("c"))
-            .orderBy("b")
-            .collect()
-        }
+        hist = jhist(lost)
         stats = lost.agg(
             F.count("*").alias("n"), F.min("jaccard").alias("jmin"), F.max("jaccard").alias("jmax")
         ).first()

@@ -290,7 +290,7 @@ def test_undersized_budget_refuses_with_suggestion(spark, corpus_wh):
     collision price and sizing suggestion; nothing is persisted for the
     refused ds, so a resized retry is a clean first run."""
     cp = CorpusPipeline(spark, corpus_wh, max_text_candidates=0)
-    with pytest.raises(CorpusContractError, match="Raise rows per band"):
+    with pytest.raises(CorpusContractError, match="predicted recall"):
         cp.run(_df(spark, DAY1_DOCS), "2024-01-01", _edf(spark, DAY1_EMB))
     assert not cp.wh.exists(cp.DOCS) and not cp.wh.exists(cp.LOG)
 
@@ -340,9 +340,63 @@ def test_corpus_cli_budget_flags(spark, corpus_wh, tmp_path):
     assert neg.returncode == 2 and "must be a non-negative integer" in neg.stderr
 
     refused = run_cli("--max-text-candidates", "0")
-    assert refused.returncode == 2 and "Raise rows per band" in refused.stderr
+    assert refused.returncode == 2 and "predicted recall" in refused.stderr
 
     ok = run_cli("--max-text-candidates", "off", "--max-embedding-candidates", "off")
     assert ok.returncode == 0, ok.stderr
     out = json.loads(ok.stdout.strip().splitlines()[-1])
     assert out["ok"] is True and out["docs_kept"] == 3
+
+
+def test_sized_pipeline_and_sketch_config_guard(spark, corpus_wh):
+    """``expected_corpus_docs`` sizes both stages' sketches via the
+    recall-aware S-curve (occupancy floor AND recall floor hold), the
+    first run bakes the config into the warehouse, and a later run under
+    a DIFFERENT config refuses before compute — probing a persisted
+    index with mismatched band keys would otherwise silently never
+    collide (zero cross-increment near-dups forever, no error)."""
+    from batch_data_pipeline_exercise_spark.operators import similarity
+
+    cp = CorpusPipeline(spark, corpus_wh, expected_corpus_docs=500_000)
+    assert cp.text_rows >= similarity.rows_per_band_for(
+        500_000, cp.BUDGET_TARGET_OCCUPANCY
+    )
+    assert (
+        similarity.lsh_recall(cp.jaccard_threshold, cp.text_bands, cp.text_rows)
+        >= similarity.SIZING_MIN_RECALL
+    )
+    p = similarity.cosine_collision_p(cp.cosine_threshold)
+    assert (
+        similarity.lsh_recall(p, cp.emb_bands, cp.emb_rows)
+        >= similarity.SIZING_MIN_RECALL
+    )
+    assert cp.run(_df(spark, DAY1_DOCS), "2024-01-01", _edf(spark, DAY1_EMB))[
+        "docs_kept"
+    ] > 0
+
+    # identical config resumes cleanly
+    same = CorpusPipeline(spark, corpus_wh, expected_corpus_docs=500_000)
+    assert "docs_kept" in same.run(
+        _df(spark, DAY2_DOCS), "2024-01-02", _edf(spark, DAY2_EMB)
+    )
+
+    # the default (unsized) config differs from the baked one -> refusal
+    # names both configs, and the refused ds is replayable
+    mismatched = CorpusPipeline(spark, corpus_wh)
+    with pytest.raises(CorpusContractError, match="sketch config mismatch"):
+        mismatched.run(_df(spark, DAY2_DOCS), "2024-01-03", _edf(spark, DAY2_EMB))
+    assert same.run(_df(spark, DAY2_DOCS), "2024-01-02", _edf(spark, DAY2_EMB))[
+        "already_done"
+    ]
+
+
+def test_budget_refusal_quotes_occupancy_and_recall(spark, corpus_wh):
+    """Round-10 verdict task 1 'done' criterion: the refusal suggestion
+    quotes BOTH the occupancy ceiling and the predicted recall at the
+    stage's verify threshold (for the suggested AND current sketch)."""
+    cp = CorpusPipeline(spark, corpus_wh, max_text_candidates=0)
+    with pytest.raises(
+        CorpusContractError,
+        match=r"(?s)expected occupancy <=.*predicted recall at jaccard >= 0\.7",
+    ):
+        cp.run(_df(spark, DAY1_DOCS), "2024-01-01", _edf(spark, DAY1_EMB))

@@ -355,7 +355,7 @@ def test_incremental_minhash_budget_gate(spark):
 
     # 6 identical new docs vs 6 identical stored: 15 within + 36 cross
     # per band — over a budget of 3, with the minhash-family suggestion
-    with pytest.raises(similarity.LshCandidateBudgetError, match="Raise rows per band"):
+    with pytest.raises(similarity.LshCandidateBudgetError, match="predicted recall"):
         dedup.incremental_minhash_pairs(index, day2, "doc_id", max_candidates=3)
     pairs, _ = dedup.incremental_minhash_pairs(index, day2, "doc_id", max_candidates=10**9)
     ungated, _ = dedup.incremental_minhash_pairs(index, day2, "doc_id")
@@ -365,7 +365,7 @@ def test_incremental_minhash_budget_gate(spark):
     assert all(i1 >= 10 or i2 >= 10 for i1, i2 in pset)
 
     # first-batch path: within-batch 15 pairs per band over budget 3
-    with pytest.raises(similarity.LshCandidateBudgetError, match="Raise rows per band"):
+    with pytest.raises(similarity.LshCandidateBudgetError, match="predicted recall"):
         dedup.incremental_minhash_pairs(None, day1, "doc_id", max_candidates=3)
 
 
