@@ -422,3 +422,21 @@ def test_incremental_n_new_rows_hint_is_result_identical(spark, vecs):
             # the probe path must find the fixture's cross-boundary dups;
             # the 2-doc first batch legitimately holds no within pairs
             assert {(10, 100), (0, 102)} <= base
+
+
+def test_pil_skip_retirement_tripwire():
+    """The one suite skip (test_image_codec_real_pil_decode) exists ONLY
+    because Pillow is uninstallable in this no-network image. Same
+    pattern as the _pbshim retirement tripwire: this test goes RED the
+    moment an image bump ships an importable PIL while the sibling test
+    is still skip-gated — the skip cannot silently outlive its reason.
+    When it fires: nothing to remove in the gate itself (skipif flips
+    automatically via multimodal.HAS_PIL); delete THIS tripwire and the
+    'documented infeasible' notes that cite the missing-PIL skip
+    (README, VERDICT history), then re-run the real-decode parity test."""
+    if multimodal.HAS_PIL:
+        _pytest.fail(
+            "PIL is now importable: the real-decode parity test "
+            "(test_image_codec_real_pil_decode) runs for real — remove this "
+            "tripwire and the stale 'Pillow is uninstallable' documentation."
+        )
