@@ -150,6 +150,16 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="fail on a missing day's file instead of skipping it",
     )
+    p_bf.add_argument(
+        "--recycle-session-every",
+        dest="recycle_session_every",
+        type=int,
+        default=0,
+        help="rebuild the Spark session after every N days run (0 = off): "
+        "long backfills otherwise accumulate JVM state no cache clear can "
+        "drop; every layer is persisted at each day boundary, so the "
+        "warehouse is the checkpoint",
+    )
     p_bf.add_argument("--warehouse", required=True)
 
     p_cor = sub.add_parser(
@@ -260,7 +270,10 @@ def main(argv: list[str] | None = None) -> int:
     from batch_data_pipeline_exercise_spark.plans.pipeline import Pipeline
 
     spark = _spark()
-    pipe = Pipeline(spark, args.warehouse)
+    recycle_every = getattr(args, "recycle_session_every", 0)
+    if recycle_every < 0:
+        return _err(f"--recycle-session-every must be >= 0, got {recycle_every}")
+    pipe = Pipeline(spark, args.warehouse, recycle_session_every=recycle_every)
 
     if args.cmd == "init":
         pipe.init_dates()
@@ -414,6 +427,7 @@ def main(argv: list[str] | None = None) -> int:
             "days_skipped": skipped,
             "days_already_done": already,
             "days_out_of_order_refused": out_of_order,
+            "session_recycles": pipe.session_recycles,
         }
         if error:
             # the partial-run record rides the error: an operator must be

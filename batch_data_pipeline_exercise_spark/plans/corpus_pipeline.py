@@ -85,9 +85,21 @@ class CorpusPipeline:
         max_embedding_candidates: int | str | None = "auto",
         expected_corpus_docs: int | None = None,
         min_recall: float = similarity.SIZING_MIN_RECALL,
+        recycle_session_every: int = 0,
     ):
         self.spark = spark
         self.wh = Warehouse(spark, warehouse_root)
+        #: opt-in (0 = off): rebuild the SparkSession after every N
+        #: completed daily runs — see ``Pipeline.recycle_session`` for
+        #: the JVM-state rationale. A recycle happens only at the END of
+        #: ``run`` (the day fully persisted), so the warehouse is the
+        #: checkpoint; with the knob on, build each day's input
+        #: DataFrames from ``pipeline.spark`` (or use ``run_path``) —
+        #: DataFrames from a recycled session are dead.
+        self.recycle_session_every = recycle_session_every
+        self._runs_since_recycle = 0
+        #: observability: how many times this pipeline recycled its session
+        self.session_recycles = 0
         self.lang = lang
         self.min_quality = min_quality
         self.jaccard_threshold = jaccard_threshold
@@ -147,6 +159,42 @@ class CorpusPipeline:
         if knob == "auto":
             return 4 * bands * max(n_increment, 1) * self.BUDGET_TARGET_OCCUPANCY
         return int(knob)
+
+    # -- session lifecycle ----------------------------------------------------
+
+    def recycle_session(self):
+        """Stop the bound SparkSession and rebind this pipeline (and its
+        warehouse) to a fresh one — same semantics as
+        ``Pipeline.recycle_session``. Legal between runs: all corpus
+        state lives in the warehouse."""
+        from batch_data_pipeline_exercise_spark.session import get_spark
+
+        sc = self.spark.sparkContext
+        master, app = sc.master, sc.appName
+        shuffle = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        root = self.wh.root
+        self.spark.stop()
+        self.spark = get_spark(app_name=app, master=master, shuffle_partitions=shuffle)
+        self.spark.sparkContext.setLogLevel("ERROR")
+        self.wh = Warehouse(self.spark, root)
+        self._runs_since_recycle = 0
+        self.session_recycles += 1
+        return self.spark
+
+    def _maybe_recycle(self) -> None:
+        self._runs_since_recycle += 1
+        if self.recycle_session_every and self._runs_since_recycle >= self.recycle_session_every:
+            self.recycle_session()
+
+    def run_path(
+        self, docs_path: str, ds: str, embeddings_path: str | None = None
+    ) -> dict:
+        """``run`` with parquet paths instead of DataFrames — the
+        recycle-proof entry point for multi-day drivers (inputs are read
+        from whichever session is CURRENT, so a recycle between days
+        cannot leave the caller holding dead DataFrames)."""
+        emb = self.spark.read.parquet(embeddings_path) if embeddings_path else None
+        return self.run(self.spark.read.parquet(docs_path), ds, embeddings=emb)
 
     # -- sketch-config constancy guard ---------------------------------------
 
@@ -467,7 +515,7 @@ class CorpusPipeline:
             if emb_ids is None
             else kept.select("doc_id").join(emb_ids, "doc_id", "left_anti").count()
         )
-        return {
+        stats = {
             "ds": ds,
             "already_done": False,
             "docs_in": int(obs_in.get["docs_in"]),
@@ -477,3 +525,7 @@ class CorpusPipeline:
             "corpus_total": self.wh.read(self.DOCS).count(),
             **emb_stats,
         }
+        # the day is fully persisted and the stats are plain values — the
+        # one legal in-run recycle point
+        self._maybe_recycle()
+        return stats

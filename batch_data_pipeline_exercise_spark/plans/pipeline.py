@@ -39,9 +39,58 @@ from batch_data_pipeline_exercise_spark.sources.warehouse import Warehouse
 
 
 class Pipeline:
-    def __init__(self, spark: SparkSession, warehouse_root: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse_root: str,
+        recycle_session_every: int = 0,
+    ):
         self.spark = spark
         self.wh = Warehouse(spark, warehouse_root)
+        #: opt-in (0 = off): rebuild the SparkSession after every N
+        #: completed feed runs. Long-lived local sessions accumulate JVM
+        #: state ``_clear_session_state`` cannot drop (README: an 8 GB
+        #: session OOMed on its 8th heavy sf10 query; a fresh session ran
+        #: the same query in 45 s) — this knob turns the documented
+        #: fresh-session-per-run discipline into pipeline behavior. Safe
+        #: by construction: every run_* starts from a CSV path and the
+        #: warehouse, and ends with all layers persisted, so the
+        #: warehouse IS the checkpoint at each recycle boundary.
+        self.recycle_session_every = recycle_session_every
+        self._runs_since_recycle = 0
+        #: observability: how many times this pipeline recycled its session
+        self.session_recycles = 0
+
+    # -- session lifecycle ----------------------------------------------------
+
+    def recycle_session(self) -> SparkSession:
+        """Stop the bound SparkSession and rebind this pipeline (and its
+        warehouse) to a fresh one with the same master, app name, and
+        shuffle-partition setting. All pipeline state lives in the
+        warehouse, so this is legal at any feed-run boundary. NOTE: any
+        DataFrames the CALLER holds from the old session are dead after
+        this — callers interleaving their own Spark work must re-create
+        it from ``pipeline.spark``."""
+        from batch_data_pipeline_exercise_spark.session import get_spark
+
+        sc = self.spark.sparkContext
+        master, app = sc.master, sc.appName
+        shuffle = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        root = self.wh.root
+        self.spark.stop()
+        self.spark = get_spark(app_name=app, master=master, shuffle_partitions=shuffle)
+        self.spark.sparkContext.setLogLevel("ERROR")
+        self.wh = Warehouse(self.spark, root)
+        self._runs_since_recycle = 0
+        self.session_recycles += 1
+        return self.spark
+
+    def _maybe_recycle(self) -> None:
+        """Called at the end of each run_* (a layer boundary: everything
+        the run produced is already in the warehouse)."""
+        self._runs_since_recycle += 1
+        if self.recycle_session_every and self._runs_since_recycle >= self.recycle_session_every:
+            self.recycle_session()
 
     # -- dim_dates (reference create_dim_dates.py) --------------------------
 
@@ -73,6 +122,7 @@ class Pipeline:
             ts=ts,
         )
         self.wh.overwrite(dim, "dim_products")
+        self._maybe_recycle()
 
     # -- order events feed (reference process_orders.py:71-131) -------------
 
@@ -146,6 +196,7 @@ class Pipeline:
             self.wh.append(rows, "fact_orders_created", partition_by=["created_date"])
         else:
             self.wh.overwrite(rows, "fact_orders_created", partition_by=["created_date"])
+        self._maybe_recycle()
 
     # -- inventory feed (reference README.md:55-61) -------------------------
 
@@ -156,6 +207,7 @@ class Pipeline:
         self.wh.append_once(
             stg, "fact_inventory", keys=["product_id", "snapshot_date"], partition_by=["snapshot_date"]
         )
+        self._maybe_recycle()
 
     # -- periodic maintenance ----------------------------------------------
 

@@ -101,11 +101,13 @@ def _load_probe():
 
 def test_model_matches_measured_recall_probe():
     """Predicted vs observed lost-pair fraction per Jaccard bin on the
-    sf3 replica-dense corpus. Tolerance: ±0.15 absolute per bin with
-    >= 1000 baseline pairs (the shared-hash correlation between the
-    baseline and sized sketches systematically lifts observed loss a few
-    points above the independence model — see module docstring), and the
-    TOTAL predicted lost count within 25% relative of the measured one."""
+    sf3 replica-dense corpus. Measured agreement (the checked-in probe):
+    |diff| <= 0.026 on every bin with >= 1000 baseline pairs, totals
+    within 8.2% relative. Stated tolerance: ±0.06 absolute per such bin
+    (the shared-hash correlation between the baseline and sized sketches
+    systematically lifts observed loss a couple of points above the
+    independence model — see module docstring; intra-bin J skew adds the
+    rest) and TOTAL predicted lost count within 15% relative."""
     baseline, sized = _load_probe()
     bhist = {float(k): v for k, v in baseline["baseline_hist_binfloor"].items()}
     assert sized, "probe evidence has no sized-config lines"
@@ -120,12 +122,12 @@ def test_model_matches_measured_recall_probe():
             predicted_total += pred * n_base
             if n_base >= 1000:
                 obs = lhist.get(bin_floor, 0) / n_base
-                assert abs(pred - obs) <= 0.15, (
+                assert abs(pred - obs) <= 0.06, (
                     f"{cfg['sized']} bin {bin_floor}: predicted lost fraction "
                     f"{pred:.3f} vs observed {obs:.3f} (n_base={n_base})"
                 )
         observed_total = cfg["lost_pairs"]
-        assert predicted_total == pytest.approx(observed_total, rel=0.25), (
+        assert predicted_total == pytest.approx(observed_total, rel=0.15), (
             f"{cfg['sized']}: predicted total lost {predicted_total:.0f} vs "
             f"observed {observed_total}"
         )
