@@ -199,7 +199,12 @@ def main() -> None:
         if q not in done and q not in skips and (not only or q in only)
     ]
     for (runner, group), qs in sorted(sweep_routing.staged_groups(sf, pending).items()):
-        workdir = f"/tmp/sweepstaged_{group}"
+        # PID-suffixed workdir: two sweep shards (or a shard plus an
+        # orphaned runner from a killed sweep — pkill on run_sweep does
+        # NOT reach an in-flight runner child) must never share stage
+        # files; a concurrent rmtree+restage mid-read surfaces as
+        # "file too small to be a Parquet file" oracle errors
+        workdir = f"/tmp/sweepstaged_{group}_{os.getpid()}"
         cmd = [sys.executable, str(REPO / "tests" / runner), sf_dir, workdir, str(out)]
         if group == "minhash":
             cmd.append(",".join(qs))
