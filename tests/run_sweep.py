@@ -171,6 +171,23 @@ def main() -> None:
         if unknown:
             raise SystemExit(f"SWEEP_ONLY names not in registry: {sorted(unknown)}")
 
+    # SWEEP_SHARDS=N + SWEEP_SHARD=i (0-based): deterministic disjoint
+    # split for running several sweep processes against ONE evidence
+    # file at big SF (two 35 GB-capped DuckDBs fit the 128 GB box; never
+    # run a third). Staged-oracle GROUPS are assigned whole to the shard
+    # of their first query, so a family's runner executes in exactly one
+    # process — the round-11 collision lesson (two shards restaging one
+    # family's workdir corrupted in-flight reads even before workdirs
+    # were PID-suffixed).
+    n_shards = int(os.environ.get("SWEEP_SHARDS", "1"))
+    if n_shards > 1:
+        shard = int(os.environ["SWEEP_SHARD"])
+        if not 0 <= shard < n_shards:
+            raise SystemExit(f"SWEEP_SHARD must be in [0, {n_shards}), got {shard}")
+        only = sweep_routing.shard_split(
+            sorted(only or contract.REGISTRY), n_shards, shard, sf if routing else 0.0
+        )
+
     done: set[str] = set()
     if out.exists():
         for line in out.read_text().splitlines():

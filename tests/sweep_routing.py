@@ -267,3 +267,22 @@ def fresh_workdir(path) -> Path:
     (path / "tmp").mkdir(parents=True)
     (path / _WORKDIR_MARKER).touch()
     return path
+
+
+def shard_split(names: list[str], n_shards: int, shard: int, sf: float) -> set[str]:
+    """Deterministic disjoint split of ``names`` for multi-process sweeps
+    against one evidence file. Staged-oracle GROUPS are assigned whole
+    (a family's runner must execute in exactly one process — two shards
+    restaging one family's workdir corrupted in-flight reads, round-11),
+    everything else round-robins by sorted unit key. Union over all
+    shards == ``names``; pairwise disjoint."""
+    grouped: dict[str, list[str]] = {}
+    for q in names:
+        route = STAGED_ORACLES.get(q)
+        key = f"group:{route.runner}:{route.group}" if route and sf >= route.min_sf else q
+        grouped.setdefault(key, []).append(q)
+    mine: set[str] = set()
+    for i, key in enumerate(sorted(grouped)):
+        if i % n_shards == shard:
+            mine.update(grouped[key])
+    return mine

@@ -118,3 +118,36 @@ def test_within_envelope():
     assert not within_envelope([(1,)], [(1,), (2,)], 1.0)
     assert not within_envelope([(float("nan"),)], [(float("nan"),)], 1.0)
     assert not within_envelope([(True,)], [(2,)], 1.0)  # bools are not "numeric drift"
+
+
+def test_shard_split_disjoint_complete_and_group_whole():
+    """SWEEP_SHARDS splitting: shards are pairwise disjoint, cover every
+    query, and keep each staged-oracle family in exactly one shard at
+    routed SF (the workdir-collision lesson)."""
+    from tests import sweep_routing
+
+    names = sorted(
+        set(list(sweep_routing.STAGED_ORACLES))
+        | {f"plain_query_{i}" for i in range(20)}
+    )
+    for n_shards in (2, 3):
+        shards = [
+            sweep_routing.shard_split(names, n_shards, i, 10.0)
+            for i in range(n_shards)
+        ]
+        assert set().union(*shards) == set(names)
+        for i in range(n_shards):
+            for j in range(i + 1, n_shards):
+                assert not (shards[i] & shards[j])
+        by_group: dict[tuple, set[int]] = {}
+        for q, route in sweep_routing.STAGED_ORACLES.items():
+            if 10.0 >= route.min_sf:
+                owners = {i for i, s in enumerate(shards) if q in s}
+                assert len(owners) == 1
+                by_group.setdefault((route.runner, route.group), set()).update(owners)
+        assert all(len(owners) == 1 for owners in by_group.values())
+    # at sf below every route threshold the split is plain round-robin
+    lo = sweep_routing.shard_split(names, 2, 0, 0.0) | sweep_routing.shard_split(
+        names, 2, 1, 0.0
+    )
+    assert lo == set(names)
