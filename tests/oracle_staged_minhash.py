@@ -240,7 +240,23 @@ def main() -> None:
     spark = get_spark(app_name="mh-oracle-staged", master="local[32]", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
 
+    # fresh-session discipline inside the runner too: one shared session
+    # across the family OOMed at sf10 once the heaviest query ran first
+    # (round-11; the same JVM-state ratchet measured in
+    # evidence/RECYCLE_r11.jsonl). Default: recycle every 2 queries at
+    # big SF; MH_RECYCLE_EVERY overrides, 0 disables.
+    recycle_every = int(os.environ.get("MH_RECYCLE_EVERY", "2"))
+    since_recycle = 0
+
     for q in mh_queries + g5_queries:
+        if recycle_every and since_recycle >= recycle_every:
+            spark.stop()
+            spark = get_spark(
+                app_name="mh-oracle-staged", master="local[32]", shuffle_partitions=32
+            )
+            spark.sparkContext.setLogLevel("ERROR")
+            since_recycle = 0
+        since_recycle += 1
         entry = contract.REGISTRY[q]
         mode = "staged-oracle"
         if q in REACH_QUERIES and os.environ.get("MH_LABELPROP", "1") == "1":
