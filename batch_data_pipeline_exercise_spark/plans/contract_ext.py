@@ -95,11 +95,16 @@ _MH_WORDS = (
     "CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS w0, "
     "CAST(('0x' || substr(md5(s), 9, 8)) AS BIGINT) AS w1 FROM sh)"
 )
-_MH_SIG = (
-    "sig AS (SELECT doc_id, "
-    + ", ".join(f"MIN((w0 + {i} * w1) % 4294967296) AS h{i}" for i in range(32))
-    + " FROM words GROUP BY doc_id)"
-)
+def _mh_sig_cte(k: int) -> str:
+    """k Kirsch-Mitzenmacher minhash components as a ``sig`` CTE."""
+    return (
+        "sig AS (SELECT doc_id, "
+        + ", ".join(f"MIN((w0 + {i} * w1) % 4294967296) AS h{i}" for i in range(k))
+        + " FROM words GROUP BY doc_id)"
+    )
+
+
+_MH_SIG = _mh_sig_cte(32)
 
 
 @register(
@@ -131,25 +136,35 @@ def doc_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# The single source of truth for the oracle's 8-band × 4-row LSH
-# candidate construction — every oracle that needs candidate pairs
-# (doc_minhash_lsh_pairs, doc_near_dup_verified, doc_dup_clusters,
-# corpus_prep_pipeline) composes THIS fragment, so banding parameters
-# can never silently drift between them.
-_BANDS_CTE = (
-    "bands AS ("
-    + " UNION ALL ".join(
-        "SELECT doc_id, %d AS band, md5(%s) AS band_key FROM sig"
-        % (b, " || ',' || ".join(f"h{b * 4 + r}" for r in range(4)))
-        for b in range(8)
+# The single source of truth for the oracle's banded LSH candidate
+# construction, parameterized so a query's (bands, rows) can never
+# silently drift between its Spark side and its oracle. The operator
+# family (doc_minhash_lsh_pairs, doc_near_dup_verified, doc_dup_clusters,
+# doc_incremental_lsh_pairs, dedup_aware_split) stays on the 8×4 (k=32)
+# test-scale sketch it documents; the flagship composes its own
+# model-derived size below.
+def _bands_cte(bands: int, rows: int) -> str:
+    return (
+        "bands AS ("
+        + " UNION ALL ".join(
+            "SELECT doc_id, %d AS band, md5(%s) AS band_key FROM sig"
+            % (b, " || ',' || ".join(f"h{b * rows + r}" for r in range(rows)))
+            for b in range(bands)
+        )
+        + ")"
     )
-    + ")"
-)
-_CAND_CTE = (
-    _BANDS_CTE
-    + ", cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 FROM bands a JOIN bands b "
-    + "ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)"
-)
+
+
+def _cand_cte(bands: int, rows: int) -> str:
+    return (
+        _bands_cte(bands, rows)
+        + ", cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 FROM bands a JOIN bands b "
+        + "ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)"
+    )
+
+
+_BANDS_CTE = _bands_cte(8, 4)
+_CAND_CTE = _cand_cte(8, 4)
 
 
 @register(
@@ -477,6 +492,19 @@ def corpus_prep_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept1.repartition(spark.sparkContext.defaultParallelism).localCheckpoint()
 
 
+# The flagship's sketch is the MODEL-DERIVED config, not the family's
+# 8×4 test-scale default: bands_rows_for(threshold=0.7, min_recall=0.9,
+# n=472k survivors at sf10, occupancy 16k) -> 13 bands × 5 rows (k=65),
+# predicted recall 0.909 at threshold vs 0.889 for 8×4 with 3× lower
+# per-band sub-threshold collision odds (0.33^5 vs 0.33^4 on the
+# splice-sibling population). Measured end-to-end at sf10
+# (evidence/SIZEDFLAG_E2E_r11.jsonl): +3,814 verified pairs, −17% CPU,
+# −27% wall, −17% shuffle vs 8×4. The oracle composes the SAME (13, 5)
+# fragments, so Spark and DuckDB stay locked to one construction.
+_FLAGSHIP_BANDS, _FLAGSHIP_ROWS = 13, 5
+_FLAGSHIP_K = _FLAGSHIP_BANDS * _FLAGSHIP_ROWS
+
+
 @register(
     "corpus_prep_pipeline",
     oracle="WITH RECURSIVE "
@@ -504,9 +532,9 @@ def corpus_prep_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     + ", "
     + _MH_WORDS
     + ", "
-    + _MH_SIG
+    + _mh_sig_cte(_FLAGSHIP_K)
     + ", "
-    + _CAND_CTE
+    + _cand_cte(_FLAGSHIP_BANDS, _FLAGSHIP_ROWS)
     + f""",
     counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
@@ -559,7 +587,10 @@ def corpus_prep_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept1 = corpus_prep_survivors(spark, sf_dir)
-    ver = dedup.minhash_near_dups(kept1.select("doc_id", "text"), "doc_id", threshold=0.7)
+    ver = dedup.minhash_near_dups(
+        kept1.select("doc_id", "text"), "doc_id",
+        k=_FLAGSHIP_K, bands=_FLAGSHIP_BANDS, threshold=0.7,
+    )
     clusters = graph.dedup_clusters(ver.select("id1", "id2"), kept1.select("doc_id"))
     return (
         kept1.join(clusters, "doc_id")
