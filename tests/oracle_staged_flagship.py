@@ -102,8 +102,12 @@ def main() -> None:
     # the CTE names inside each statement shadow nothing: the stage view
     # of the same name is created only after its COPY completes
     stage("sh", f"WITH {ce._toks_cte('kept1')}, {ce._SHINGLES_CTE} SELECT * FROM sh")
-    stage("sig", f"WITH {ce._MH_WORDS}, {ce._MH_SIG} SELECT * FROM sig")
-    stage("cand", f"WITH {ce._CAND_CTE} SELECT * FROM cand")
+    # the FLAGSHIP's sketch fragments, not the operator family's 8x4
+    # constants — the flagship ships the model-derived (bands, rows)
+    # and its staged oracle must compose the identical construction
+    # (test_staged_oracle_tools.py pins this against the registered text)
+    stage("sig", f"WITH {ce._MH_WORDS}, {ce._mh_sig_cte(ce._FLAGSHIP_K)} SELECT * FROM sig")
+    stage("cand", f"WITH {ce._cand_cte(ce._FLAGSHIP_BANDS, ce._FLAGSHIP_ROWS)} SELECT * FROM cand")
     stage("counts", "SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id")
     stage("inter", """
       SELECT c.id1, c.id2, COUNT(*) AS ni

@@ -175,3 +175,24 @@ def test_fresh_workdir_refuses_foreign_directories(tmp_path):
     fresh_workdir(work)  # marker present: recycles
     assert not (work / "stage.parquet").exists()
     assert (work / "tmp").is_dir()
+
+
+def test_flagship_runner_fragments_match_registered_oracle():
+    """The staged flagship runner re-composes the flagship's sig/cand
+    fragments as stage statements; they must be the EXACT substrings of
+    the registered oracle text. Round-11 regression: the runner kept the
+    operator family's 8x4 constants after the flagship moved to the
+    model-derived sketch, so the staged oracle silently verified a
+    different construction (caught as an sf10 mismatch, 423,538 vs
+    423,100 rows)."""
+    from batch_data_pipeline_exercise_spark.plans import contract, contract_ext as ce
+
+    oracle = contract.REGISTRY["corpus_prep_pipeline"].oracle
+    sig = ce._mh_sig_cte(ce._FLAGSHIP_K)
+    cand = ce._cand_cte(ce._FLAGSHIP_BANDS, ce._FLAGSHIP_ROWS)
+    assert sig in oracle and cand in oracle
+    # and the runner's source composes those builders, not the constants
+    src = (Path(__file__).parent / "oracle_staged_flagship.py").read_text()
+    assert "ce._mh_sig_cte(ce._FLAGSHIP_K)" in src
+    assert "ce._cand_cte(ce._FLAGSHIP_BANDS, ce._FLAGSHIP_ROWS)" in src
+    assert "ce._MH_SIG" not in src and "ce._CAND_CTE" not in src
