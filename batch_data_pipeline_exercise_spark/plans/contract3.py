@@ -585,10 +585,17 @@ def corpus_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Per-label L2-norm statistics over the embedding column — the "
     "sanity pass before normalization/ANN indexing. Per-row norm is a "
-    "fixed fold (aggregate/zip_with ≡ DuckDB list_dot_product) + one "
-    "correctly-rounded sqrt → bit-identical doubles; summing via "
-    "DECIMAL(28,12) makes the aggregate order-independent (plain double "
-    "sums would drift with partition order).",
+    "fixed fold (aggregate/zip_with ≡ DuckDB list_dot_product; verified "
+    "bit-identical to DuckDB's sequential list_reduce fold on the scale "
+    "corpora) + one correctly-rounded sqrt → bit-identical doubles; "
+    "summing via DECIMAL(28,12) makes the aggregate order-independent "
+    "(plain double sums would drift with partition order). Residual "
+    "cross-engine divergence at big SF is the double→decimal QUANTIZER "
+    "itself: Spark casts HALF_UP, DuckDB HALF_EVEN (measured: "
+    "1.0000000000005 → …001 vs …000), so norms landing on the 12th-digit "
+    "half-boundary round apart and the label totals differ in the last "
+    "ulp — not fixable without an exactly-representable quantization; "
+    "the sweep's documented-envelope check verifies every diff ≤ 1 ulp.",
 )
 def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")

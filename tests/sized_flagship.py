@@ -30,7 +30,8 @@ survivor set (`contract_ext.corpus_prep_survivors`):
      for byte-identity across SFs.
 
 Usage: python tests/sized_flagship.py <sf_dir> <label> [k/bands ...]
-Default configs: 32/8 (shipped), 64/8, 128/16.
+Default configs: 32/8 (operator-family default; the flagship ships the
+model-derived 13/5 since round 11), 64/8, 128/16.
 Writes one JSON line per config — append to evidence/SIZEDFLAG_r10.jsonl.
 Data recipe for non-shipped dirs: python tests/gen_sf_scale.py /tmp/sfN
 <factor> (SRC=/root/testdata/sf0.1; sf3=30, sf10=100).
