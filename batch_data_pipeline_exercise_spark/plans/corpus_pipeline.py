@@ -85,6 +85,7 @@ class CorpusPipeline:
         max_embedding_candidates: int | str | None = "auto",
         expected_corpus_docs: int | None = None,
         min_recall: float = similarity.SIZING_MIN_RECALL,
+        sizing_target_occupancy: int | None = None,
         recycle_session_every: int = 0,
     ):
         self.spark = spark
@@ -121,16 +122,43 @@ class CorpusPipeline:
             # the expected corpus size and the recall floor at each
             # stage's verify threshold — sizing for the corpus the index
             # will GROW INTO, since band keys are baked into the
-            # persisted index and cannot change per increment
+            # persisted index and cannot change per increment.
+            # The minhash occupancy target defaults LOOSE (16k, not the
+            # scout-health 256): at low Jaccard thresholds a strict
+            # occupancy floor demands absurd signature widths (0.7/0.9
+            # at 500k docs under occ-256 → 116 bands × 11 rows = a
+            # 1276-column aggregate, past practical codegen), while the
+            # bucket-cap + candidate-budget guardrails already absorb
+            # occupancy hot-spots at run time. The sf10 flagship ladder
+            # measured the loose-target pick (13×5) beating the strict
+            # family default on BOTH recall and cost
+            # (evidence/SIZEDFLAG_E2E_r11.jsonl).
+            occ = (
+                sizing_target_occupancy
+                if sizing_target_occupancy is not None
+                else 16384
+            )
             self.text_bands, self.text_rows, _ = similarity.bands_rows_for(
-                jaccard_threshold, min_recall, expected_corpus_docs,
-                self.BUDGET_TARGET_OCCUPANCY,
+                jaccard_threshold, min_recall, expected_corpus_docs, occ,
             )
             self.emb_bands, self.emb_rows, _ = similarity.bands_rows_for(
-                cosine_threshold, min_recall, expected_corpus_docs,
-                self.BUDGET_TARGET_OCCUPANCY,
+                cosine_threshold, min_recall, expected_corpus_docs, occ,
                 p=similarity.cosine_collision_p(cosine_threshold),
             )
+            for label, k in (
+                ("text", self.text_bands * self.text_rows),
+                ("embedding", self.emb_bands * self.emb_rows),
+            ):
+                if k > self.MAX_SKETCH_WIDTH:
+                    raise CorpusContractError(
+                        f"derived {label} sketch width k={k} exceeds the "
+                        f"practical ceiling {self.MAX_SKETCH_WIDTH} (a "
+                        f"{k}-column aggregate is past whole-stage-codegen "
+                        "limits). Raise sizing_target_occupancy (the "
+                        "bucket-cap and candidate-budget guardrails absorb "
+                        "occupancy hot-spots at run time), lower min_recall "
+                        "explicitly, or shard the corpus."
+                    )
 
     # -- LSH candidate budgets (on by default: a nightly corpus run must
     # -- not launch a join a scout would have refused in seconds) --------
@@ -138,6 +166,11 @@ class CorpusPipeline:
     #: the sizing rule's expected-occupancy ceiling (``rows_per_band_for``
     #: default): a healthy sketch holds per-bucket occupancy ≤ this
     BUDGET_TARGET_OCCUPANCY = 256
+    #: ceiling on derived signature width bands × rows: past this, the
+    #: k-column min-aggregate blows whole-stage codegen (the 116×11
+    #: config the strict occupancy model demands at 472k docs is the
+    #: measured example) — sizing refuses instead of constructing it
+    MAX_SKETCH_WIDTH = 512
 
     @property
     def text_k(self) -> int:

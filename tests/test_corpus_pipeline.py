@@ -358,9 +358,16 @@ def test_sized_pipeline_and_sketch_config_guard(spark, corpus_wh):
     from batch_data_pipeline_exercise_spark.operators import similarity
 
     cp = CorpusPipeline(spark, corpus_wh, expected_corpus_docs=500_000)
-    assert cp.text_rows >= similarity.rows_per_band_for(
-        500_000, cp.BUDGET_TARGET_OCCUPANCY
-    )
+    assert cp.text_rows >= similarity.rows_per_band_for(500_000, 16384)
+    assert cp.text_k <= cp.MAX_SKETCH_WIDTH
+    # the STRICT occupancy target at this corpus size demands a sketch
+    # past the codegen ceiling — construction refuses with guidance
+    # instead of building a 1000+-column aggregate
+    with pytest.raises(CorpusContractError, match="sketch width"):
+        CorpusPipeline(
+            spark, corpus_wh, expected_corpus_docs=500_000,
+            sizing_target_occupancy=256,
+        )
     assert (
         similarity.lsh_recall(cp.jaccard_threshold, cp.text_bands, cp.text_rows)
         >= similarity.SIZING_MIN_RECALL
