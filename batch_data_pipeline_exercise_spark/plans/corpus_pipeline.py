@@ -123,26 +123,33 @@ class CorpusPipeline:
             # stage's verify threshold — sizing for the corpus the index
             # will GROW INTO, since band keys are baked into the
             # persisted index and cannot change per increment.
-            # The minhash occupancy target defaults LOOSE (16k, not the
-            # scout-health 256): at low Jaccard thresholds a strict
-            # occupancy floor demands absurd signature widths (0.7/0.9
-            # at 500k docs under occ-256 → 116 bands × 11 rows = a
-            # 1276-column aggregate, past practical codegen), while the
-            # bucket-cap + candidate-budget guardrails already absorb
-            # occupancy hot-spots at run time. The sf10 flagship ladder
-            # measured the loose-target pick (13×5) beating the strict
-            # family default on BOTH recall and cost
-            # (evidence/SIZEDFLAG_E2E_r11.jsonl).
-            occ = (
-                sizing_target_occupancy
-                if sizing_target_occupancy is not None
-                else 16384
-            )
+            # Per-family occupancy targets — the two LSH families have
+            # OPPOSITE occupancy physics and one number cannot serve both
+            # (measured: tests/sized_corpus_probe.py, the 2×3 sign sketch
+            # a shared loose target derived priced 49M collisions for 11k
+            # vectors and was refused by its own budget gate on day 2):
+            # - minhash band keys are md5s over signature rows — the key
+            #   space is effectively unbounded and occupancy is CONTENT-
+            #   driven (near-1 except true dup groups), so the uniform
+            #   floor is only a coarse guide and defaults LOOSE (16k). A
+            #   strict 256 target demands absurd widths at low thresholds
+            #   (0.7/0.9 at 500k docs → 116×11 = a 1276-column aggregate);
+            #   the sf10 flagship ladder measured the loose-target pick
+            #   (13×5) beating the strict family default on BOTH recall
+            #   and cost (evidence/SIZEDFLAG_E2E_r11.jsonl).
+            # - sign-LSH keys live in exactly 2^rows buckets per band —
+            #   expected occupancy really is n/2^rows and per-bucket
+            #   candidate work scales occ²/2, so the target stays at the
+            #   scout-health 256 (the rows_per_band_for default).
             self.text_bands, self.text_rows, _ = similarity.bands_rows_for(
-                jaccard_threshold, min_recall, expected_corpus_docs, occ,
+                jaccard_threshold, min_recall, expected_corpus_docs,
+                sizing_target_occupancy if sizing_target_occupancy is not None else 16384,
             )
             self.emb_bands, self.emb_rows, _ = similarity.bands_rows_for(
-                cosine_threshold, min_recall, expected_corpus_docs, occ,
+                cosine_threshold, min_recall, expected_corpus_docs,
+                sizing_target_occupancy
+                if sizing_target_occupancy is not None
+                else self.BUDGET_TARGET_OCCUPANCY,
                 p=similarity.cosine_collision_p(cosine_threshold),
             )
             for label, k in (
