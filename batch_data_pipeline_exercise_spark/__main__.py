@@ -554,13 +554,22 @@ def main(argv: list[str] | None = None) -> int:
                 sizing["min_recall"] = args.min_recall
         elif args.min_recall is not None:
             return _err("--min-recall requires --expected-corpus-docs")
-        cp = CorpusPipeline(
-            spark,
-            args.warehouse,
-            max_text_candidates=_budget_knob(args.max_text_candidates),
-            max_embedding_candidates=_budget_knob(args.max_embedding_candidates),
-            **sizing,
-        )
+        try:
+            cp = CorpusPipeline(
+                spark,
+                args.warehouse,
+                max_text_candidates=_budget_knob(args.max_text_candidates),
+                max_embedding_candidates=_budget_knob(args.max_embedding_candidates),
+                **sizing,
+            )
+        except ValueError as e:
+            # sizing refusals raise at CONSTRUCTION time — the
+            # MAX_SKETCH_WIDTH CorpusContractError (a ValueError
+            # subclass) and bands_rows_for's infeasible-sizing
+            # ValueError — and must exit through the same JSON error
+            # contract as every other corpus-command failure, not a raw
+            # traceback
+            return _err(str(e))
         emb = spark.read.parquet(args.embeddings) if args.embeddings else None
         try:
             stats = cp.run(spark.read.parquet(args.docs), args.ds, embeddings=emb)

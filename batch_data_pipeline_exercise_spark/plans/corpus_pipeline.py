@@ -87,9 +87,15 @@ class CorpusPipeline:
         min_recall: float = similarity.SIZING_MIN_RECALL,
         sizing_target_occupancy: int | None = None,
         recycle_session_every: int = 0,
+        extra_conf: dict[str, str] | None = None,
     ):
         self.spark = spark
         self.wh = Warehouse(spark, warehouse_root)
+        #: confs replayed into every recycled session (same contract as
+        #: ``Pipeline.extra_conf``): callers whose session came from
+        #: ``get_spark(extra_conf=...)`` must pass the same dict here or
+        #: the first recycle silently drops those settings
+        self.extra_conf = dict(extra_conf) if extra_conf else None
         #: opt-in (0 = off): rebuild the SparkSession after every N
         #: completed daily runs — see ``Pipeline.recycle_session`` for
         #: the JVM-state rationale. A recycle happens only at the END of
@@ -204,9 +210,9 @@ class CorpusPipeline:
 
     def recycle_session(self):
         """Stop the bound SparkSession and rebind this pipeline (and its
-        warehouse) to a fresh one — same semantics as
-        ``Pipeline.recycle_session``. Legal between runs: all corpus
-        state lives in the warehouse."""
+        warehouse) to a fresh one — same semantics (and same
+        ``extra_conf``-replay limitation) as ``Pipeline.recycle_session``.
+        Legal between runs: all corpus state lives in the warehouse."""
         from batch_data_pipeline_exercise_spark.session import get_spark
 
         sc = self.spark.sparkContext
@@ -214,7 +220,10 @@ class CorpusPipeline:
         shuffle = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
         root = self.wh.root
         self.spark.stop()
-        self.spark = get_spark(app_name=app, master=master, shuffle_partitions=shuffle)
+        self.spark = get_spark(
+            app_name=app, master=master, shuffle_partitions=shuffle,
+            extra_conf=self.extra_conf,
+        )
         self.spark.sparkContext.setLogLevel("ERROR")
         self.wh = Warehouse(self.spark, root)
         self._runs_since_recycle = 0
@@ -238,33 +247,50 @@ class CorpusPipeline:
 
     # -- sketch-config constancy guard ---------------------------------------
 
+    #: the operators' shipped defaults (k=32 / 8-band minhash, 8x8
+    #: sign-LSH) — the ONLY config any index created before the
+    #: SKETCH_CONFIG table existed can have been built with
+    DEFAULT_SKETCH_CONFIG = (32, 8, 8, 8)
+
     def _check_sketch_config(self) -> None:
         """Refuse a run whose sketch parameters differ from the ones the
         persisted indexes were built with. Band keys are pure functions
         of (content, k/bands resp. bands/rows/seed): probing a stored
         index with keys from a DIFFERENT config never collides, so a
         mismatched resume would not error — it would silently report
-        zero cross-increment near-dups forever. First run records the
-        config; every later run must match (resizing an existing corpus
-        means rebuilding its indexes, which is a migration, not a knob)."""
+        zero cross-increment near-dups forever.
+
+        Check-only: the config is RECORDED in ``_finish`` (before the
+        first index write), never here — a run refused by a later guard
+        or candidate budget must not bake a config for indexes that were
+        never built, or retrying with the refusal's own suggested resize
+        would be rejected with a message claiming phantom indexes.
+
+        Upgrade path: a warehouse created before the config table
+        existed has indexes but no SKETCH_CONFIG row. Those can only
+        have been built at the shipped defaults, so the defaults stand
+        in as the stored config — a non-default resume is refused, not
+        silently baked over 8x4/8x8 band keys."""
         cfg = (self.text_k, self.text_bands, self.emb_bands, self.emb_rows)
-        if not self.wh.exists(self.SKETCH_CONFIG):
-            self.wh.append(
-                self.spark.createDataFrame(
-                    [cfg],
-                    "text_k int, text_bands int, emb_bands int, emb_rows int",
-                ),
-                self.SKETCH_CONFIG,
+        if self.wh.exists(self.SKETCH_CONFIG):
+            stored = self.wh.read(self.SKETCH_CONFIG).first()
+            stored_cfg = (
+                stored["text_k"], stored["text_bands"],
+                stored["emb_bands"], stored["emb_rows"],
             )
-            return
-        stored = self.wh.read(self.SKETCH_CONFIG).first()
-        stored_cfg = (
-            stored["text_k"], stored["text_bands"],
-            stored["emb_bands"], stored["emb_rows"],
-        )
+            provenance = "this corpus's indexes were built with"
+        elif self.wh.exists(self.LSH_INDEX) or self.wh.exists(self.SIGN_INDEX):
+            stored_cfg = self.DEFAULT_SKETCH_CONFIG
+            provenance = (
+                "this corpus has persisted indexes but no recorded sketch "
+                "config (created before config tracking); they can only have "
+                "been built at the shipped defaults"
+            )
+        else:
+            return  # nothing persisted yet; _finish records the config
         if stored_cfg != cfg:
             raise CorpusContractError(
-                f"sketch config mismatch: this corpus's indexes were built with "
+                f"sketch config mismatch: {provenance} "
                 f"text k={stored_cfg[0]}/bands={stored_cfg[1]}, embedding "
                 f"bands={stored_cfg[2]}x rows={stored_cfg[3]}, but the pipeline "
                 f"was constructed with text k={cfg[0]}/bands={cfg[1]}, embedding "
@@ -274,6 +300,22 @@ class CorpusPipeline:
                 "the pipeline with the original config, or rebuild the corpus "
                 "indexes under the new one."
             )
+
+    def _record_sketch_config(self) -> None:
+        """Persist the sketch config on the first SUCCESSFUL run, before
+        any index row is written (so a crash mid-persist can never leave
+        index rows whose config was not recorded). Idempotent: once the
+        table exists the row is authoritative and never rewritten."""
+        if self.wh.exists(self.SKETCH_CONFIG):
+            return
+        cfg = (self.text_k, self.text_bands, self.emb_bands, self.emb_rows)
+        self.wh.append(
+            self.spark.createDataFrame(
+                [cfg],
+                "text_k int, text_bands int, emb_bands int, emb_rows int",
+            ),
+            self.SKETCH_CONFIG,
+        )
 
     # -- replay bookkeeping (same shape as the CLI's _backfill_log) ----------
 
@@ -529,7 +571,10 @@ class CorpusPipeline:
         ).withColumn("ds", F.lit(ds))
 
         # 6. persist — append_once everywhere, so a crashed/replayed run
-        # can never duplicate a layer
+        # can never duplicate a layer. Config first: every index row that
+        # ever exists is covered by a recorded config, while a run refused
+        # upstream (budget / coverage guard) bakes nothing.
+        self._record_sketch_config()
         self.wh.append_once(kept, self.DOCS, keys=["doc_id"], partition_by=["ds"])
         self.wh.append_once(
             kept.select("fingerprint_norm", "doc_id"),

@@ -44,9 +44,15 @@ class Pipeline:
         spark: SparkSession,
         warehouse_root: str,
         recycle_session_every: int = 0,
+        extra_conf: dict[str, str] | None = None,
     ):
         self.spark = spark
         self.wh = Warehouse(spark, warehouse_root)
+        #: confs to replay into every recycled session — callers that
+        #: built their session with ``get_spark(extra_conf=...)`` pass
+        #: the same dict here, or the first recycle would silently drop
+        #: those settings (see ``recycle_session``)
+        self.extra_conf = dict(extra_conf) if extra_conf else None
         #: opt-in (0 = off): rebuild the SparkSession after every N
         #: completed feed runs. Long-lived local sessions accumulate JVM
         #: state ``_clear_session_state`` cannot drop (README: an 8 GB
@@ -65,12 +71,20 @@ class Pipeline:
 
     def recycle_session(self) -> SparkSession:
         """Stop the bound SparkSession and rebind this pipeline (and its
-        warehouse) to a fresh one with the same master, app name, and
-        shuffle-partition setting. All pipeline state lives in the
-        warehouse, so this is legal at any feed-run boundary. NOTE: any
-        DataFrames the CALLER holds from the old session are dead after
-        this — callers interleaving their own Spark work must re-create
-        it from ``pipeline.spark``."""
+        warehouse) to a fresh one with the same master, app name,
+        shuffle-partition setting, and the constructor's ``extra_conf``.
+        All pipeline state lives in the warehouse, so this is legal at
+        any feed-run boundary. NOTE: any DataFrames the CALLER holds
+        from the old session are dead after this — callers interleaving
+        their own Spark work must re-create it from ``pipeline.spark``.
+        LIMITATION: only (app, master, shuffle partitions) are snapshot
+        from the live session; any other conf the original session
+        carried — ``get_spark(extra_conf=...)`` settings or runtime
+        ``spark.conf.set`` calls — is only GUARANTEED to survive a
+        recycle if it is also passed as the Pipeline's ``extra_conf``.
+        (In local mode, confs present at the FIRST session build happen
+        to persist via the py4j gateway's launch-time system properties
+        — an accident, not a contract; runtime-set confs are lost.)"""
         from batch_data_pipeline_exercise_spark.session import get_spark
 
         sc = self.spark.sparkContext
@@ -78,7 +92,10 @@ class Pipeline:
         shuffle = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
         root = self.wh.root
         self.spark.stop()
-        self.spark = get_spark(app_name=app, master=master, shuffle_partitions=shuffle)
+        self.spark = get_spark(
+            app_name=app, master=master, shuffle_partitions=shuffle,
+            extra_conf=self.extra_conf,
+        )
         self.spark.sparkContext.setLogLevel("ERROR")
         self.wh = Warehouse(self.spark, root)
         self._runs_since_recycle = 0

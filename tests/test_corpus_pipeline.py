@@ -407,3 +407,82 @@ def test_budget_refusal_quotes_occupancy_and_recall(spark, corpus_wh):
         match=r"(?s)expected occupancy <=.*predicted recall at jaccard >= 0\.7",
     ):
         cp.run(_df(spark, DAY1_DOCS), "2024-01-01", _edf(spark, DAY1_EMB))
+
+
+def test_refused_first_run_bakes_no_config(spark, corpus_wh):
+    """A first run refused by the candidate budget must NOT persist the
+    sketch config — no index was built, so retrying with the refusal's
+    own suggested resize must construct and run cleanly instead of
+    hitting a 'sketch config mismatch' that claims phantom indexes
+    (round-12 advice: config was previously baked at the START of run,
+    before the budget gates)."""
+    from batch_data_pipeline_exercise_spark.sources.warehouse import Warehouse
+
+    cp = CorpusPipeline(spark, corpus_wh, max_text_candidates=0)
+    with pytest.raises(CorpusContractError, match="candidate budget"):
+        cp.run(_df(spark, DAY1_DOCS), "2024-01-01", _edf(spark, DAY1_EMB))
+    wh = Warehouse(spark, corpus_wh)
+    assert not wh.exists(CorpusPipeline.SKETCH_CONFIG)
+
+    # retry under a DIFFERENT (recall-sized) config: must run, and only
+    # THIS config gets recorded
+    sized = CorpusPipeline(spark, corpus_wh, expected_corpus_docs=500_000)
+    assert (sized.text_bands, sized.text_rows) != (cp.text_bands, cp.text_rows)
+    assert sized.run(_df(spark, DAY1_DOCS), "2024-01-01", _edf(spark, DAY1_EMB))[
+        "docs_kept"
+    ] > 0
+    stored = wh.read(CorpusPipeline.SKETCH_CONFIG).first()
+    assert (stored["text_bands"], stored["text_k"]) == (sized.text_bands, sized.text_k)
+
+
+def test_preconfig_warehouse_refuses_nondefault_resume(spark, corpus_wh):
+    """Upgrade-path hole (round-12 advice): a warehouse whose indexes
+    predate config tracking (LSH/SIGN index present, SKETCH_CONFIG
+    absent) can only have been built at the shipped defaults. A
+    non-default resume must refuse — silently baking the new config and
+    probing 8x4/8x8 indexes with mismatched band keys would zero
+    cross-increment recall forever — while a default-config resume
+    proceeds and records the defaults."""
+    import shutil
+
+    from batch_data_pipeline_exercise_spark.sources.warehouse import Warehouse
+
+    CorpusPipeline(spark, corpus_wh).run(
+        _df(spark, DAY1_DOCS), "2024-01-01", _edf(spark, DAY1_EMB)
+    )
+    wh = Warehouse(spark, corpus_wh)
+    assert wh.exists(CorpusPipeline.SKETCH_CONFIG)
+    # simulate the pre-config-era warehouse
+    shutil.rmtree(wh.path(CorpusPipeline.SKETCH_CONFIG))
+
+    sized = CorpusPipeline(spark, corpus_wh, expected_corpus_docs=500_000)
+    with pytest.raises(CorpusContractError, match="no recorded sketch config"):
+        sized.run(_df(spark, DAY2_DOCS), "2024-01-02", _edf(spark, DAY2_EMB))
+
+    ok = CorpusPipeline(spark, corpus_wh)
+    assert ok.run(_df(spark, DAY2_DOCS), "2024-01-02", _edf(spark, DAY2_EMB))[
+        "docs_kept"
+    ] > 0
+    stored = wh.read(CorpusPipeline.SKETCH_CONFIG).first()
+    assert (
+        stored["text_k"], stored["text_bands"], stored["emb_bands"], stored["emb_rows"]
+    ) == CorpusPipeline.DEFAULT_SKETCH_CONFIG
+
+
+def test_corpus_cli_sizing_refusal_uses_error_contract(spark, corpus_wh, tmp_path):
+    """Sizing refusals raised at CONSTRUCTION time (MAX_SKETCH_WIDTH /
+    infeasible bands_rows_for) must exit through the CLI's JSON error
+    contract like every other corpus failure — not a raw traceback
+    (round-12 advice: the constructor sat outside the try/except)."""
+    docs_p = str(tmp_path / "docs.parquet")
+    _df(spark, DAY1_DOCS).write.parquet(docs_p)
+    r = subprocess.run(
+        [sys.executable, "-m", "batch_data_pipeline_exercise_spark", "corpus",
+         "--docs", docs_p, "--ds", "2024-01-01", "--warehouse", corpus_wh,
+         "--expected-corpus-docs", "50000000"],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 2, (r.returncode, r.stderr[-2000:])
+    assert "Traceback" not in r.stderr
+    err = json.loads(r.stderr.strip().splitlines()[-1])
+    assert err["ok"] is False and "sketch width" in err["error"]
