@@ -36,6 +36,8 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+from pyspark.sql import functions as F
+
 from batch_data_pipeline_exercise_spark.plans import contract
 from batch_data_pipeline_exercise_spark.plans import contract_ext  # noqa: F401 — registers extension queries
 from batch_data_pipeline_exercise_spark.plans import contract2  # noqa: F401 — registers breadth queries
@@ -85,6 +87,43 @@ def _settled_totals(ui_url: str) -> dict[str, float] | None:
     return prev
 
 
+#: min-of-runs wall seconds of ``_calibration_fn`` on the round-12
+#: reference box (2026-08-16, quiet, local[32]) — the unit the
+#: normalized headline is expressed in. The probe is pure generated
+#: in-memory compute (no file I/O, fixed 64-way parallelism), so its
+#: wall time tracks the HOST's effective speed, not the engine's code:
+#: the round-11 verdict measured identical code swinging 23.2 -> 28.6-31.1 s
+#: across driver runs (~25-35% box drift), which made raw round-over-round
+#: BENCH deltas ~80% noise. ``value_normalized`` rescales the headline to
+#: this reference box so cross-round comparisons read code, not host.
+CALIBRATION_REF_SEC = 1.93
+
+
+def _calibration_fn(spark):
+    """Fixed-work CPU probe: 2^28 generated longs through an 8-deep
+    xxhash64 chain into a 97-bucket aggregate. Identical plan every
+    round; partitioning pinned at 64 so neither AQE nor input splits
+    can change the work per task."""
+    df = spark.range(0, 1 << 28, 1, 64)
+    c = F.col("id")
+    for i in range(8):
+        c = F.xxhash64(c, F.lit(i))
+    return (
+        df.select(c.alias("h"))
+        .groupBy(F.pmod(F.col("h"), F.lit(97)).alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.pmod(F.col("h"), F.lit(1000003))).alias("s"))
+    )
+
+
+def _run_calibration(spark, runs: int = 3) -> float:
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        _calibration_fn(spark).write.mode("overwrite").format("noop").save()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def _clear_session_state(spark) -> None:
     """Drop every pinned block the finished query left behind — cached
     tables and persistent RDDs, which is what ``localCheckpoint`` pins
@@ -125,6 +164,15 @@ def main() -> None:
 
     # warmup: run the first headline query once, untimed
     headline[0].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+    _clear_session_state(spark)
+
+    # calibration probe, leg 1 (before the queries; leg 2 after) — the
+    # min over both legs is the box's best observed speed DURING this
+    # bench, which is what min-of-3 query walls measure too. Runs
+    # outside the [prev, cur] counter windows, so resource deltas are
+    # untouched.
+    calibration = _run_calibration(spark)
+    print(json.dumps({"calibration_leg1": round(calibration, 3)}), flush=True)
     _clear_session_state(spark)
 
     # three timed runs per query, keep the min — strips one-off codegen /
@@ -176,12 +224,23 @@ def main() -> None:
     if resource_partial:
         print(json.dumps({"resource_partial": True}), flush=True)
 
+    # calibration probe, leg 2
+    calibration = min(calibration, _run_calibration(spark))
+
+    value = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total_wall",
-        "value": round(sum(timings.values()), 3),
+        "value": value,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # fixed-work probe wall on THIS box during THIS run, plus the
+        # headline rescaled to the round-12 reference box: compare
+        # value_normalized across rounds to read code effect; the raw
+        # value still swings with host load (r10->r11: ~80% box noise)
+        "calibration_sec": round(calibration, 3),
+        "calibration_ref_sec": CALIBRATION_REF_SEC,
+        "value_normalized": round(value * CALIBRATION_REF_SEC / calibration, 3),
     }
     if resource:
         out["cpu_total_sec"] = round(sum(r["cpu"] for r in resource.values()), 3)
