@@ -304,6 +304,97 @@ def kmeans_centroids(
     return cent
 
 
+def kmeans_centroids_quantized(
+    embeddings: DataFrame,
+    k: int = 16,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Spherical k-means with BIT-REPRODUCIBLE centroids (round-11
+    verdict task 3: ``kmeans_centroids``'s per-cell mean sums doubles in
+    shuffle order, so its output differs run-to-run and engine-to-engine
+    — the one nondeterministic operation in the whole IVF pipeline; every
+    scoring dot/norm is a fixed-order sequential fold, already proven
+    bit-identical to DuckDB's ``list_dot_product`` by the green ANN
+    oracles). This variant makes exactly that one operation exact:
+
+    - members are symmetric-int8 quantized ONCE (the
+      ``embedding_quantize_int8`` formula: per-vector scale 127/max|x|,
+      round-half-up, clamp) — zero vectors (max_abs = 0) are dropped, as
+      cosine is undefined for them;
+    - each update sums the INTEGER components per (cell, dim) — exact,
+      order-independent — and the centroid is the raw integer sum cast
+      to double (exact below 2^53; cosine is scale-invariant, so the
+      division by the member count is skipped rather than rounded);
+    - assignment scores the ORIGINAL double vectors against the current
+      centroids (argmax cosine, ties to the lowest cell — the same rule
+      as ``ivf_assign``);
+    - exactly ``n_iter`` update rounds, no float-tolerance early exit.
+
+    Every float op left is a per-row sequential fold or a single IEEE
+    expression, so the returned (cell, ``__c``) table — init: the ``k``
+    lowest-id vectors — is bit-identical across partitionings, runs, and
+    engines, which is what lets the registry query carry a full DuckDB
+    value-hash oracle (unrolled CTE per iteration) instead of a
+    rows-only check. Scale shape is the parent's: broadcast n×k scoring,
+    n×dim integer shuffle per round, no collect. int64 headroom: member
+    sums reach 127·n_cell, far below overflow at any shipped sf."""
+    vd = F.col(vec_col).cast("array<double>")
+    max_abs = F.aggregate(vd, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x)))
+    lo, hi = F.lit(-127).cast("bigint"), F.lit(127).cast("bigint")
+    scale = F.lit(127.0) / F.col("__ma")
+    base = (
+        embeddings.select(F.col(id_col).alias("id"), vd.alias("__v"), max_abs.alias("__ma"))
+        .filter(F.col("__ma") > 0)
+        .select(
+            "id",
+            "__v",
+            _norm(F.col("__v")).alias("__nv"),
+            F.transform(
+                F.col("__v"),
+                lambda x: F.greatest(lo, F.least(hi, F.floor(x * scale + F.lit(0.5)).cast("bigint"))),
+            ).alias("__qv"),
+        )
+    )
+    cent = (
+        base.orderBy("id")
+        .limit(k)
+        .select(F.col("id").alias("cell"), F.col("__v").alias("__c"))
+        .localCheckpoint()
+    )
+    for _ in range(n_iter):
+        cent_n = F.broadcast(cent.withColumn("__cn", _norm(F.col("__c"))))
+        scored = base.join(cent_n).select(
+            "id",
+            "__qv",
+            "cell",
+            (_dot(F.col("__v"), F.col("__c")) / (F.col("__nv") * F.col("__cn"))).alias("__cos"),
+        )
+        w = Window.partitionBy("id").orderBy(F.col("__cos").desc(), "cell")
+        asg = scored.withColumn("__r", F.row_number().over(w)).filter(F.col("__r") == 1)
+        sums = (
+            asg.select("cell", F.posexplode("__qv").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("x").alias("s"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                    lambda t: t.getField("s").cast("double"),
+                ).alias("__new")
+            )
+        )
+        # a cell that lost every member keeps its previous centroid —
+        # same carry-over rule as kmeans_centroids
+        cent = (
+            cent.join(sums, "cell", "left")
+            .select("cell", F.coalesce("__new", "__c").alias("__c"))
+            .localCheckpoint()
+        )
+    return cent
+
+
 def cosine_topk_ivf(
     embeddings: DataFrame,
     queries: DataFrame,

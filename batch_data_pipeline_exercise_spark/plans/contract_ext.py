@@ -951,29 +951,113 @@ def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", "rank")
 
 
+def _km_iter_sql(i: int) -> str:
+    """One unrolled Lloyd round for the quantized-kmeans oracle: assign
+    (argmax cosine of the ORIGINAL doubles vs the previous centroids,
+    ties to the lowest cell), then per-(cell, dim) INTEGER sums of the
+    int8-quantized members become the next centroid (cast to double —
+    exact below 2^53; cosine is scale-invariant so the mean's division
+    is skipped, not rounded). Mirrors one loop body of
+    ``similarity.kmeans_centroids_quantized`` fragment-for-fragment."""
+    prev = f"c{i - 1}"
+    return f"""
+    a{i} AS (
+      SELECT vec_id, qv, cell FROM (
+        SELECT q8.vec_id, q8.qv, {prev}.cell,
+               ROW_NUMBER() OVER (PARTITION BY q8.vec_id ORDER BY
+                 list_dot_product(q8.v, {prev}.c)
+                 / (sqrt(list_dot_product(q8.v, q8.v)) * sqrt(list_dot_product({prev}.c, {prev}.c))) DESC,
+                 {prev}.cell) AS rn
+        FROM q8 CROSS JOIN {prev}
+      ) WHERE rn = 1
+    ),
+    s{i} AS (
+      SELECT cell, CAST(i AS INTEGER) AS dim, SUM(qv[CAST(i AS INTEGER)]) AS s
+      FROM a{i}, UNNEST(range(1, len(qv) + 1)) AS t(i)
+      GROUP BY cell, dim
+    ),
+    c{i}v AS (SELECT cell, list(CAST(s AS DOUBLE) ORDER BY dim) AS c FROM s{i} GROUP BY cell),
+    c{i} AS (SELECT {prev}.cell, COALESCE(c{i}v.c, {prev}.c) AS c
+             FROM {prev} LEFT JOIN c{i}v ON c{i}v.cell = {prev}.cell)"""
+
+
+_KM_ITERS = 2  # fixed Lloyd rounds — unrolled in both engines, no early exit
+
+
 @register(
     "ann_cosine_topk_ivf_kmeans",
-    oracle=None,
-    doc="IVF probing over TRAINED centroids: one round of distributed "
-    "spherical k-means (operators/similarity.py kmeans_centroids) over "
-    "the lowest-id seed cells, then the same probe-4-of-16 search. "
-    "Rows-only check BY DESIGN: per-cell means sum doubles in shuffle "
-    "order, so centroid bits (and hence approximate ranks) are not "
-    "engine-reproducible — the documented boundary for any distributed "
-    "k-means. To give the rows-only verdict value-level content, every "
-    "output row carries three pinned invariants re-derived in-plan "
-    "(similarity.ivf_assignment_audit): assign_is_argmax=TRUE, "
-    "centroids_finite=TRUE, n_cells_nonempty (all 16 cells hold points "
-    "at every shipped sf) — a NaN fold, lost cell, or broken tie rule "
-    "flips them. The assignment is scored ONCE (pinned) and shared by "
-    "the search and the audit. Output shape is stable: 10 queries x "
-    "top-10 x (3 invariant columns).",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    m AS (SELECT vec_id, v, (SELECT MAX(abs(x)) FROM UNNEST(v) AS u(x)) AS max_abs FROM e),
+    q8 AS (
+      SELECT vec_id, v,
+             list_transform(v, x -> GREATEST(CAST(-127 AS BIGINT), LEAST(CAST(127 AS BIGINT),
+               CAST(FLOOR(x * (127.0 / max_abs) + 0.5) AS BIGINT)))) AS qv
+      FROM m WHERE max_abs > 0
+    ),
+    c0 AS (SELECT vec_id AS cell, v AS c FROM q8 ORDER BY vec_id LIMIT 16),
+    {','.join(_km_iter_sql(i + 1) for i in range(_KM_ITERS))},
+    af AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT q8.vec_id, q8.v, c{_KM_ITERS}.cell,
+               ROW_NUMBER() OVER (PARTITION BY q8.vec_id ORDER BY
+                 list_dot_product(q8.v, c{_KM_ITERS}.c)
+                 / (sqrt(list_dot_product(q8.v, q8.v)) * sqrt(list_dot_product(c{_KM_ITERS}.c, c{_KM_ITERS}.c))) DESC,
+                 c{_KM_ITERS}.cell) AS rn
+        FROM q8 CROSS JOIN c{_KM_ITERS}
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qvec FROM q8 WHERE vec_id < 10),
+    probes AS (
+      SELECT query_id, qvec, cell FROM (
+        SELECT q.query_id, q.qvec, c{_KM_ITERS}.cell,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                 list_dot_product(q.qvec, c{_KM_ITERS}.c)
+                 / (sqrt(list_dot_product(q.qvec, q.qvec)) * sqrt(list_dot_product(c{_KM_ITERS}.c, c{_KM_ITERS}.c))) DESC,
+                 c{_KM_ITERS}.cell) AS rn
+        FROM q CROSS JOIN c{_KM_ITERS}
+      ) WHERE rn <= 4
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             list_dot_product(p.qvec, a.v)
+             / (sqrt(list_dot_product(p.qvec, p.qvec)) * sqrt(list_dot_product(a.v, a.v))) AS cos
+      FROM probes p JOIN af a ON a.cell = p.cell AND a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, rank,
+           TRUE AS assign_is_argmax, TRUE AS centroids_finite,
+           (SELECT COUNT(DISTINCT cell) FROM af) AS n_cells_nonempty
+    FROM (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM cand
+    ) WHERE rank <= 10
+    """,
+    doc="IVF probing over TRAINED centroids — now a full value-hash "
+    "oracle (round-11 verdict task 3; rows-only since r9): 2 unrolled "
+    "Lloyd rounds of similarity.kmeans_centroids_quantized from the 16 "
+    "lowest-id seeds, then the probe-4-of-16 search. The ONE operation "
+    "that made trained k-means engine-irreproducible — the per-cell mean "
+    "summing doubles in shuffle order — is replaced by an exact integer "
+    "sum of int8-quantized members (the embedding_quantize_int8 "
+    "formula); every remaining float op is a fixed-order per-row fold "
+    "or single IEEE expression, bit-identical to DuckDB's "
+    "list_dot_product (the mechanism every green ANN oracle already "
+    "relies on). The in-plan invariant audit (assign_is_argmax, "
+    "centroids_finite, n_cells_nonempty) stays as defense-in-depth; the "
+    "oracle re-derives n_cells_nonempty from its own final assignment "
+    "and pins the booleans. Zero vectors (cosine undefined) are "
+    "excluded by both engines; the shipped tables contain none.",
     allow_quadratic=True,
 )
 def ann_cosine_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
-    cent = similarity.kmeans_centroids(e, k=16, n_iter=1)
-    assigned, cent = similarity.ivf_assign(e, centroids=cent)
+    # mirror the oracle's q8 universe: drop zero vectors (none shipped)
+    vd = F.col("embedding").cast("array<double>")
+    max_abs = F.aggregate(vd, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x)))
+    e = e.withColumn("__ma", max_abs).filter(F.col("__ma") > 0).drop("__ma")
+    cent = similarity.kmeans_centroids_quantized(e, k=16, n_iter=_KM_ITERS)
+    assigned, cent = similarity.ivf_assign(e, centroids=cent.select("cell", F.col("__c")))
     assigned = assigned.localCheckpoint()  # shared by search + audit
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
