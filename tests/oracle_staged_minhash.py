@@ -84,11 +84,20 @@ E_CHUNKS = 8
 FRAGS = [ce._TOKS_CTE, ce._SHINGLES_CTE, ce._MH_WORDS, ce._MH_SIG, ce._CAND_CTE]
 
 
-def min_label_clusters(con: "duckdb.DuckDBPyConnection", emit=lambda rec: None) -> None:
-    """Materialize `clusters_lp(doc_id, cluster)` — the SAME component
-    function the reach-CTE oracles compute (cluster = MIN doc_id
-    reachable, self included) via min-label-propagation fixpoint, over
-    the `cand` and `documents` views the caller has staged.
+def min_label_clusters(
+    con: "duckdb.DuckDBPyConnection",
+    emit=lambda rec: None,
+    edges: str = "cand",
+    universe: str = "documents",
+    id_col: str = "doc_id",
+) -> None:
+    """Materialize `clusters_lp({id_col}, cluster)` — the SAME component
+    function the reach-CTE oracles compute (cluster = MIN id reachable,
+    self included) via min-label-propagation fixpoint, over a staged
+    ``edges`` view (columns id1, id2) and a ``universe`` view carrying
+    ``id_col`` (isolated ids cluster to themselves). Defaults are the
+    minhash family's (`cand` pairs over `documents`); the embedding
+    survivors runner passes (`ver`, `embeddings`, `vec_id`).
 
     Why not the registered recursive CTE: `reach` materializes the
     FULL transitive closure — Σ m·(m−1) rows over components — and
@@ -101,42 +110,43 @@ def min_label_clusters(con: "duckdb.DuckDBPyConnection", emit=lambda rec: None) 
     the Spark side's iterative components (operators/graph.py) — an
     independent ENGINE (DuckDB) even if no longer an independent
     ALGORITHM family. Equivalence to the recursive-CTE oracles is
-    pinned at sf0.001 in tests/test_staged_oracle_tools.py."""
+    pinned at sf0.001 in tests/test_staged_oracle_tools.py (both the
+    minhash defaults and the embedding parameterization)."""
     t0 = time.time()
-    con.execute("""
+    con.execute(f"""
       CREATE OR REPLACE TABLE lab AS
-      SELECT doc_id, doc_id AS label FROM (
-        SELECT id1 AS doc_id FROM cand UNION SELECT id2 FROM cand
+      SELECT node_id, node_id AS label FROM (
+        SELECT id1 AS node_id FROM {edges} UNION SELECT id2 FROM {edges}
       )
     """)
-    con.execute("""
+    con.execute(f"""
       CREATE OR REPLACE TABLE bidir_c AS
-      SELECT id1 AS u, id2 AS v FROM cand UNION ALL SELECT id2, id1 FROM cand
+      SELECT id1 AS u, id2 AS v FROM {edges} UNION ALL SELECT id2, id1 FROM {edges}
     """)
     rounds = 0
     while True:
         rounds += 1
         con.execute("""
           CREATE OR REPLACE TABLE lab_next AS
-          SELECT l.doc_id,
+          SELECT l.node_id,
                  LEAST(l.label, COALESCE(MIN(ln.label), l.label)) AS label
           FROM lab l
-          LEFT JOIN bidir_c b ON b.u = l.doc_id
-          LEFT JOIN lab ln ON ln.doc_id = b.v
-          GROUP BY l.doc_id, l.label
+          LEFT JOIN bidir_c b ON b.u = l.node_id
+          LEFT JOIN lab ln ON ln.node_id = b.v
+          GROUP BY l.node_id, l.label
         """)
         changed = con.execute(
-            "SELECT count(*) FROM lab l JOIN lab_next n USING (doc_id) WHERE l.label <> n.label"
+            "SELECT count(*) FROM lab l JOIN lab_next n USING (node_id) WHERE l.label <> n.label"
         ).fetchone()[0]
         con.execute("CREATE OR REPLACE TABLE lab AS SELECT * FROM lab_next")
         if changed == 0:
             break
-    con.execute("""
+    con.execute(f"""
       CREATE OR REPLACE TABLE clusters_lp AS
-      SELECT d.doc_id, COALESCE(l.label, d.doc_id) AS cluster
-      FROM documents d LEFT JOIN lab l ON l.doc_id = d.doc_id
+      SELECT u.{id_col}, COALESCE(l.label, u.{id_col}) AS cluster
+      FROM {universe} u LEFT JOIN lab l ON l.node_id = u.{id_col}
     """)
-    emit({"stage": "clusters_labelprop", "rounds": rounds,
+    emit({"stage": "clusters_labelprop", "edges": edges, "rounds": rounds,
           "rows": con.execute("SELECT count(*) FROM clusters_lp").fetchone()[0],
           "t": round(time.time() - t0, 1)})
 

@@ -86,6 +86,11 @@ STAGED_ORACLES: dict[str, StagedRoute] = {
     # 12-CTE flagship: >80 GB raw spill / ENOSPC at sf3 monolithic;
     # staged oracle exact at sf3 AND sf10 (FLAGORACLE_sf{3,10}_r10.jsonl)
     "corpus_prep_pipeline": StagedRoute("oracle_staged_flagship.py", "flagship", 3.0),
+    # recursive-closure degeneracy at sf>=1 (giant component -> Σ m·(m−1)
+    # reach rows; documented since r6, KNOWN_SKIP until r12): stage `ver`
+    # with the oracle's own text, labelprop the components — a DIRECT
+    # big-SF verdict for the survivors themselves (r11 verdict task 4)
+    "embedding_dedup_survivors": StagedRoute("oracle_staged_embedding.py", "embedding", 1.0),
 }
 
 # ------------------------------------------------------------------ skips
@@ -93,14 +98,6 @@ STAGED_ORACLES: dict[str, StagedRoute] = {
 # query -> (min_sf, reason). All reasons carry the r9/r10 measurements
 # that justify them; SWEEP_SKIP env entries override these.
 KNOWN_SKIPS: dict[str, tuple[float, str]] = {
-    "embedding_dedup_survivors": (
-        1.0,
-        "sf>=1 oracle pathological: DuckDB recursive-CTE transitive closure "
-        "degenerates into all-pairs reachability inside large clusters "
-        "(documented since r6; sf3 giant component puts the closure at 7.9e9 "
-        "rows). Spark components verified via embedding_near_dup_pairs + "
-        "doc_dup_clusters; survivors logic oracle-exact at sf0.01",
-    ),
     "ann_cosine_topk": (
         10.0,
         "DuckDB brute-force oracle is 600k x 600k = 3.6e11 cosine pairs at "
@@ -123,6 +120,12 @@ KNOWN_SKIPS: dict[str, tuple[float, str]] = {
     "embedding_incremental_near_dups": (
         10.0,
         "same 8x8-at-100x cliff as embedding_near_dup_pairs; exact at sf3",
+    ),
+    "embedding_dedup_survivors": (
+        10.0,
+        "same 8x8-at-100x candidate cliff (the query's pair stage IS "
+        "embedding_near_dup_pairs); staged-labelprop-exact at sf3 "
+        "(STAGEDORACLE_sf3_r12.jsonl) — the skip now covers only sf10",
     ),
     "dup_graph_pagerank2": (
         10.0,

@@ -196,3 +196,22 @@ def test_flagship_runner_fragments_match_registered_oracle():
     assert "ce._mh_sig_cte(ce._FLAGSHIP_K)" in src
     assert "ce._cand_cte(ce._FLAGSHIP_BANDS, ce._FLAGSHIP_ROWS)" in src
     assert "ce._MH_SIG" not in src and "ce._CAND_CTE" not in src
+
+
+def test_embedding_labelprop_equals_recursive_cte_oracle(con):
+    """The embedding survivors staged mode (oracle_staged_embedding.py,
+    sf >= 1): stage `ver` with split_at_cte on the oracle's own text,
+    labelprop components over (ver, embeddings, vec_id), then the
+    runner's SURVIVORS_TAIL — pinned equal to the registered
+    recursive-CTE oracle at sf0.001 (r11 verdict task 4, same drift
+    protection the minhash labelprop path got in r11)."""
+    from tests.oracle_staged_embedding import SURVIVORS_TAIL
+
+    from tests.oracle_staged_minhash import min_label_clusters
+
+    con.execute(f"CREATE OR REPLACE VIEW embeddings AS SELECT * FROM '{SF}/embeddings.parquet'")
+    oracle = contract.REGISTRY["embedding_dedup_survivors"].oracle
+    ver_sql, _ = split_at_cte(oracle, "ver")
+    con.execute(f"CREATE OR REPLACE TABLE ver AS {ver_sql}")
+    min_label_clusters(con, edges="ver", universe="embeddings", id_col="vec_id")
+    assert _rows(con, SURVIVORS_TAIL) == _rows(con, oracle)

@@ -81,9 +81,16 @@ def test_routing_thresholds():
 
     assert "ann_cosine_topk" not in sr.auto_skips(3.0)
     assert "ann_cosine_topk" in sr.auto_skips(10.0)
-    # skip takes precedence downstream, but the route map still lists the
-    # graph pair at sf10 — run_sweep checks skips first
-    assert "embedding_dedup_survivors" in sr.auto_skips(1.0)
+    # embedding survivors (r11 verdict task 4): staged-labelprop route
+    # from sf1, skipped only at sf10 (the 8x8 candidate cliff) — skip
+    # takes precedence downstream; run_sweep checks skips first
+    assert "embedding_dedup_survivors" not in sr.auto_skips(3.0)
+    assert "embedding_dedup_survivors" in sr.auto_skips(10.0)
+    g1 = sr.staged_groups(1.0, sr.STAGED_ORACLES)
+    assert g1.get(("oracle_staged_embedding.py", "embedding")) == [
+        "embedding_dedup_survivors"
+    ]
+    assert ("oracle_staged_embedding.py", "embedding") in g3
 
     assert not sr.wants_parquet_compare("lineitem_unpivot", 0.01)
     assert sr.wants_parquet_compare("lineitem_unpivot", 3.0)
