@@ -43,6 +43,40 @@ def replicate(df: DataFrame, factor: int) -> DataFrame:
     return df.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(factor - 1))))
 
 
+def mixture_embeddings_table(base_rows, factor: int, key_rng: int):
+    """The embeddings decorrelation as a reusable pyarrow table builder
+    (no Spark): replica r of vector i = mean of i and 7 deterministic
+    stride partners; replica 0 exact (see module docstring for why a
+    mixture, not a perturbation). ``base_rows`` is an iterable of
+    (vec_id, embedding, label) sorted by vec_id. Extracted from main()
+    so single-table scale probes (tests/kmeans_scale_probe.py) generate
+    byte-identical data to the full generator."""
+    import numpy as np
+    import pyarrow as pa
+
+    ids = np.array([r[0] for r in base_rows])
+    vecs = np.array([r[1] for r in base_rows], dtype=np.float32)
+    labels = np.array([r[2] for r in base_rows])
+    n = len(ids)
+    out_ids, out_vecs, out_labels = [list(ids)], [vecs], [list(labels)]
+    for rep in range(1, factor):
+        mixed = vecs.copy()
+        for t in range(1, 8):
+            partners = (np.arange(n) + rep * 131 + t * 173) % n
+            mixed = mixed + vecs[partners]
+        out_ids.append(list(ids + rep * key_rng))
+        out_vecs.append((mixed / 8.0).astype(np.float32))
+        out_labels.append(list(labels))
+    all_vecs = np.concatenate(out_vecs)
+    return pa.table(
+        {
+            "vec_id": pa.array([i for chunk in out_ids for i in chunk], pa.int64()),
+            "embedding": pa.array([list(v) for v in all_vecs], pa.list_(pa.float32())),
+            "label": pa.array([l for chunk in out_labels for l in chunk], pa.int32()),
+        }
+    )
+
+
 def offset(col: str, rng: int) -> F.Column:
     return (F.col(col) + F.col("rep") * F.lit(rng)).alias(col)
 
@@ -141,8 +175,6 @@ def main() -> None:
     # mixing is a tiny driver-side numpy pass (base corpus is small);
     # at real scale this generator would be a Spark job too, but a
     # testdata scaler optimizes for auditability.
-    import numpy as np
-    import pyarrow as pa
     import pyarrow.parquet as pq
 
     base = (
@@ -151,26 +183,10 @@ def main() -> None:
         .select("vec_id", "embedding", "label")
         .collect()
     )
-    ids = np.array([r["vec_id"] for r in base])
-    vecs = np.array([r["embedding"] for r in base], dtype=np.float32)
-    labels = np.array([r["label"] for r in base])
-    n = len(base)
-    out_ids, out_vecs, out_labels = [list(ids)], [vecs], [list(labels)]
-    for rep in range(1, factor):
-        mixed = vecs.copy()
-        for t in range(1, 8):
-            partners = (np.arange(n) + rep * 131 + t * 173) % n
-            mixed = mixed + vecs[partners]
-        out_ids.append(list(ids + rep * rng["embeddings"]))
-        out_vecs.append((mixed / 8.0).astype(np.float32))
-        out_labels.append(list(labels))
-    all_vecs = np.concatenate(out_vecs)
-    tbl = pa.table(
-        {
-            "vec_id": pa.array([i for chunk in out_ids for i in chunk], pa.int64()),
-            "embedding": pa.array([list(v) for v in all_vecs], pa.list_(pa.float32())),
-            "label": pa.array([l for chunk in out_labels for l in chunk], pa.int32()),
-        }
+    tbl = mixture_embeddings_table(
+        [(r["vec_id"], r["embedding"], r["label"]) for r in base],
+        factor,
+        rng["embeddings"],
     )
     ep = Path(out) / "embeddings.parquet"
     if ep.exists():
