@@ -356,6 +356,10 @@ def kmeans_centroids_quantized(
                 lambda x: F.greatest(lo, F.least(hi, F.floor(x * scale + F.lit(0.5)).cast("bigint"))),
             ).alias("__qv"),
         )
+        # pinned: the quantize/norm folds over the full scan would
+        # otherwise re-execute in every Lloyd round's assignment join
+        # (n_iter + 1 redundant passes at n_iter=2)
+        .localCheckpoint()
     )
     cent = (
         base.orderBy("id")

@@ -951,6 +951,25 @@ def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", "rank")
 
 
+def _km_argmax_sql(src: str, id_col: str, carry: str, vec: str, cent: str, pred: str) -> str:
+    """The kmeans oracle's ONE nearest-centroid scoring block — argmax
+    cosine with ties to the lowest cell, the exact rule of
+    ``similarity.ivf_assign`` — parameterized by source/centroid CTE and
+    rank predicate so the tie rule and cosine expression exist in ONE
+    place (training assignments, the final assignment, and the query
+    probes all compose this; a drift between copies would break
+    engine/oracle agreement only at the stage whose copy drifted)."""
+    return f"""
+      SELECT {id_col}, {carry}, cell FROM (
+        SELECT {src}.{id_col}, {src}.{carry}, {cent}.cell,
+               ROW_NUMBER() OVER (PARTITION BY {src}.{id_col} ORDER BY
+                 list_dot_product({src}.{vec}, {cent}.c)
+                 / (sqrt(list_dot_product({src}.{vec}, {src}.{vec})) * sqrt(list_dot_product({cent}.c, {cent}.c))) DESC,
+                 {cent}.cell) AS rn
+        FROM {src} CROSS JOIN {cent}
+      ) WHERE {pred}"""
+
+
 def _km_iter_sql(i: int) -> str:
     """One unrolled Lloyd round for the quantized-kmeans oracle: assign
     (argmax cosine of the ORIGINAL doubles vs the previous centroids,
@@ -961,16 +980,7 @@ def _km_iter_sql(i: int) -> str:
     ``similarity.kmeans_centroids_quantized`` fragment-for-fragment."""
     prev = f"c{i - 1}"
     return f"""
-    a{i} AS (
-      SELECT vec_id, qv, cell FROM (
-        SELECT q8.vec_id, q8.qv, {prev}.cell,
-               ROW_NUMBER() OVER (PARTITION BY q8.vec_id ORDER BY
-                 list_dot_product(q8.v, {prev}.c)
-                 / (sqrt(list_dot_product(q8.v, q8.v)) * sqrt(list_dot_product({prev}.c, {prev}.c))) DESC,
-                 {prev}.cell) AS rn
-        FROM q8 CROSS JOIN {prev}
-      ) WHERE rn = 1
-    ),
+    a{i} AS ({_km_argmax_sql("q8", "vec_id", "qv", "v", prev, "rn = 1")}),
     s{i} AS (
       SELECT cell, CAST(i AS INTEGER) AS dim, SUM(qv[CAST(i AS INTEGER)]) AS s
       FROM a{i}, UNNEST(range(1, len(qv) + 1)) AS t(i)
@@ -997,27 +1007,9 @@ _KM_ITERS = 2  # fixed Lloyd rounds — unrolled in both engines, no early exit
     ),
     c0 AS (SELECT vec_id AS cell, v AS c FROM q8 ORDER BY vec_id LIMIT 16),
     {','.join(_km_iter_sql(i + 1) for i in range(_KM_ITERS))},
-    af AS (
-      SELECT vec_id, v, cell FROM (
-        SELECT q8.vec_id, q8.v, c{_KM_ITERS}.cell,
-               ROW_NUMBER() OVER (PARTITION BY q8.vec_id ORDER BY
-                 list_dot_product(q8.v, c{_KM_ITERS}.c)
-                 / (sqrt(list_dot_product(q8.v, q8.v)) * sqrt(list_dot_product(c{_KM_ITERS}.c, c{_KM_ITERS}.c))) DESC,
-                 c{_KM_ITERS}.cell) AS rn
-        FROM q8 CROSS JOIN c{_KM_ITERS}
-      ) WHERE rn = 1
-    ),
+    af AS ({_km_argmax_sql("q8", "vec_id", "v", "v", f"c{_KM_ITERS}", "rn = 1")}),
     q AS (SELECT vec_id AS query_id, v AS qvec FROM q8 WHERE vec_id < 10),
-    probes AS (
-      SELECT query_id, qvec, cell FROM (
-        SELECT q.query_id, q.qvec, c{_KM_ITERS}.cell,
-               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
-                 list_dot_product(q.qvec, c{_KM_ITERS}.c)
-                 / (sqrt(list_dot_product(q.qvec, q.qvec)) * sqrt(list_dot_product(c{_KM_ITERS}.c, c{_KM_ITERS}.c))) DESC,
-                 c{_KM_ITERS}.cell) AS rn
-        FROM q CROSS JOIN c{_KM_ITERS}
-      ) WHERE rn <= 4
-    ),
+    probes AS ({_km_argmax_sql("q", "query_id", "qvec", "qvec", f"c{_KM_ITERS}", "rn <= 4")}),
     cand AS (
       SELECT p.query_id, a.vec_id AS neighbor_id,
              list_dot_product(p.qvec, a.v)

@@ -270,8 +270,17 @@ class CorpusPipeline:
         existed has indexes but no SKETCH_CONFIG row. Those can only
         have been built at the shipped defaults, so the defaults stand
         in as the stored config — a non-default resume is refused, not
-        silently baked over 8x4/8x8 band keys."""
+        silently baked over 8x4/8x8 band keys.
+
+        A recorded config is BINDING only while an index exists: band
+        keys live in LSH_INDEX/SIGN_INDEX and nowhere else, so a config
+        row with no index (a crash between the config write and the
+        first index append in ``_finish``) constrains nothing — a
+        resized retry proceeds and ``_record_sketch_config`` overwrites
+        the orphan row instead of refusing over phantom indexes."""
         cfg = (self.text_k, self.text_bands, self.emb_bands, self.emb_rows)
+        if not self._sketch_config_binding():
+            return  # no index rows exist; any config is consistent
         if self.wh.exists(self.SKETCH_CONFIG):
             stored = self.wh.read(self.SKETCH_CONFIG).first()
             stored_cfg = (
@@ -279,15 +288,13 @@ class CorpusPipeline:
                 stored["emb_bands"], stored["emb_rows"],
             )
             provenance = "this corpus's indexes were built with"
-        elif self.wh.exists(self.LSH_INDEX) or self.wh.exists(self.SIGN_INDEX):
+        else:  # binding (an index exists) but no config row: pre-config era
             stored_cfg = self.DEFAULT_SKETCH_CONFIG
             provenance = (
                 "this corpus has persisted indexes but no recorded sketch "
                 "config (created before config tracking); they can only have "
                 "been built at the shipped defaults"
             )
-        else:
-            return  # nothing persisted yet; _finish records the config
         if stored_cfg != cfg:
             raise CorpusContractError(
                 f"sketch config mismatch: {provenance} "
@@ -301,21 +308,34 @@ class CorpusPipeline:
                 "indexes under the new one."
             )
 
+    def _sketch_config_binding(self) -> bool:
+        """True iff a persisted index exists — the only layers whose rows
+        embed band keys and therefore the only state a recorded sketch
+        config actually constrains."""
+        return self.wh.exists(self.LSH_INDEX) or self.wh.exists(self.SIGN_INDEX)
+
     def _record_sketch_config(self) -> None:
-        """Persist the sketch config on the first SUCCESSFUL run, before
-        any index row is written (so a crash mid-persist can never leave
-        index rows whose config was not recorded). Idempotent: once the
-        table exists the row is authoritative and never rewritten."""
-        if self.wh.exists(self.SKETCH_CONFIG):
-            return
+        """Persist the sketch config in ``_finish``, before any index row
+        is written (so a crash mid-persist can never leave index rows
+        whose config was not recorded). Once an index exists the row is
+        authoritative and never rewritten; an orphan row from a crash
+        BEFORE the first index append (config written, persist died)
+        constrains nothing and is overwritten by the retry's config."""
         cfg = (self.text_k, self.text_bands, self.emb_bands, self.emb_rows)
-        self.wh.append(
-            self.spark.createDataFrame(
-                [cfg],
-                "text_k int, text_bands int, emb_bands int, emb_rows int",
-            ),
-            self.SKETCH_CONFIG,
+        df = self.spark.createDataFrame(
+            [cfg], "text_k int, text_bands int, emb_bands int, emb_rows int"
         )
+        if not self.wh.exists(self.SKETCH_CONFIG):
+            self.wh.append(df, self.SKETCH_CONFIG)
+            return
+        stored = self.wh.read(self.SKETCH_CONFIG).first()
+        if (
+            stored["text_k"], stored["text_bands"],
+            stored["emb_bands"], stored["emb_rows"],
+        ) != cfg:
+            # only reachable in the crash window (no index rows —
+            # _check_sketch_config would have refused otherwise)
+            self.wh.overwrite(df, self.SKETCH_CONFIG)
 
     # -- replay bookkeeping (same shape as the CLI's _backfill_log) ----------
 

@@ -39,9 +39,19 @@ QUERY = "ann_cosine_topk_ivf_kmeans"
 
 def ensure_embeddings(emb_dir: Path, factor: int) -> Path:
     dest = emb_dir / "embeddings.parquet"
-    if dest.exists():
-        return dest
     base_tbl = pq.read_table(os.path.join(SRC, "embeddings.parquet")).sort_by("vec_id")
+    expected = base_tbl.num_rows * factor
+    if dest.exists():
+        # provenance guard: a dir left by a run at a DIFFERENT factor
+        # must not be silently reused — the evidence record would label
+        # the wrong scale
+        have = pq.read_table(str(dest / "part-00000.parquet"), columns=["vec_id"]).num_rows
+        if have != expected:
+            raise SystemExit(
+                f"{dest} holds {have} rows but factor {factor} implies {expected}; "
+                "delete the dir or pass the factor it was generated at"
+            )
+        return dest
     rows = list(zip(
         base_tbl["vec_id"].to_pylist(),
         base_tbl["embedding"].to_pylist(),

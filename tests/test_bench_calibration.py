@@ -28,11 +28,12 @@ def test_calibration_fn_partitioning_is_pinned(spark):
 
 
 def test_normalization_identity():
-    """value_normalized = value * ref / measured: on a box exactly as
-    fast as the reference, normalized == raw; on a 2x-slower box the
-    headline is halved back to reference terms."""
+    """``normalized_headline`` — the exact function main() emits as
+    value_normalized: on a box exactly as fast as the reference,
+    normalized == raw; on a 2x-slower box the headline is halved back
+    to reference terms; a swapped ratio would fail both."""
     ref = bench.CALIBRATION_REF_SEC
     assert ref > 0
-    value = 30.0
-    assert abs(value * ref / ref - value) < 1e-9
-    assert abs(value * ref / (2 * ref) - value / 2) < 1e-9
+    assert bench.normalized_headline(30.0, ref) == 30.0
+    assert bench.normalized_headline(30.0, 2 * ref) == 15.0
+    assert bench.normalized_headline(30.0, ref / 2) == 60.0

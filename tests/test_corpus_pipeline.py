@@ -486,3 +486,35 @@ def test_corpus_cli_sizing_refusal_uses_error_contract(spark, corpus_wh, tmp_pat
     assert "Traceback" not in r.stderr
     err = json.loads(r.stderr.strip().splitlines()[-1])
     assert err["ok"] is False and "sketch width" in err["error"]
+
+
+def test_orphan_config_without_indexes_is_rebaked(spark, corpus_wh):
+    """Crash window inside _finish: the config row is written before the
+    first index append, so a crash between them leaves a config that
+    constrains NOTHING (band keys live only in the indexes). A resized
+    retry must proceed and overwrite the orphan row — refusing would
+    claim phantom indexes with manual table deletion as the only
+    recovery."""
+    from batch_data_pipeline_exercise_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, corpus_wh)
+    # simulate the crash: config A persisted, no index ever written
+    wh.append(
+        spark.createDataFrame(
+            [(32, 8, 8, 8)], "text_k int, text_bands int, emb_bands int, emb_rows int"
+        ),
+        CorpusPipeline.SKETCH_CONFIG,
+    )
+    sized = CorpusPipeline(spark, corpus_wh, expected_corpus_docs=500_000)
+    assert (sized.text_k, sized.text_bands) != (32, 8)
+    assert sized.run(_df(spark, DAY1_DOCS), "2024-01-01", _edf(spark, DAY1_EMB))[
+        "docs_kept"
+    ] > 0
+    stored = wh.read(CorpusPipeline.SKETCH_CONFIG).collect()
+    assert len(stored) == 1  # overwritten, not appended alongside the orphan
+    assert (stored[0]["text_k"], stored[0]["text_bands"]) == (sized.text_k, sized.text_bands)
+    # and once an index exists the recorded config is binding again
+    with pytest.raises(CorpusContractError, match="sketch config mismatch"):
+        CorpusPipeline(spark, corpus_wh).run(
+            _df(spark, DAY2_DOCS), "2024-01-02", _edf(spark, DAY2_EMB)
+        )
