@@ -340,11 +340,33 @@ def kmeans_centroids_quantized(
     rows-only check. Scale shape is the parent's: broadcast n×k scoring,
     n×dim integer shuffle per round, no collect. int64 headroom: member
     sums reach 127·n_cell, far below overflow at any shipped sf."""
+    base = _kmeans_quantized_base(embeddings, id_col=id_col, vec_col=vec_col)
+    cent = (
+        base.orderBy("id")
+        .limit(k)
+        .select(F.col("id").alias("cell"), F.col("__v").alias("__c"))
+        .localCheckpoint()
+    )
+    for _ in range(n_iter):
+        cent = _kmeans_quantized_round(base, cent).localCheckpoint()
+    return cent
+
+
+def _kmeans_quantized_base(
+    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """The quantized trainer's member table — (id, __v double, __nv
+    norm, __qv int8-in-bigint) with zero vectors dropped — pinned via
+    ``localCheckpoint`` because the quantize/norm folds over the full
+    scan would otherwise re-execute in every Lloyd round's assignment
+    join (n_iter + 1 redundant passes at n_iter=2). Factored out of
+    ``kmeans_centroids_quantized`` so the plan-snapshot test composes
+    the identical round input the trainer uses."""
     vd = F.col(vec_col).cast("array<double>")
     max_abs = F.aggregate(vd, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x)))
     lo, hi = F.lit(-127).cast("bigint"), F.lit(127).cast("bigint")
     scale = F.lit(127.0) / F.col("__ma")
-    base = (
+    return (
         embeddings.select(F.col(id_col).alias("id"), vd.alias("__v"), max_abs.alias("__ma"))
         .filter(F.col("__ma") > 0)
         .select(
@@ -356,47 +378,49 @@ def kmeans_centroids_quantized(
                 lambda x: F.greatest(lo, F.least(hi, F.floor(x * scale + F.lit(0.5)).cast("bigint"))),
             ).alias("__qv"),
         )
-        # pinned: the quantize/norm folds over the full scan would
-        # otherwise re-execute in every Lloyd round's assignment join
-        # (n_iter + 1 redundant passes at n_iter=2)
         .localCheckpoint()
     )
-    cent = (
-        base.orderBy("id")
-        .limit(k)
-        .select(F.col("id").alias("cell"), F.col("__v").alias("__c"))
-        .localCheckpoint()
+
+
+def _kmeans_quantized_round(base: DataFrame, cent: DataFrame) -> DataFrame:
+    """One Lloyd round of the quantized trainer, PRE-checkpoint — the
+    exact plan ``kmeans_centroids_quantized`` pins per round, factored
+    out so ``tests/test_plan_snapshots.py`` can snapshot its physical
+    shape (r12 verdict task 6): the intended plan is one broadcast n×k
+    scoring expansion (the deliberate keyless broadcast join), the
+    windowed argmax over ``id``, one per-(cell, dim) integer-sum
+    shuffle, and the carry-over left join — a Spark upgrade that
+    re-plans any of these changes cost silently while staying correct,
+    which is what the snapshot catches. ``base`` must carry
+    (id, __v, __nv, __qv); ``cent`` (cell, __c)."""
+    cent_n = F.broadcast(cent.withColumn("__cn", _norm(F.col("__c"))))
+    scored = base.join(cent_n).select(
+        "id",
+        "__qv",
+        "cell",
+        (_dot(F.col("__v"), F.col("__c")) / (F.col("__nv") * F.col("__cn"))).alias("__cos"),
     )
-    for _ in range(n_iter):
-        cent_n = F.broadcast(cent.withColumn("__cn", _norm(F.col("__c"))))
-        scored = base.join(cent_n).select(
-            "id",
-            "__qv",
-            "cell",
-            (_dot(F.col("__v"), F.col("__c")) / (F.col("__nv") * F.col("__cn"))).alias("__cos"),
+    w = Window.partitionBy("id").orderBy(F.col("__cos").desc(), "cell")
+    asg = scored.withColumn("__r", F.row_number().over(w)).filter(F.col("__r") == 1)
+    sums = (
+        asg.select("cell", F.posexplode("__qv").alias("pos", "x"))
+        .groupBy("cell", "pos")
+        .agg(F.sum("x").alias("s"))
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                lambda t: t.getField("s").cast("double"),
+            ).alias("__new")
         )
-        w = Window.partitionBy("id").orderBy(F.col("__cos").desc(), "cell")
-        asg = scored.withColumn("__r", F.row_number().over(w)).filter(F.col("__r") == 1)
-        sums = (
-            asg.select("cell", F.posexplode("__qv").alias("pos", "x"))
-            .groupBy("cell", "pos")
-            .agg(F.sum("x").alias("s"))
-            .groupBy("cell")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "s"))),
-                    lambda t: t.getField("s").cast("double"),
-                ).alias("__new")
-            )
-        )
-        # a cell that lost every member keeps its previous centroid —
-        # same carry-over rule as kmeans_centroids
-        cent = (
-            cent.join(sums, "cell", "left")
-            .select("cell", F.coalesce("__new", "__c").alias("__c"))
-            .localCheckpoint()
-        )
-    return cent
+    )
+    # a cell that lost every member keeps its previous centroid —
+    # same carry-over rule as kmeans_centroids. sums is ≤ k rows by
+    # construction (one per nonempty cell); broadcast it so the
+    # carry-over is a hash join, not a 2-exchange sort-merge on k rows
+    return cent.join(F.broadcast(sums), "cell", "left").select(
+        "cell", F.coalesce("__new", "__c").alias("__c")
+    )
 
 
 def cosine_topk_ivf(

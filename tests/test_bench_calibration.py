@@ -27,6 +27,46 @@ def test_calibration_fn_partitioning_is_pinned(spark):
     assert df.rdd.getNumPartitions() == 64
 
 
+def test_calibration_fields_quiet_box():
+    """Three agreeing legs on a reference-speed box: best leg wins,
+    spread ~1, not suspect."""
+    ref = bench.CALIBRATION_REF_SEC
+    f = bench.calibration_fields([ref * 1.05, ref, ref * 1.1])
+    assert f["calibration_sec"] == round(ref, 3)
+    assert f["calibration_legs"] == [round(ref * 1.05, 3), round(ref, 3), round(ref * 1.1, 3)]
+    assert f["calibration_spread"] == round(1.1, 3)
+    assert f["calibration_suspect"] is False
+
+
+def test_calibration_fields_flags_midrun_contention():
+    """The r12 failure mode: quiet legs before/after, a slow leg in the
+    middle — spread > 1.15 marks the artifact noise-dominated even
+    though the BEST leg (what value_normalized divides by) looks fine."""
+    ref = bench.CALIBRATION_REF_SEC
+    f = bench.calibration_fields([ref, ref * 1.4, ref * 1.02])
+    assert f["calibration_spread"] > bench.CALIBRATION_MAX_SPREAD
+    assert f["calibration_suspect"] is True
+    # the headline still normalizes by the best leg — the flag is the signal
+    assert f["calibration_sec"] == round(ref, 3)
+
+
+def test_calibration_fields_flags_broken_probe():
+    """ADVICE r12: a probe that collapses (constant-folded plan) or an
+    implausibly slow box leaves the [0.2x, 5x] sane band — suspect even
+    with perfectly agreeing legs, because value_normalized would then
+    silently inflate/deflate with no signal."""
+    ref = bench.CALIBRATION_REF_SEC
+    lo, hi = bench.CALIBRATION_SANE_BAND
+    fast = ref * lo * 0.5  # probe collapsed
+    f = bench.calibration_fields([fast, fast, fast])
+    assert f["calibration_suspect"] is True
+    slow = ref * hi * 2  # box implausibly slow
+    assert bench.calibration_fields([slow, slow])["calibration_suspect"] is True
+    # band edges themselves are sane
+    assert bench.calibration_fields([ref * lo, ref * lo])["calibration_suspect"] is False
+    assert bench.calibration_fields([ref * hi * 0.999] * 2)["calibration_suspect"] is False
+
+
 def test_normalization_identity():
     """``normalized_headline`` — the exact function main() emits as
     value_normalized: on a box exactly as fast as the reference,

@@ -72,6 +72,51 @@ def test_headline_plan_shape_is_pinned(spark, sf_dir, name):
     )
 
 
+def test_kmeans_quantized_round_plan_shape(spark, sf_dir):
+    """r12 verdict task 6: the quantized k-means trainer is the only
+    trained-model operator with a cross-engine oracle, but its per-round
+    plan was unpinned — a Spark upgrade that re-plans the argmax window
+    or turns the carry-over into a sort-merge join would change cost
+    silently while staying correct. The intended round shape: ONE
+    deliberate keyless broadcast (the bounded n×k scoring expansion),
+    ONE broadcast hash join (the ≤k-row carry-over), THREE hash
+    exchanges (argmax window by id; the per-(cell, pos) integer-sum;
+    the per-cell collect_list) — and nothing else."""
+    from pyspark.sql import functions as F
+
+    from batch_data_pipeline_exercise_spark.operators import similarity
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = similarity._kmeans_quantized_base(e)
+    cent = (
+        base.orderBy("id")
+        .limit(16)
+        .select(F.col("id").alias("cell"), F.col("__v").alias("__c"))
+        .localCheckpoint()
+    )
+    rnd = similarity._kmeans_quantized_round(base, cent)
+    plan = rnd._jdf.queryExecution().executedPlan().toString()
+    assert plan_shape(plan) == {
+        "BroadcastHashJoin": 1,
+        "BroadcastNestedLoopJoin": 1,
+        "Exchange hashpartitioning": 3,
+    }
+
+
+def test_kmeans_quantized_trainer_stays_pinned(spark, sf_dir):
+    """The trainer's returned frame must be a checkpoint scan — if a
+    refactor drops the per-round ``localCheckpoint``, every downstream
+    action re-executes the whole n_iter-round lineage (and the
+    bit-reproducibility argument, which pins each round's input,
+    no longer describes the executed plan)."""
+    from batch_data_pipeline_exercise_spark.operators import similarity
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cent = similarity.kmeans_centroids_quantized(e, k=16, n_iter=1)
+    plan = cent._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in plan and plan_shape(plan) == {}
+
+
 def test_fixture_has_no_stale_entries():
     expected = json.loads(FIXTURE.read_text())
     stale = set(expected) - set(_headline_names())
