@@ -210,21 +210,15 @@ class CorpusPipeline:
 
     def recycle_session(self):
         """Stop the bound SparkSession and rebind this pipeline (and its
-        warehouse) to a fresh one — same semantics (and same
-        ``extra_conf``-replay limitation) as ``Pipeline.recycle_session``.
-        Legal between runs: all corpus state lives in the warehouse."""
-        from batch_data_pipeline_exercise_spark.session import get_spark
+        warehouse) to a fresh one — same semantics as
+        ``Pipeline.recycle_session``: the live session's explicitly-set
+        confs (runtime ``conf.set`` included) are snapshot and replayed
+        via ``session.rebuild_session``. Legal between runs: all corpus
+        state lives in the warehouse."""
+        from batch_data_pipeline_exercise_spark.session import rebuild_session
 
-        sc = self.spark.sparkContext
-        master, app = sc.master, sc.appName
-        shuffle = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
         root = self.wh.root
-        self.spark.stop()
-        self.spark = get_spark(
-            app_name=app, master=master, shuffle_partitions=shuffle,
-            extra_conf=self.extra_conf,
-        )
-        self.spark.sparkContext.setLogLevel("ERROR")
+        self.spark = rebuild_session(self.spark, extra_conf=self.extra_conf)
         self.wh = Warehouse(self.spark, root)
         self._runs_since_recycle = 0
         self.session_recycles += 1
@@ -272,12 +266,21 @@ class CorpusPipeline:
         in as the stored config — a non-default resume is refused, not
         silently baked over 8x4/8x8 band keys.
 
-        A recorded config is BINDING only while an index exists: band
-        keys live in LSH_INDEX/SIGN_INDEX and nowhere else, so a config
-        row with no index (a crash between the config write and the
-        first index append in ``_finish``) constrains nothing — a
-        resized retry proceeds and ``_record_sketch_config`` overwrites
-        the orphan row instead of refusing over phantom indexes."""
+        A recorded config is BINDING once ANY config-dependent layer
+        holds rows — not only the indexes (whose rows embed band keys)
+        but DOCS/FINGERPRINTS too, whose rows embed the near-dup
+        SURVIVOR SELECTION made under the config (r12 advice: ``_finish``
+        appends DOCS and FINGERPRINTS before the first index append, so
+        a crash in that window followed by a resized retry would leave
+        DOCS rows chosen under the old config that nothing ever
+        reconciles). A config row with NO layer rows at all (a crash
+        between the config write and the DOCS append) constrains
+        nothing — a resized retry proceeds and ``_record_sketch_config``
+        overwrites the orphan row instead of refusing over phantom
+        state. A crash mid-``_finish`` therefore recovers by retrying
+        at the recorded config: ``run`` replays the day with the
+        partial ds's own rows masked out of every prior-layer probe and
+        ``append_once`` fills the missing layers idempotently."""
         cfg = (self.text_k, self.text_bands, self.emb_bands, self.emb_rows)
         if not self._sketch_config_binding():
             return  # no index rows exist; any config is consistent
@@ -309,10 +312,18 @@ class CorpusPipeline:
             )
 
     def _sketch_config_binding(self) -> bool:
-        """True iff a persisted index exists — the only layers whose rows
-        embed band keys and therefore the only state a recorded sketch
-        config actually constrains."""
-        return self.wh.exists(self.LSH_INDEX) or self.wh.exists(self.SIGN_INDEX)
+        """True iff any persisted layer whose CONTENT depends on the
+        sketch config holds rows: the indexes embed band keys, and
+        DOCS/FINGERPRINTS embed the survivor selection the config's
+        near-dup decisions produced (r12 advice — binding on indexes
+        alone let a resized retry proceed over a crash window's
+        partially-persisted DOCS rows)."""
+        return (
+            self.wh.exists(self.DOCS)
+            or self.wh.exists(self.FINGERPRINTS)
+            or self.wh.exists(self.LSH_INDEX)
+            or self.wh.exists(self.SIGN_INDEX)
+        )
 
     def _record_sketch_config(self) -> None:
         """Persist the sketch config in ``_finish``, before any index row
@@ -333,8 +344,9 @@ class CorpusPipeline:
             stored["text_k"], stored["text_bands"],
             stored["emb_bands"], stored["emb_rows"],
         ) != cfg:
-            # only reachable in the crash window (no index rows —
-            # _check_sketch_config would have refused otherwise)
+            # only reachable in the crash window (no config-dependent
+            # layer rows — _check_sketch_config would have refused
+            # otherwise)
             self.wh.overwrite(df, self.SKETCH_CONFIG)
 
     # -- replay bookkeeping (same shape as the CLI's _backfill_log) ----------
@@ -426,6 +438,24 @@ class CorpusPipeline:
         if self._done(ds):
             return {"ds": ds, "already_done": True}
         self._check_sketch_config()
+        # crash-replay self-healing: _finish persists config -> DOCS ->
+        # FINGERPRINTS -> LSH -> SIGN -> LOG-mark, so a crash mid-way
+        # leaves this ds's own rows in SOME prior layers while _done is
+        # still false. Probing them on retry would drop the day's docs
+        # as dups of THEMSELVES (the exact-fingerprint anti-join alone
+        # kills the whole increment), appending nothing — the indexes
+        # would then be missing this ds's band keys forever, the same
+        # silent never-collides pathology the sketch-config guard
+        # refuses. Mask the partial ds's own rows out of every
+        # prior-layer probe; the retry recomputes the day from the same
+        # pre-crash state as the original run (deterministic operators
+        # => identical survivors) and append_once fills the missing
+        # layers idempotently.
+        partial_ids = None
+        if self.wh.exists(self.DOCS):
+            cur = self.wh.read(self.DOCS).filter(F.col("ds") == ds)
+            if cur.limit(1).count() > 0:
+                partial_ids = cur.select("doc_id").localCheckpoint()
         if embeddings is None and self.wh.exists(self.SIGN_INDEX):
             raise CorpusContractError(
                 f"this corpus has an embedding sign index ({self.SIGN_INDEX!r}) but the "
@@ -457,10 +487,11 @@ class CorpusPipeline:
             F.col("doc_id") == F.col("__m")
         ).drop("__m")
         if self.wh.exists(self.FINGERPRINTS):
+            fp = self.wh.read(self.FINGERPRINTS)
+            if partial_ids is not None:
+                fp = fp.join(partial_ids, "doc_id", "left_anti")
             kept = kept.join(
-                self.wh.read(self.FINGERPRINTS).select("fingerprint_norm"),
-                "fingerprint_norm",
-                "left_anti",
+                fp.select("fingerprint_norm"), "fingerprint_norm", "left_anti"
             )
         # docs_shingled is THE O(increment) evidence: counted inside the
         # job that materializes the signature-stage input, so a test can
@@ -475,6 +506,10 @@ class CorpusPipeline:
         # colliding docs' texts (new side from the increment, prior side
         # fetched BY KEY from corpus_docs)
         prior_lsh = self.wh.read(self.LSH_INDEX) if self.wh.exists(self.LSH_INDEX) else None
+        if prior_lsh is not None and partial_ids is not None:
+            prior_lsh = prior_lsh.join(
+                partial_ids.select(F.col("doc_id").alias("id")), "id", "left_anti"
+            )
         n_increment = int(obs_sh.get["docs_shingled"])
         try:
             cand, lsh_union = dedup.incremental_minhash_pairs(
@@ -498,8 +533,12 @@ class CorpusPipeline:
         )
         sides = kept.select("doc_id", "text")
         if self.wh.exists(self.DOCS):
+            # partition-pruned: a crash-replay must not fetch the partial
+            # ds's own rows as "prior corpus" texts
             sides = sides.unionByName(
-                self.wh.read(self.DOCS).select("doc_id", "text")
+                self.wh.read(self.DOCS)
+                .filter(F.col("ds") != ds)
+                .select("doc_id", "text")
             )
         colliding = sides.join(pair_ids, "doc_id", "left_semi")
         sh = dedup.word_shingles(colliding, "doc_id", "text", n=3, distinct=True)
@@ -518,6 +557,10 @@ class CorpusPipeline:
             prior_sign = (
                 self.wh.read(self.SIGN_INDEX) if self.wh.exists(self.SIGN_INDEX) else None
             )
+            if prior_sign is not None and partial_ids is not None:
+                prior_sign = prior_sign.join(
+                    partial_ids.select(F.col("doc_id").alias("id")), "id", "left_anti"
+                )
             if prior_sign is None and self.wh.exists(self.DOCS):
                 # the coverage guard's REVERSE direction: starting
                 # embedding dedup on a corpus with retained history
@@ -527,7 +570,9 @@ class CorpusPipeline:
                 # recall hole must be visible at the moment it is
                 # created, not only retrospectively in old runs'
                 # docs_kept_without_embedding stats.
-                emb_stats["corpus_docs_unsketched"] = self.wh.read(self.DOCS).count()
+                emb_stats["corpus_docs_unsketched"] = (
+                    self.wh.read(self.DOCS).filter(F.col("ds") != ds).count()
+                )
             emb_new = embeddings.join(kept.select("doc_id"), "doc_id", "left_semi")
             if emb_new.limit(1).count() == 0:
                 # nothing to sketch (banded_sign_sketch derives dim from

@@ -48,10 +48,11 @@ class Pipeline:
     ):
         self.spark = spark
         self.wh = Warehouse(spark, warehouse_root)
-        #: confs to replay into every recycled session — callers that
-        #: built their session with ``get_spark(extra_conf=...)`` pass
-        #: the same dict here, or the first recycle would silently drop
-        #: those settings (see ``recycle_session``)
+        #: confs to replay into every recycled session. Since r13 the
+        #: recycle also snapshots the LIVE session's explicitly-set
+        #: confs (``session.rebuild_session``), so this dict is
+        #: belt-and-braces for SQL confs; it remains the only channel
+        #: for settings ``SET`` does not list
         self.extra_conf = dict(extra_conf) if extra_conf else None
         #: opt-in (0 = off): rebuild the SparkSession after every N
         #: completed feed runs. Long-lived local sessions accumulate JVM
@@ -71,32 +72,21 @@ class Pipeline:
 
     def recycle_session(self) -> SparkSession:
         """Stop the bound SparkSession and rebind this pipeline (and its
-        warehouse) to a fresh one with the same master, app name,
-        shuffle-partition setting, and the constructor's ``extra_conf``.
-        All pipeline state lives in the warehouse, so this is legal at
-        any feed-run boundary. NOTE: any DataFrames the CALLER holds
-        from the old session are dead after this — callers interleaving
-        their own Spark work must re-create it from ``pipeline.spark``.
-        LIMITATION: only (app, master, shuffle partitions) are snapshot
-        from the live session; any other conf the original session
-        carried — ``get_spark(extra_conf=...)`` settings or runtime
-        ``spark.conf.set`` calls — is only GUARANTEED to survive a
-        recycle if it is also passed as the Pipeline's ``extra_conf``.
-        (In local mode, confs present at the FIRST session build happen
-        to persist via the py4j gateway's launch-time system properties
-        — an accident, not a contract; runtime-set confs are lost.)"""
-        from batch_data_pipeline_exercise_spark.session import get_spark
+        warehouse) to a fresh one carrying the same master, app name,
+        shuffle-partition setting, the constructor's ``extra_conf``, AND
+        every explicitly-set session conf of the live session — runtime
+        ``spark.conf.set`` calls included (``session.rebuild_session``
+        snapshots the ``SET`` list before stopping; r12 verdict task 5 —
+        previously a runtime set silently vanished here and could bite
+        on day 6 of a soak). All pipeline state lives in the warehouse,
+        so this is legal at any feed-run boundary. NOTE: any DataFrames
+        the CALLER holds from the old session are dead after this —
+        callers interleaving their own Spark work must re-create it
+        from ``pipeline.spark``."""
+        from batch_data_pipeline_exercise_spark.session import rebuild_session
 
-        sc = self.spark.sparkContext
-        master, app = sc.master, sc.appName
-        shuffle = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
         root = self.wh.root
-        self.spark.stop()
-        self.spark = get_spark(
-            app_name=app, master=master, shuffle_partitions=shuffle,
-            extra_conf=self.extra_conf,
-        )
-        self.spark.sparkContext.setLogLevel("ERROR")
+        self.spark = rebuild_session(self.spark, extra_conf=self.extra_conf)
         self.wh = Warehouse(self.spark, root)
         self._runs_since_recycle = 0
         self.session_recycles += 1

@@ -128,16 +128,18 @@ print(json.dumps({"recycles": cp.session_recycles}))
     assert _table_content(spark, str(tmp_path / "c_plain"), "corpus_docs") is not None
 
 
-def test_recycle_replays_extra_conf(tmp_path):
-    """Round-12 advice: recycled sessions were rebuilt from only (app,
-    master, shuffle partitions). Both pipelines now accept ``extra_conf``
-    and replay it into every recycled session — the only GUARANTEED way
-    for a non-default conf to survive a recycle. (Confs present at the
-    very first session build happen to persist in-process because the
-    py4j gateway JVM is launched with them as system properties, but
-    that is an accident of local mode, not a contract.) The pinned
-    limitation: a runtime ``spark.conf.set`` NOT in ``extra_conf`` does
-    not survive a recycle."""
+def test_recycle_replays_extra_conf_and_runtime_sets(tmp_path):
+    """Round-12 advice + r12 verdict task 5, in two steps: recycled
+    sessions were originally rebuilt from only (app, master, shuffle
+    partitions); r12 added the constructor ``extra_conf`` replay; r13
+    lifted the remaining documented limitation by snapshotting the LIVE
+    session's explicitly-set confs (the ``SET`` list — builder configs
+    and runtime ``spark.conf.set`` alike) immediately before the stop
+    (``session.rebuild_session``). Three contracts pinned here:
+    constructor ``extra_conf`` survives; a post-construction runtime
+    ``conf.set`` NOT in any ``extra_conf`` survives; and a runtime
+    override of an ``extra_conf`` key wins (the live value was the
+    session's operative one)."""
     script = r"""
 import json, sys
 from batch_data_pipeline_exercise_spark.plans.corpus_pipeline import CorpusPipeline
@@ -145,6 +147,7 @@ from batch_data_pipeline_exercise_spark.plans.pipeline import Pipeline
 from batch_data_pipeline_exercise_spark.session import get_spark
 
 KEY = "spark.sql.autoBroadcastJoinThreshold"
+KEY2 = "spark.sql.parquet.filterPushdown"
 spark = get_spark(app_name="conf-test", master="local[2]", shuffle_partitions=4)
 spark.sparkContext.setLogLevel("ERROR")
 
@@ -158,10 +161,19 @@ cp.recycle_session()
 v_corpus = cp.spark.conf.get(KEY)
 
 bare = Pipeline(cp.spark, sys.argv[1])
-bare.spark.conf.set(KEY, "2097152")  # runtime set, not in extra_conf
+bare.spark.conf.set(KEY, "2097152")   # runtime set, not in extra_conf
+bare.spark.conf.set(KEY2, "false")    # runtime set of an untouched key
 bare.recycle_session()
 v_bare = bare.spark.conf.get(KEY)
-print(json.dumps({"pipe": v_pipe, "corpus": v_corpus, "bare": v_bare}))
+v_bare2 = bare.spark.conf.get(KEY2)
+
+# runtime override of an extra_conf key: the live value must win
+both = Pipeline(bare.spark, sys.argv[1], extra_conf={KEY: "1048576"})
+both.spark.conf.set(KEY, "4194304")
+both.recycle_session()
+v_both = both.spark.conf.get(KEY)
+print(json.dumps({"pipe": v_pipe, "corpus": v_corpus, "bare": v_bare,
+                  "bare2": v_bare2, "both": v_both}))
 """
     r = subprocess.run(
         [sys.executable, "-c", script, str(tmp_path / "wh"), str(tmp_path / "cwh")],
@@ -173,5 +185,8 @@ print(json.dumps({"pipe": v_pipe, "corpus": v_corpus, "bare": v_bare}))
     # NOT part of the first session build, so only the replay explains it)
     assert out["pipe"] == "1048576"
     assert out["corpus"] == "1048576"
-    # the runtime-set value did not survive — documented limitation
-    assert out["bare"] != "2097152"
+    # r13: runtime-set confs survive too — no silently-dropped settings
+    assert out["bare"] == "2097152"
+    assert out["bare2"] == "false"
+    # live runtime override beats the constructor extra_conf on conflict
+    assert out["both"] == "4194304"
