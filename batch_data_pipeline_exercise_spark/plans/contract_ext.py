@@ -19,6 +19,8 @@ Oracle construction notes (on top of the rules in ``contract.py``):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1125,6 +1127,17 @@ def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _NEARDUP_BANDS, _NEARDUP_ROWS = 8, 8
+# Big-SF escape hatch (r12 verdict task 1): the registry pins the 8x8
+# test-scale sketch, which IS the measured 806M-candidate cliff at sf10
+# (evidence/EMBSCALE_sf10_r09.jsonl) — the sized sweeps set
+# BDPE_EMB_SKETCH="<bands>x<rows>" BEFORE import so the engine queries
+# AND their oracle SQL (both derive from these module constants) run the
+# model-sized sketch in exact mirror. The driver never sets it, so
+# registry correctness at test SF is unchanged; the mechanism itself is
+# pinned cross-engine in tests/test_contract_oracle.py.
+_env_sketch = os.environ.get("BDPE_EMB_SKETCH")
+if _env_sketch:
+    _NEARDUP_BANDS, _NEARDUP_ROWS = (int(x) for x in _env_sketch.lower().split("x"))
 _NEARDUP_PLANES = similarity.hyperplanes(EMB_DIM, n_planes=_NEARDUP_BANDS * _NEARDUP_ROWS, seed=42)
 
 

@@ -36,7 +36,23 @@ Embeddings: full coverage (the pipeline's contract), deterministic
 the 0.95 cosine threshold, so only the 7 injected vector-copies per day
 can trip the embedding stage.
 
-Usage: python tests/corpus_soak.py [out_jsonl]
+Usage: python tests/corpus_soak.py [out_jsonl] [--days N] [--recycle-every N]
+       [--expected-corpus-docs N]
+
+Defaults reproduce the r9 soak (10 days, shipped default sketch, no
+recycling). The r13 variant (verdict task 7) soaks PAST day 10 with
+session recycling ON at a model-SIZED config — the combination the
+three r12 hardening fixes (config baked only after first persist,
+pre-config-era defaults, extra_conf replay) plus the r13 conf snapshot
+had never exercised end-to-end:
+
+    python tests/corpus_soak.py evidence/CORPUS_SOAK_r13.jsonl \
+        --days 15 --recycle-every 2 --expected-corpus-docs 8000
+
+On recycle days the session (and its UI) is rebuilt at the end of
+``run``, so that day's executor-CPU delta is unreadable — recorded as
+``cpu_s: null`` with ``recycled: true``; the flat-cost invariant rides
+``docs_shingled`` (an in-job Observation counter), not CPU.
 """
 
 from __future__ import annotations
@@ -69,9 +85,9 @@ def _unit_vec(doc_id: int, dim: int = 16) -> list[float]:
     return [float(x) for x in v / np.linalg.norm(v)]
 
 
-def _build_days(spark) -> list[tuple[str, list[tuple], list[tuple]]]:
+def _build_days(spark, n_days: int = N_DAYS) -> list[tuple[str, list[tuple], list[tuple]]]:
     """[(ds, doc_rows, emb_rows)] — doc rows (doc_id, text), emb rows
-    (doc_id, embedding). Deterministic; driver-side (4750 rows total)."""
+    (doc_id, embedding). Deterministic; driver-side (475·days rows)."""
     # orderBy BEFORE the limit: a bare .limit() truncates in parquet
     # file/partition read order, so the soaked doc pool would depend on
     # how the source happened to be written — ordering first makes the
@@ -80,11 +96,11 @@ def _build_days(spark) -> list[tuple[str, list[tuple], list[tuple]]]:
         spark.read.parquet(SRC)
         .select("doc_id", "text")
         .orderBy("doc_id")
-        .limit(N_DAYS * FRESH_PER_DAY)
+        .limit(n_days * FRESH_PER_DAY)
         .collect()
     )
     days = []
-    for d in range(1, N_DAYS + 1):
+    for d in range(1, n_days + 1):
         ds = f"2021-06-{d:02d}"
         fresh = pool[(d - 1) * FRESH_PER_DAY : d * FRESH_PER_DAY]
         src = pool[(max(d - 2, 0)) * FRESH_PER_DAY : (max(d - 2, 0)) * FRESH_PER_DAY + 25]
@@ -109,20 +125,29 @@ def _build_days(spark) -> list[tuple[str, list[tuple], list[tuple]]]:
     return days
 
 
-def _run_sequence(spark, root: str, days, maintain: bool, ui_url, out: list | None) -> CorpusPipeline:
-    cp = CorpusPipeline(spark, root)
+def _run_sequence(
+    spark, root: str, days, maintain: bool, ui_url, out: list | None, **pipeline_kwargs
+) -> CorpusPipeline:
+    cp = CorpusPipeline(spark, root, **pipeline_kwargs)
     for ds, docs, embs in days:
-        ddf = spark.createDataFrame(docs, "doc_id long, text string")
-        edf = spark.createDataFrame(embs, "doc_id long, embedding array<double>")
+        # cp.spark, not the captured session: a recycling pipeline
+        # rebinds itself to a fresh session at run boundaries and the
+        # old one is dead (its UI too — re-derive the URL per day)
+        ui_url = cp.spark.sparkContext.uiWebUrl
+        recycles_before = cp.session_recycles
+        ddf = cp.spark.createDataFrame(docs, "doc_id long, text string")
+        edf = cp.spark.createDataFrame(embs, "doc_id long, embedding array<double>")
         before = _settled_totals(ui_url) if out is not None else None
         t0 = time.perf_counter()
         stats = cp.run(ddf, ds, embeddings=edf)
         wall = time.perf_counter() - t0
+        recycled = cp.session_recycles > recycles_before
         compacted = cp.maintain() if maintain else []
         if out is not None:
-            after = _settled_totals(ui_url)
+            after = None if recycled else _settled_totals(ui_url)
             cpu = round(after["cpu"] - before["cpu"], 2) if before and after else None
             rec = {
+                "recycled": recycled,
                 **{k: stats[k] for k in ("ds", "docs_in", "docs_shingled", "docs_kept", "corpus_total")},
                 "embedding_pairs": stats.get("embedding_pairs"),
                 "wall_s": round(wall, 2),
@@ -145,7 +170,24 @@ def _run_sequence(spark, root: str, days, maintain: bool, ui_url, out: list | No
 
 
 def main() -> None:
-    out_path = Path(sys.argv[1]) if len(sys.argv) > 1 else REPO / "evidence" / "CORPUS_SOAK_r09.jsonl"
+    args = [a for a in sys.argv[1:]]
+
+    def _opt(name: str) -> int | None:
+        if name in args:
+            i = args.index(name)
+            v = int(args[i + 1])
+            del args[i : i + 2]
+            return v
+        return None
+
+    n_days = _opt("--days") or N_DAYS
+    recycle_every = _opt("--recycle-every") or 0
+    expected_docs = _opt("--expected-corpus-docs")
+    out_path = Path(args[0]) if args else REPO / "evidence" / "CORPUS_SOAK_r09.jsonl"
+    pipeline_kwargs: dict = {"recycle_session_every": recycle_every}
+    if expected_docs is not None:
+        pipeline_kwargs["expected_corpus_docs"] = expected_docs
+
     spark = get_spark(
         app_name="corpus-soak",
         master="local[32]",
@@ -154,39 +196,58 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     ui_url = spark.sparkContext.uiWebUrl
-    days = _build_days(spark)
+    days = _build_days(spark, n_days)
 
     records: list[dict] = []
     with tempfile.TemporaryDirectory() as tmp:
-        cp = _run_sequence(spark, f"{tmp}/soak", days, maintain=True, ui_url=ui_url, out=records)
+        cp = _run_sequence(
+            spark, f"{tmp}/soak", days, maintain=True, ui_url=ui_url, out=records,
+            **pipeline_kwargs,
+        )
         final = sorted(
             (r["doc_id"], r["fingerprint_norm"], r["shard"], r["bin"], r["ds"])
             for r in cp.wh.read(cp.DOCS).select("doc_id", "fingerprint_norm", "shard", "bin", "ds").collect()
         )
-        # from-scratch rebuild, never compacted → identical final corpus
-        cp2 = _run_sequence(spark, f"{tmp}/rebuild", days, maintain=False, ui_url=ui_url, out=None)
+        # from-scratch rebuild, never compacted, never recycled, SAME
+        # sketch config → identical final corpus (compaction AND
+        # recycling are both behavior-neutral)
+        rebuild_kwargs = {
+            k: v for k, v in pipeline_kwargs.items() if k != "recycle_session_every"
+        }
+        cp2 = _run_sequence(
+            cp.spark, f"{tmp}/rebuild", days, maintain=False, ui_url=ui_url, out=None,
+            **rebuild_kwargs,
+        )
         rebuilt = sorted(
             (r["doc_id"], r["fingerprint_norm"], r["shard"], r["bin"], r["ds"])
             for r in cp2.wh.read(cp2.DOCS).select("doc_id", "fingerprint_norm", "shard", "bin", "ds").collect()
         )
-        assert final == rebuilt, "soak (with nightly compaction) != from-scratch rebuild"
+        assert final == rebuilt, "soak (with compaction+recycling) != from-scratch rebuild"
 
     summary = {
-        "soak": "corpus_pipeline_10day",
+        "soak": f"corpus_pipeline_{n_days}day",
         "days": len(records),
         "increment": FRESH_PER_DAY + N_EXACT + N_NEAR + N_VEC,
+        "sketch_config": {
+            "text_k": cp.text_k, "text_bands": cp.text_bands,
+            "emb_bands": cp.emb_bands, "emb_rows": cp.emb_rows,
+            "sized": expected_docs is not None,
+        },
+        "recycle_every": recycle_every,
+        "session_recycles": cp.session_recycles,
         "final_corpus_total": records[-1]["corpus_total"],
         "max_docs_shingled": max(r["docs_shingled"] for r in records),
         "rebuild_equal": True,
         "cpu_day2": records[1]["cpu_s"],
-        "cpu_day10": records[-1]["cpu_s"],
+        "cpu_final": records[-1]["cpu_s"],
     }
     print(json.dumps(summary), flush=True)
     out_path.parent.mkdir(exist_ok=True)
     with out_path.open("w") as f:
         for r in records + [summary]:
             f.write(json.dumps(r) + "\n")
-    spark.stop()
+    # `spark` may be dead if the soak pipeline recycled; cp2 never does
+    cp2.spark.stop()
 
 
 if __name__ == "__main__":

@@ -83,6 +83,11 @@ def main() -> None:
 
     entry = contract.REGISTRY[QUERY]
     rec: dict = {"q": QUERY, "mode": "staged-oracle-labelprop", "sf_dir": sf_dir}
+    if os.environ.get("BDPE_EMB_SKETCH"):
+        # sized-sketch sweep: the registry constants (and so this
+        # runner's staged oracle text AND the Spark fn) were re-derived
+        # from the env — record which sketch this verdict is for
+        rec["emb_sketch"] = os.environ["BDPE_EMB_SKETCH"]
     try:
         # stage 1: the oracle's own text up to and including `ver`
         ver_sql, _tail = split_at_cte(entry.oracle, "ver")

@@ -202,6 +202,48 @@ def main() -> None:
                 # a later (fixed) record for the same query still resumes
                 done.discard(name)
 
+    # sized-sketch routing (r12 verdict task 1): at sf >= 10 the
+    # embedding family runs at the model-sized sign-LSH sketch instead
+    # of being skipped at the registry-pinned 8x8 cliff. The sketch is
+    # baked into contract_ext's module constants at import, so the
+    # parent re-invokes run_sweep in a CHILD process with
+    # BDPE_EMB_SKETCH set — engine queries and oracle SQL both re-derive
+    # from it, keeping the differential an exact mirror. A child (env
+    # already set) never re-routes.
+    sized_env = os.environ.get("BDPE_EMB_SKETCH")
+    sized: set[str] = (
+        {q for q, r in sweep_routing.SIZED_SKETCH.items() if sf >= r.min_sf}
+        if routing and not sized_env
+        else set()
+    )
+    sized_pending = [
+        q for q in sorted(sized)
+        if q not in done and q not in skips and (not only or q in only)
+    ]
+    for sketch, qs in sorted(sweep_routing.sized_sketch_groups(sf, sized_pending).items()):
+        print(f"routing {qs} -> child sweep at BDPE_EMB_SKETCH={sketch}", flush=True)
+        env = {**os.environ, "BDPE_EMB_SKETCH": sketch, "SWEEP_ONLY": ",".join(qs)}
+        env.pop("SWEEP_SHARDS", None)
+        env.pop("SWEEP_SHARD", None)
+        rc = subprocess.run(
+            [sys.executable, str(REPO / "tests" / "run_sweep.py"), sf_dir, str(out)], env=env
+        ).returncode
+        recorded: dict[str, bool] = {}
+        for line in out.read_text().splitlines() if out.exists() else []:
+            try:
+                rec = json.loads(line)
+            except ValueError:
+                continue
+            if rec.get("q") in qs:
+                recorded[rec["q"]] = resumable(rec)
+        done.update(q for q, ok in recorded.items() if ok)
+        with out.open("a") as fh:
+            for q in qs:
+                if q not in recorded:
+                    fh.write(json.dumps(
+                        {"q": q, "spark_err": f"sized child sweep ({sketch}) rc={rc} produced no record"}
+                    ) + "\n")
+
     # staged-oracle routing: run each family's runner ONCE (it stages the
     # shared CTE prefix, appends mode:"staged-oracle" records to the same
     # file) BEFORE the sweep's own Spark session exists — the runners
@@ -213,7 +255,8 @@ def main() -> None:
     )
     pending = [
         q for q in sorted(routed)
-        if q not in done and q not in skips and (not only or q in only)
+        if q not in done and q not in skips and q not in sized
+        and (not only or q in only)
     ]
     for (runner, group), qs in sorted(sweep_routing.staged_groups(sf, pending).items()):
         # PID-suffixed workdir: two sweep shards (or a shard plus an
@@ -288,11 +331,16 @@ def main() -> None:
                 continue
             if name in routed:
                 continue  # handled (or failure-recorded) by a staged runner
+            if name in sized:
+                continue  # handled (or failure-recorded) by the sized child sweep
             use_pq = bool(q.oracle) and routing and sweep_routing.wants_parquet_compare(name, sf)
             if use_pq and pqwork is None:
                 pqwork = sweep_routing.fresh_workdir("/tmp/sweepcompare")
             t0 = time.time()
             rec: dict = {"q": name}
+            if sized_env:
+                rec["mode"] = "sized-sketch"
+                rec["emb_sketch"] = sized_env
             spark_dest = None
             try:
                 if use_pq:

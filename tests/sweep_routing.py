@@ -18,6 +18,12 @@ fully-accounted evidence file:
   DuckDB baselines, the recursive-closure degeneracy) — recorded as
   deliberate skips with the measured reason, exactly what r10 passed
   via the SWEEP_SKIP env var.
+- ``SIZED_SKETCH``: queries whose registry-pinned test-scale sketch is
+  the engine's own measured candidate cliff at big SF (r12 verdict
+  task 1). The sweep re-invokes itself in a child process with
+  ``BDPE_EMB_SKETCH=<bands>x<rows>`` so BOTH the engine query and its
+  oracle re-derive the model-sized sketch and the family is verified
+  at scale instead of skipped; records carry ``emb_sketch``.
 - ``DOCUMENTED_DIVERGENCES``: queries exact at test SF whose big-SF
   mismatch is a quantified approximation boundary (HLL estimate error
   inside the asserted lgK=17 bound; 1-ulp dot-product reduction-order
@@ -111,22 +117,6 @@ KNOWN_SKIPS: dict[str, tuple[float, str]] = {
         10.0,
         "same quadratic DuckDB verify baseline at sf10; exact at sf3",
     ),
-    "embedding_near_dup_pairs": (
-        10.0,
-        "sf10 at the registry's fixed 8x8 test-scale params IS the scouted "
-        "806M-candidate cliff on both engines (EMBSCALE_sf10_r09.jsonl); "
-        "sized 8x12 run verified exact at sf10 in r9",
-    ),
-    "embedding_incremental_near_dups": (
-        10.0,
-        "same 8x8-at-100x cliff as embedding_near_dup_pairs; exact at sf3",
-    ),
-    "embedding_dedup_survivors": (
-        10.0,
-        "same 8x8-at-100x candidate cliff (the query's pair stage IS "
-        "embedding_near_dup_pairs); staged-labelprop-exact at sf3 "
-        "(STAGEDORACLE_sf3_r12.jsonl) — the skip now covers only sf10",
-    ),
     "dup_graph_pagerank2": (
         10.0,
         "sf10: uncapped 5-gram edge self-join quadratic on both engines at "
@@ -138,6 +128,54 @@ KNOWN_SKIPS: dict[str, tuple[float, str]] = {
         "sf3); staged-oracle-exact at sf3",
     ),
 }
+
+# --------------------------------------------------------- sized sketches
+
+
+@dataclass(frozen=True)
+class SizedSketchRoute:
+    """At sf >= min_sf this query runs (engine AND oracle — both derive
+    from contract_ext's module constants) at a model-sized sign-LSH
+    sketch instead of the registry-pinned 8x8 test-scale config: the
+    sweep re-invokes itself in a child process with
+    ``BDPE_EMB_SKETCH=<sketch>`` so the family is VERIFIED at scale,
+    not skipped (r12 verdict task 1 — the three sf10 skips here were
+    the engine's own scouted candidate cliff, not oracle
+    infeasibility)."""
+
+    sketch: str
+    min_sf: float
+    note: str
+
+
+_SIZED_NOTE = (
+    "8x8 at sf10 is the measured 806M-candidate cliff on both engines "
+    "(EMBSCALE_sf10_r09.jsonl); 8x12 is bands_rows_for(cos 0.95, recall "
+    "0.9, n=200k, occupancy 64) — the stricter of the two model picks, "
+    "chosen by scout: 81M candidates vs 183M at the occupancy-256 pick "
+    "(6x10), with HIGHER predicted recall (0.927 vs 0.921)"
+)
+
+SIZED_SKETCH: dict[str, SizedSketchRoute] = {
+    q: SizedSketchRoute("8x12", 10.0, _SIZED_NOTE)
+    for q in (
+        "embedding_near_dup_pairs",
+        "embedding_incremental_near_dups",
+        "embedding_dedup_survivors",
+    )
+}
+
+
+def sized_sketch_groups(sf: float, queries) -> dict[str, list[str]]:
+    """Group the sized-routable subset of ``queries`` by sketch string —
+    one child sweep per sketch value."""
+    groups: dict[str, list[str]] = {}
+    for q in queries:
+        route = SIZED_SKETCH.get(q)
+        if route and sf >= route.min_sf:
+            groups.setdefault(route.sketch, []).append(q)
+    return groups
+
 
 # ------------------------------------------------- documented divergences
 
@@ -171,8 +209,13 @@ DOCUMENTED_DIVERGENCES: dict[str, tuple[float, float, str]] = {
 # the collect-and-sort compare is driver-bound (lineitem_unpivot hit
 # spark.driver.maxResultSize at sf10 with 180M rows). min_sf per query.
 PARQUET_COMPARE: dict[str, float] = {
-    q: 3.0
-    for q in [
+    # sized-sketch sf10 runs: 17.0M verified pairs at 8x12 (r9 measured)
+    # — far past any sane collect
+    "embedding_near_dup_pairs": 10.0,
+    "embedding_incremental_near_dups": 10.0,
+    **{
+        q: 3.0
+        for q in [
         "lineitem_unpivot",
         "order_penny_allocation",
         "order_surrogate_keys",
@@ -189,7 +232,8 @@ PARQUET_COMPARE: dict[str, float] = {
         "incremental_top3_orders",
         "top3_orders_per_customer",
         "user_daily_value_filled",
-    ]
+        ]
+    },
 }
 
 # ----------------------------------------------------------------- utils
@@ -281,8 +325,16 @@ def shard_split(names: list[str], n_shards: int, shard: int, sf: float) -> set[s
     shards == ``names``; pairwise disjoint."""
     grouped: dict[str, list[str]] = {}
     for q in names:
+        sized = SIZED_SKETCH.get(q)
         route = STAGED_ORACLES.get(q)
-        key = f"group:{route.runner}:{route.group}" if route and sf >= route.min_sf else q
+        if sized and sf >= sized.min_sf:
+            # the sized child sweep runs the whole sketch group in one
+            # process (it owns the BDPE_EMB_SKETCH env for its family)
+            key = f"sized:{sized.sketch}"
+        elif route and sf >= route.min_sf:
+            key = f"group:{route.runner}:{route.group}"
+        else:
+            key = q
         grouped.setdefault(key, []).append(q)
     mine: set[str] = set()
     for i, key in enumerate(sorted(grouped)):

@@ -120,3 +120,72 @@ def test_query_matches_oracle(spark, sf_dir, name):
     srs, drs = to_rowset(spark_cols, spark_rows), to_rowset(duck_cols, duck_rows)
     mismatches = [(a, b) for a, b in zip(srs, drs) if a != b]
     assert not mismatches, f"{name}: first value mismatches: {mismatches[:3]}"
+
+
+def test_emb_sketch_env_override_stays_mirrored():
+    """BDPE_EMB_SKETCH (the big-SF sized-sweep escape hatch, r12 verdict
+    task 1) must re-derive BOTH sides of the differential — the engine's
+    banded sign sketch and the oracle's UNION-ALL band keys come from
+    the same module constants, so any (bands, rows) choice stays an
+    exact cross-engine mirror. Pinned in a subprocess (the constants are
+    baked at import): a 4x6 sketch (a) actually takes effect, (b) still
+    matches DuckDB row-for-row on all three family queries at sf0.001,
+    and (c) produces a DIFFERENT candidate set than the default 8x8 —
+    proving the override reached the plan, not just the constant."""
+    import json
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    script = r"""
+import json, sys
+from batch_data_pipeline_exercise_spark.plans import contract, contract_ext
+from batch_data_pipeline_exercise_spark.session import get_spark
+from tests.test_contract_oracle import duck_con, to_rowset
+
+assert (contract_ext._NEARDUP_BANDS, contract_ext._NEARDUP_ROWS) == (4, 6)
+spark = get_spark(app_name="sketch-env", master="local[8]", shuffle_partitions=8)
+spark.sparkContext.setLogLevel("ERROR")
+sf = "/root/testdata/sf0.001"
+out = {}
+for name in ("embedding_near_dup_pairs", "embedding_incremental_near_dups",
+             "embedding_dedup_survivors"):
+    q = contract.REGISTRY[name]
+    sdf = q.fn(spark, sf)
+    srs = to_rowset(sdf.columns, [tuple(r) for r in sdf.collect()])
+    con = duck_con(sf)
+    res = con.execute(q.oracle)
+    drs = to_rowset([d[0] for d in res.description], res.fetchall())
+    con.close()
+    out[name] = {"match": srs == drs, "n": len(srs)}
+print(json.dumps(out))
+"""
+    repo = Path(__file__).resolve().parents[1]
+    r = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True, text=True, cwd=repo,
+        env={**__import__("os").environ, "BDPE_EMB_SKETCH": "4x6"},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert all(v["match"] for v in out.values()), out
+    # differs from the default sketch's result (8x8 at sf0.001 finds a
+    # different candidate->verified pair set than 4x6)
+    import duckdb  # noqa: F401 — ensure default-side run uses this process's registry
+    from batch_data_pipeline_exercise_spark.plans import contract
+
+    assert (out["embedding_near_dup_pairs"]["n"]
+            != _default_near_dup_count()), "override did not change the plan"
+
+
+def _default_near_dup_count() -> int:
+    """Row count of embedding_near_dup_pairs' ORACLE at the default 8x8
+    sketch (DuckDB-only — no second Spark session needed; the oracle IS
+    the mirrored semantics)."""
+    from batch_data_pipeline_exercise_spark.plans import contract
+
+    con = duck_con("/root/testdata/sf0.001")
+    try:
+        return len(con.execute(contract.REGISTRY["embedding_near_dup_pairs"].oracle).fetchall())
+    finally:
+        con.close()

@@ -81,16 +81,27 @@ def test_routing_thresholds():
 
     assert "ann_cosine_topk" not in sr.auto_skips(3.0)
     assert "ann_cosine_topk" in sr.auto_skips(10.0)
-    # embedding survivors (r11 verdict task 4): staged-labelprop route
-    # from sf1, skipped only at sf10 (the 8x8 candidate cliff) — skip
-    # takes precedence downstream; run_sweep checks skips first
+    # embedding family (r12 verdict task 1): at sf10 it is no longer
+    # SKIPPED — it routes to a sized-sketch child sweep (the 8x8 cliff
+    # was the engine's own scouted candidate volume, not oracle
+    # infeasibility); below sf10 the registry default runs as before
+    for q in ("embedding_near_dup_pairs", "embedding_incremental_near_dups",
+              "embedding_dedup_survivors"):
+        assert q not in sr.auto_skips(10.0)
+    assert not sr.sized_sketch_groups(3.0, sr.SIZED_SKETCH)
+    g10 = sr.sized_sketch_groups(10.0, sr.SIZED_SKETCH)
+    assert sorted(g10) == ["8x12"] and len(g10["8x12"]) == 3
+    # survivors: staged-labelprop route from sf1 still holds (the sized
+    # child inherits it, so the recursive-CTE oracle never runs at scale)
     assert "embedding_dedup_survivors" not in sr.auto_skips(3.0)
-    assert "embedding_dedup_survivors" in sr.auto_skips(10.0)
     g1 = sr.staged_groups(1.0, sr.STAGED_ORACLES)
     assert g1.get(("oracle_staged_embedding.py", "embedding")) == [
         "embedding_dedup_survivors"
     ]
     assert ("oracle_staged_embedding.py", "embedding") in g3
+    # sized pair queries compare via parquet at sf10 (17M rows measured)
+    assert sr.wants_parquet_compare("embedding_near_dup_pairs", 10.0)
+    assert not sr.wants_parquet_compare("embedding_near_dup_pairs", 3.0)
 
     assert not sr.wants_parquet_compare("lineitem_unpivot", 0.01)
     assert sr.wants_parquet_compare("lineitem_unpivot", 3.0)
@@ -106,7 +117,7 @@ def test_routing_thresholds():
     )
     known = set(contract.REGISTRY)
     for name in (
-        set(sr.STAGED_ORACLES) | set(sr.KNOWN_SKIPS)
+        set(sr.STAGED_ORACLES) | set(sr.KNOWN_SKIPS) | set(sr.SIZED_SKETCH)
         | set(sr.DOCUMENTED_DIVERGENCES) | set(sr.PARQUET_COMPARE)
     ):
         assert name in known, name
@@ -135,6 +146,7 @@ def test_shard_split_disjoint_complete_and_group_whole():
 
     names = sorted(
         set(list(sweep_routing.STAGED_ORACLES))
+        | set(sweep_routing.SIZED_SKETCH)
         | {f"plain_query_{i}" for i in range(20)}
     )
     for n_shards in (2, 3):
@@ -148,11 +160,17 @@ def test_shard_split_disjoint_complete_and_group_whole():
                 assert not (shards[i] & shards[j])
         by_group: dict[tuple, set[int]] = {}
         for q, route in sweep_routing.STAGED_ORACLES.items():
-            if 10.0 >= route.min_sf:
+            if 10.0 >= route.min_sf and q not in sweep_routing.SIZED_SKETCH:
                 owners = {i for i, s in enumerate(shards) if q in s}
                 assert len(owners) == 1
                 by_group.setdefault((route.runner, route.group), set()).update(owners)
         assert all(len(owners) == 1 for owners in by_group.values())
+        # the sized-sketch family travels whole too: its child sweep owns
+        # BDPE_EMB_SKETCH for the whole group in exactly one process
+        sized_owners = {
+            i for i, s in enumerate(shards) for q in sweep_routing.SIZED_SKETCH if q in s
+        }
+        assert len(sized_owners) == 1
     # at sf below every route threshold the split is plain round-robin
     lo = sweep_routing.shard_split(names, 2, 0, 0.0) | sweep_routing.shard_split(
         names, 2, 1, 0.0
