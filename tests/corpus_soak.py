@@ -183,6 +183,14 @@ def main() -> None:
     n_days = _opt("--days") or N_DAYS
     recycle_every = _opt("--recycle-every") or 0
     expected_docs = _opt("--expected-corpus-docs")
+    if "--source" in args:
+        # a >10-day soak needs a pool bigger than sf0.1's 5,000 docs
+        # (the r13 first attempt starved days 12-15 to 58/14/0/0
+        # fresh docs) — point at a scaled corpus, e.g. /tmp/sf10
+        global SRC
+        i = args.index("--source")
+        SRC = args[i + 1]
+        del args[i : i + 2]
     out_path = Path(args[0]) if args else REPO / "evidence" / "CORPUS_SOAK_r09.jsonl"
     pipeline_kwargs: dict = {"recycle_session_every": recycle_every}
     if expected_docs is not None:
