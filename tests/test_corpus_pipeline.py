@@ -488,11 +488,27 @@ def test_corpus_cli_sizing_refusal_uses_error_contract(spark, corpus_wh, tmp_pat
     assert err["ok"] is False and "sketch width" in err["error"]
 
 
-def _simulate_crash_after_fingerprints(spark, wh_root):
+#: _finish's persist order is config -> DOCS -> FINGERPRINTS -> LSH ->
+#: SIGN -> LOG-mark; a crash after layer X leaves everything through X
+#: on disk and everything after missing. Each window is simulated by
+#: completing day 1 and erasing the post-X layers.
+CRASH_WINDOWS = {
+    "after_docs": (
+        CorpusPipeline.FINGERPRINTS, CorpusPipeline.LSH_INDEX,
+        CorpusPipeline.SIGN_INDEX, CorpusPipeline.LOG,
+    ),
+    "after_fingerprints": (
+        CorpusPipeline.LSH_INDEX, CorpusPipeline.SIGN_INDEX, CorpusPipeline.LOG,
+    ),
+    "after_lsh": (CorpusPipeline.SIGN_INDEX, CorpusPipeline.LOG),
+}
+
+
+def _simulate_crash(spark, wh_root, window: str):
     """Drive day 1 to completion, then erase the layers ``_finish``
-    writes AFTER the fingerprint append (LSH, SIGN, LOG-mark) — exactly
-    the on-disk state of a run that died between the FINGERPRINTS
-    append and the first index append."""
+    writes after the given crash point — exactly the on-disk state of a
+    run that died there (the LOG mark is always last, so ``_done`` is
+    false and the retry path runs)."""
     import shutil
 
     from batch_data_pipeline_exercise_spark.sources.warehouse import Warehouse
@@ -500,7 +516,7 @@ def _simulate_crash_after_fingerprints(spark, wh_root):
     cp = CorpusPipeline(spark, wh_root)
     cp.run(_df(spark, DAY1_DOCS), "2021-03-01", embeddings=_edf(spark, DAY1_EMB))
     wh = Warehouse(spark, wh_root)
-    for table in (CorpusPipeline.LSH_INDEX, CorpusPipeline.SIGN_INDEX, CorpusPipeline.LOG):
+    for table in CRASH_WINDOWS[window]:
         shutil.rmtree(wh.path(table))
 
 
@@ -510,21 +526,23 @@ def test_partial_ds_resized_retry_is_refused(spark, corpus_wh):
     under the recorded config. A RESIZED retry must be refused — the
     old rule (config binding only while an index exists) would have
     rebaked the config over DOCS rows nothing ever reconciles."""
-    _simulate_crash_after_fingerprints(spark, corpus_wh)
+    _simulate_crash(spark, corpus_wh, "after_fingerprints")
     sized = CorpusPipeline(spark, corpus_wh, expected_corpus_docs=500_000)
     assert (sized.text_k, sized.text_bands) != (32, 8)
     with pytest.raises(CorpusContractError, match="sketch config mismatch"):
         sized.run(_df(spark, DAY1_DOCS), "2021-03-01", _edf(spark, DAY1_EMB))
 
 
-def test_partial_ds_same_config_retry_self_heals(spark, corpus_wh, tmp_path):
+@pytest.mark.parametrize("window", sorted(CRASH_WINDOWS))
+def test_partial_ds_same_config_retry_self_heals(spark, corpus_wh, tmp_path, window):
     """A same-config retry of a mid-_finish crash must converge to the
-    never-crashed warehouse. Without masking the partial ds's own rows
-    out of the prior-layer probes, the retry would drop every day-1 doc
-    as an exact dup of ITSELF (the fingerprint anti-join), append
-    nothing, and leave the indexes missing day 1's band keys forever —
-    silent never-collide misses on every later day."""
-    _simulate_crash_after_fingerprints(spark, corpus_wh)
+    never-crashed warehouse, whichever layer the crash landed after.
+    Without masking the partial ds's own rows out of the prior-layer
+    probes, the post-FINGERPRINTS windows would drop every day-1 doc as
+    an exact dup of ITSELF (the fingerprint anti-join), append nothing,
+    and leave the indexes missing day 1's band keys forever — silent
+    never-collide misses on every later day."""
+    _simulate_crash(spark, corpus_wh, window)
     cp = CorpusPipeline(spark, corpus_wh)
     s1 = cp.run(_df(spark, DAY1_DOCS), "2021-03-01", embeddings=_edf(spark, DAY1_EMB))
     assert s1["docs_kept"] == 3  # replay selected the same survivors, not zero
@@ -538,7 +556,7 @@ def test_partial_ds_same_config_retry_self_heals(spark, corpus_wh, tmp_path):
     for table in CorpusPipeline.MAINTAINED_TABLES:
         healed = sorted(map(tuple, cp.wh.read(table).collect()))
         control = sorted(map(tuple, ctl.wh.read(table).collect()))
-        assert healed == control, f"layer {table} diverged after crash-replay"
+        assert healed == control, f"[{window}] layer {table} diverged after crash-replay"
 
 
 def test_orphan_config_without_indexes_is_rebaked(spark, corpus_wh):
