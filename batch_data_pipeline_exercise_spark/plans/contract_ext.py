@@ -20,6 +20,7 @@ Oracle construction notes (on top of the rules in ``contract.py``):
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -1137,7 +1138,19 @@ _NEARDUP_BANDS, _NEARDUP_ROWS = 8, 8
 # pinned cross-engine in tests/test_contract_oracle.py.
 _env_sketch = os.environ.get("BDPE_EMB_SKETCH")
 if _env_sketch:
-    _NEARDUP_BANDS, _NEARDUP_ROWS = (int(x) for x in _env_sketch.lower().split("x"))
+    # validate loudly at the point of misuse (r13 advice): a malformed
+    # value ('8', '8x', '0x12', '8x12x3') must name the env var and the
+    # expected form, not surface as an opaque unpack error at import —
+    # and a zero/negative dimension must not silently build a degenerate
+    # no-band sketch.
+    _m = re.fullmatch(r"\s*(\d+)\s*[xX]\s*(\d+)\s*", _env_sketch)
+    if not _m or int(_m.group(1)) < 1 or int(_m.group(2)) < 1:
+        raise ValueError(
+            f"BDPE_EMB_SKETCH={_env_sketch!r} is not a valid sketch spec: "
+            "expected '<bands>x<rows>' with both parts positive integers, "
+            "e.g. '8x12'"
+        )
+    _NEARDUP_BANDS, _NEARDUP_ROWS = int(_m.group(1)), int(_m.group(2))
 _NEARDUP_PLANES = similarity.hyperplanes(EMB_DIM, n_planes=_NEARDUP_BANDS * _NEARDUP_ROWS, seed=42)
 
 

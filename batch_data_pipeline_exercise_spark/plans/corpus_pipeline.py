@@ -579,7 +579,7 @@ class CorpusPipeline:
                 # the first row); skip the stage, leave the index as-is
                 return self._finish(
                     kept, ds, None, lsh_union, obs_in, obs_sh, emb_stats,
-                    emb_ids=embeddings.select("doc_id"),
+                    emb_ids=embeddings.select("doc_id"), partial_ids=partial_ids,
                 )
             try:
                 epairs, sign_union = similarity.incremental_embedding_pairs(
@@ -622,11 +622,38 @@ class CorpusPipeline:
         return self._finish(
             kept, ds, sign_rows, lsh_union, obs_in, obs_sh, emb_stats,
             emb_ids=embeddings.select("doc_id") if embeddings is not None else None,
+            partial_ids=partial_ids,
         )
 
     def _finish(
-        self, kept, ds, sign_rows, lsh_union, obs_in, obs_sh, emb_stats, emb_ids=None
+        self, kept, ds, sign_rows, lsh_union, obs_in, obs_sh, emb_stats,
+        emb_ids=None, partial_ids=None,
     ) -> dict:
+        # crash-replay reconciliation guard (r13 advice): healing assumes
+        # the retry re-supplies the same input for the partial ds — the
+        # deterministic operators then reproduce the crashed run's
+        # survivors and append_once fills only the missing layers. A
+        # retry with DIFFERENT input would silently MIX the old partial
+        # DOCS rows with the new survivor set (append_once fills gaps,
+        # it never reconciles). Cheap detector: every already-persisted
+        # partial doc_id must reappear in the recomputed survivors
+        # (recomputed ⊇ partial; equality when the crashed run finished
+        # its DOCS write). Divergence is a contract breach, not healable.
+        if partial_ids is not None:
+            orphaned = partial_ids.join(
+                kept.select("doc_id"), "doc_id", "left_anti"
+            )
+            n_orphaned = orphaned.count()
+            if n_orphaned:
+                sample = [r["doc_id"] for r in orphaned.limit(5).collect()]
+                raise CorpusContractError(
+                    f"crash-replay for ds={ds} recomputed a survivor set that "
+                    f"drops {n_orphaned} doc_id(s) already persisted by the "
+                    f"crashed run (sample: {sample}): the retry's input differs "
+                    "from the original run's. Re-supply the identical "
+                    "docs/embeddings increment, or drop the partial ds's rows "
+                    "before re-running with new input."
+                )
         # 5. shard + pack the day's survivors for downstream tokenization
         kept = kept.withColumn(
             "shard", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(self.n_shards)).cast("int")
@@ -653,6 +680,11 @@ class CorpusPipeline:
         if sign_rows is not None:
             self.wh.append_once(sign_rows, self.SIGN_INDEX, keys=["id"])
         self._mark(ds)
+        if partial_ids is not None:
+            # the healing masks are consumed; release the pinned
+            # localCheckpoint blocks instead of holding them for the
+            # session's lifetime (r13 advice)
+            partial_ids.unpersist()
 
         n_kept = kept.count()
         # the embedding-coverage hole, made visible: retained docs with no

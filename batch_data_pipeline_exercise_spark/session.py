@@ -85,6 +85,21 @@ _REBUILD_MANAGED_KEYS = frozenset(
     {"spark.app.name", "spark.master", "spark.sql.shuffle.partitions"}
 )
 
+#: runtime-identity keys the live session's SET list carries that must NOT
+#: be replayed into a rebuilt session: the old ephemeral driver port can
+#: fail to re-bind (aborting a long soak mid-run) and stale app identity
+#: (app.id, app.startTime) would pollute the fresh session's conf. Matched
+#: by exact name or prefix — Spark mints all of these itself at startup.
+_IDENTITY_KEYS = frozenset(
+    {"spark.driver.port", "spark.driver.host", "spark.driver.bindAddress",
+     "spark.executor.id"}
+)
+_IDENTITY_PREFIXES = ("spark.app.",)
+
+
+def _is_identity_key(key: str) -> bool:
+    return key in _IDENTITY_KEYS or key.startswith(_IDENTITY_PREFIXES)
+
 
 def session_conf_snapshot(spark: SparkSession) -> dict[str, str]:
     """Every EXPLICITLY-SET session-level conf of the live session — the
@@ -95,11 +110,15 @@ def session_conf_snapshot(spark: SparkSession) -> dict[str, str]:
     existed, a conf set after construction silently vanished at the
     first recycle (r12 verdict task 5). Non-SQL custom keys that ``SET``
     does not list (e.g. ``spark.my.app.tag``) are outside the contract —
-    they do not affect engine execution."""
+    they do not affect engine execution. Runtime-identity keys the old
+    session minted for itself (``spark.driver.port``/``host``,
+    ``spark.app.*``, ``spark.executor.id``) are excluded: they describe
+    the DEAD process, and replaying the old ephemeral port can
+    intermittently fail to bind in the rebuilt session."""
     return {
         r["key"]: r["value"]
         for r in spark.sql("SET").collect()
-        if r["key"] not in _REBUILD_MANAGED_KEYS
+        if r["key"] not in _REBUILD_MANAGED_KEYS and not _is_identity_key(r["key"])
     }
 
 

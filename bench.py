@@ -115,13 +115,63 @@ def _calibration_fn(spark):
     )
 
 
-def _run_calibration(spark, runs: int = 3) -> float:
+def _run_calibration(
+    spark, ui_url: str | None = None, runs: int = 3
+) -> tuple[float, float | None, dict[str, float] | None]:
+    """One calibration leg: min-of-``runs`` wall seconds of the probe,
+    plus (r13 verdict task 2) the leg's mean executor-CPU seconds per
+    run from the UI REST counters. Wall legs detect the box's SPEED
+    changing mid-bench; CPU legs detect the counter channel itself
+    inflating under contention — the r13 rounds saw identical-code
+    cpu_total_sec swing 115-210 s across contended runs, so an artifact
+    could be wall-suspect yet still present misleading CPU totals with
+    nothing to cross-check them against. Returns ``(wall, cpu_per_run,
+    post_totals)``; the post-leg totals double as the caller's fresh
+    counter baseline (the probe's stages must not be attributed to the
+    next query). CPU is None when the UI is off or a read fails."""
+    pre = _settled_totals(ui_url) if ui_url else None
     best = float("inf")
     for _ in range(runs):
         t0 = time.perf_counter()
         _calibration_fn(spark).write.mode("overwrite").format("noop").save()
         best = min(best, time.perf_counter() - t0)
-    return best
+    post = _settled_totals(ui_url) if ui_url else None
+    cpu = (
+        round((post["cpu"] - pre["cpu"]) / runs, 3)
+        if pre is not None and post is not None
+        else None
+    )
+    return best, cpu, post
+
+
+def _scan_probe(
+    spark, sf_dir: str, ui_url: str | None
+) -> tuple[float | None, dict[str, float] | None]:
+    """Informational scan-throughput leg (r13 verdict task 2's second
+    channel): full-width scan of lineitem to the noop sink, reported as
+    on-disk parquet MB per wall second. The numerator is the file size
+    from the filesystem, NOT the UI's ``inputBytes`` — on local files
+    that counter under-reports by ~200x (measured: 5,893 bytes for a
+    1 MB / 60k-row full scan), so per-query ``input_mb`` is indicative
+    only and useless as a rate numerator. Not folded into
+    ``calibration_suspect`` — after the first touch the file sits in
+    page cache, so the rate reads decode+memory bandwidth more than
+    disk and its quiet-box variance is wider than the CPU probe's; it
+    is a recorded channel for a human comparing rounds, not a gate.
+    Returns ``(mbps, post_totals)`` so the caller can re-baseline its
+    per-query counter deltas past the probe's stages."""
+    path = Path(sf_dir) / "lineitem.parquet"
+    size_mb = (
+        sum(p.stat().st_size for p in path.rglob("*") if p.is_file())
+        if path.is_dir()
+        else path.stat().st_size
+    ) / 2**20
+    t0 = time.perf_counter()
+    spark.read.parquet(str(path)).write.mode("overwrite").format("noop").save()
+    wall = time.perf_counter() - t0
+    post = _settled_totals(ui_url) if ui_url else None
+    mbps = round(size_mb / wall, 1) if wall > 0 else None
+    return mbps, post
 
 
 def normalized_headline(value: float, calibration: float) -> float:
@@ -142,23 +192,35 @@ CALIBRATION_MAX_SPREAD = 1.15
 #: implausibly slow), the probe wall leaves [0.2x, 5x] of the reference
 #: and value_normalized is arithmetic on a broken ruler.
 CALIBRATION_SANE_BAND = (0.2, 5.0)
+#: CPU legs disagreeing by more than this ratio mean the COUNTER channel
+#: itself is contention-inflated this run (r13 verdict task 2): the probe
+#: does identical work every leg, so its executor-CPU should be flat;
+#: quiet boxes measure <5% leg-to-leg, while the r13 contended runs saw
+#: identical-code CPU attribution swing 115->210 s (~1.8x). 1.25 sits
+#: well clear of quiet noise and well inside the observed failure.
+CALIBRATION_CPU_MAX_SPREAD = 1.25
 
 
-def calibration_fields(legs: list[float]) -> dict:
+def calibration_fields(legs: list[float], cpu_legs: list[float | None] | None = None) -> dict:
     """The artifact's calibration block from the raw probe legs —
     factored out of main() so tests pin the flag logic. ``suspect``
-    goes true when EITHER (a) the legs spread wider than
+    goes true when EITHER (a) the wall legs spread wider than
     ``CALIBRATION_MAX_SPREAD`` (the box's speed changed mid-bench:
     per-query walls were taken under conditions no single probe leg
     represents, so this artifact is noise-dominated — compare CPU
-    counters, not wall) or (b) the best leg falls outside the sane band
+    counters, not wall), (b) the best leg falls outside the sane band
     around ``CALIBRATION_REF_SEC`` (the probe itself is broken — a
     re-planned probe or an implausible box; value_normalized is then
-    untrustworthy in the other direction)."""
+    untrustworthy in the other direction), or (c) the per-leg probe
+    CPU spreads wider than ``CALIBRATION_CPU_MAX_SPREAD`` (identical
+    work should burn identical CPU; disagreement means cpu_total_sec —
+    the documented PRIMARY cross-round signal — is itself inflated by
+    contention this run). CPU legs with failed UI reads arrive as None
+    and are excluded; fewer than two readable legs asserts nothing."""
     best = min(legs)
     spread = round(max(legs) / best, 3)
     lo, hi = CALIBRATION_SANE_BAND
-    return {
+    out = {
         "calibration_sec": round(best, 3),
         "calibration_ref_sec": CALIBRATION_REF_SEC,
         "calibration_legs": [round(x, 3) for x in legs],
@@ -168,6 +230,17 @@ def calibration_fields(legs: list[float]) -> dict:
             or not (lo * CALIBRATION_REF_SEC <= best <= hi * CALIBRATION_REF_SEC)
         ),
     }
+    if cpu_legs is not None:
+        out["calibration_cpu_legs"] = [
+            None if c is None else round(c, 3) for c in cpu_legs
+        ]
+        valid = [c for c in cpu_legs if c is not None and c > 0]
+        if len(valid) >= 2:
+            cpu_spread = round(max(valid) / min(valid), 3)
+            out["calibration_cpu_spread"] = cpu_spread
+            if cpu_spread > CALIBRATION_CPU_MAX_SPREAD:
+                out["calibration_suspect"] = True
+    return out
 
 
 def _clear_session_state(spark) -> None:
@@ -217,9 +290,17 @@ def main() -> None:
     # observed speed DURING this bench, which is what min-of-3 query
     # walls measure too; the SPREAD across legs is the noise detector
     # (r12: a before/after-only probe missed mid-run contention that
-    # inflated the artifact 22% while both probe legs ran quiet).
-    calibration_legs = [_run_calibration(spark)]
-    print(json.dumps({"calibration_leg1": round(calibration_legs[0], 3)}), flush=True)
+    # inflated the artifact 22% while both probe legs ran quiet). Each
+    # leg also records its probe executor-CPU (r13 task 2: the counter
+    # channel's own health check) and an informational scan MB/s.
+    leg_wall, leg_cpu, _ = _run_calibration(spark, ui_url)
+    calibration_legs, cpu_legs = [leg_wall], [leg_cpu]
+    scan_mbps, post = _scan_probe(spark, sf_dir, ui_url)
+    scan_legs = [scan_mbps]
+    print(
+        json.dumps({"calibration_leg1": round(leg_wall, 3), "cpu": leg_cpu, "scan_mbps": scan_mbps}),
+        flush=True,
+    )
     _clear_session_state(spark)
 
     # three timed runs per query, keep the min — strips one-off codegen /
@@ -229,7 +310,7 @@ def main() -> None:
     resource: dict[str, dict[str, float]] = {}
     resource_partial = False
     prev_stale = False
-    prev = _settled_totals(ui_url)
+    prev = post if post is not None else _settled_totals(ui_url)
     mid_at = len(headline) // 2  # mid calibration leg after this many queries
     for qi, q in enumerate(headline):
         best = float("inf")
@@ -271,18 +352,42 @@ def main() -> None:
         if qi + 1 == mid_at:
             # mid-run calibration leg — the probe's stages would land in
             # the NEXT query's counter delta, so re-baseline after it
-            calibration_legs.append(_run_calibration(spark))
-            print(json.dumps({"calibration_leg_mid": round(calibration_legs[-1], 3)}), flush=True)
+            leg_wall, leg_cpu, post = _run_calibration(spark, ui_url)
+            calibration_legs.append(leg_wall)
+            cpu_legs.append(leg_cpu)
+            scan_mbps, post = _scan_probe(spark, sf_dir, ui_url)
+            scan_legs.append(scan_mbps)
+            print(
+                json.dumps({
+                    "calibration_leg_mid": round(leg_wall, 3),
+                    "cpu": leg_cpu, "scan_mbps": scan_mbps,
+                }),
+                flush=True,
+            )
             _clear_session_state(spark)
             if prev is not None:
-                prev = _settled_totals(ui_url) or prev
+                if post is None:
+                    # ADVICE r13: a transient UI failure here must not keep
+                    # the stale PRE-probe baseline — the next query's delta
+                    # would silently absorb both probes' CPU/shuffle. Mark
+                    # stale so the next delta is dropped and re-baselined,
+                    # mirroring the in-loop handling.
+                    prev_stale = True
+                    resource_partial = True
+                else:
+                    prev = post
 
     if resource_partial:
         print(json.dumps({"resource_partial": True}), flush=True)
 
     # calibration probe, final leg
-    calibration_legs.append(_run_calibration(spark))
-    cal = calibration_fields(calibration_legs)
+    leg_wall, leg_cpu, _ = _run_calibration(spark, ui_url)
+    calibration_legs.append(leg_wall)
+    cpu_legs.append(leg_cpu)
+    scan_mbps, _ = _scan_probe(spark, sf_dir, ui_url)
+    scan_legs.append(scan_mbps)
+    cal = calibration_fields(calibration_legs, cpu_legs)
+    cal["calibration_scan_mbps_legs"] = scan_legs
     calibration = cal["calibration_sec"]
 
     value = round(sum(timings.values()), 3)

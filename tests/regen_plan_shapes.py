@@ -25,7 +25,7 @@ from batch_data_pipeline_exercise_spark.plans import (  # noqa: F401,E402
     contract_ext,
 )
 from batch_data_pipeline_exercise_spark.session import get_spark  # noqa: E402
-from tests.test_plan_snapshots import FIXTURE, plan_shape  # noqa: E402
+from tests.test_plan_snapshots import FIXTURE, _pinned_names, plan_shape  # noqa: E402
 
 
 def main() -> None:
@@ -40,7 +40,7 @@ def main() -> None:
     )
     sf_dir = "/root/testdata/sf0.001"
     shapes = {}
-    for name in sorted(n for n, q in contract.REGISTRY.items() if q.bench):
+    for name in _pinned_names():
         plan = contract.REGISTRY[name].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         shapes[name] = plan_shape(plan)
         print(name, shapes[name])

@@ -67,6 +67,45 @@ def test_calibration_fields_flags_broken_probe():
     assert bench.calibration_fields([ref * hi * 0.999] * 2)["calibration_suspect"] is False
 
 
+def test_calibration_cpu_legs_flag_counter_inflation():
+    """r13 verdict task 2: the probe burns identical CPU every leg, so
+    CPU-leg disagreement beyond CALIBRATION_CPU_MAX_SPREAD means the
+    counter channel itself (cpu_total_sec — the documented primary
+    cross-round signal) is contention-inflated this run: suspect, even
+    when every WALL leg agrees (the r13 blind spot: 115 vs 210 s CPU
+    attribution on identical code, both runs wall-plausible)."""
+    ref = bench.CALIBRATION_REF_SEC
+    quiet_walls = [ref, ref * 1.02, ref * 1.05]
+    # agreeing CPU legs: not suspect, spread recorded
+    f = bench.calibration_fields(quiet_walls, [40.0, 41.0, 40.5])
+    assert f["calibration_cpu_legs"] == [40.0, 41.0, 40.5]
+    assert f["calibration_cpu_spread"] == round(41.0 / 40.0, 3)
+    assert f["calibration_suspect"] is False
+    # inflated middle CPU leg with quiet walls: suspect fires
+    f = bench.calibration_fields(quiet_walls, [40.0, 40.0 * 1.8, 41.0])
+    assert f["calibration_cpu_spread"] > bench.CALIBRATION_CPU_MAX_SPREAD
+    assert f["calibration_suspect"] is True
+
+
+def test_calibration_cpu_legs_tolerate_missing_reads():
+    """A leg whose UI read failed arrives as None: it must be excluded
+    (recorded as null, never crashing the ratio), and fewer than two
+    readable legs asserts nothing — no spread, no flag."""
+    ref = bench.CALIBRATION_REF_SEC
+    walls = [ref, ref * 1.01]
+    f = bench.calibration_fields(walls, [None, 40.0])
+    assert f["calibration_cpu_legs"] == [None, 40.0]
+    assert "calibration_cpu_spread" not in f
+    assert f["calibration_suspect"] is False
+    # two valid + one None: the None is skipped, the valid pair compared
+    f = bench.calibration_fields(walls, [40.0, None, 90.0])
+    assert f["calibration_cpu_spread"] == round(90.0 / 40.0, 3)
+    assert f["calibration_suspect"] is True
+    # omitting cpu_legs entirely keeps the pre-r14 artifact shape
+    f = bench.calibration_fields(walls)
+    assert "calibration_cpu_legs" not in f and "calibration_cpu_spread" not in f
+
+
 def test_normalization_identity():
     """``normalized_headline`` — the exact function main() emits as
     value_normalized: on a box exactly as fast as the reference,

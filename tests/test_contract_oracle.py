@@ -178,6 +178,42 @@ print(json.dumps(out))
             != _default_near_dup_count()), "override did not change the plan"
 
 
+def test_emb_sketch_env_rejects_malformed_values():
+    """Round-13 advice: a malformed BDPE_EMB_SKETCH ('8', '8x', '0x12',
+    '8x12x3', '-8x12') must fail at import with an error NAMING the env
+    var and the expected '<bands>x<rows>' form — not an opaque unpack
+    ValueError, and never a silently-degenerate zero-band sketch. Valid
+    forms (case-insensitive x, surrounding whitespace) still parse."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    probe = (
+        "from batch_data_pipeline_exercise_spark.plans import contract_ext as c;"
+        "print(c._NEARDUP_BANDS, c._NEARDUP_ROWS)"
+    )
+    env_base = __import__("os").environ
+    for bad in ("8", "8x", "x12", "0x12", "8x0", "8x12x3", "-8x12", "8.5x12", ""):
+        if not bad:
+            continue
+        r = subprocess.run(
+            [sys.executable, "-c", probe], capture_output=True, text=True,
+            cwd=repo, env={**env_base, "BDPE_EMB_SKETCH": bad},
+        )
+        assert r.returncode != 0, f"malformed {bad!r} was accepted"
+        assert "BDPE_EMB_SKETCH" in r.stderr and "<bands>x<rows>" in r.stderr, (
+            f"error for {bad!r} does not name the env var / expected form:\n"
+            + r.stderr[-500:]
+        )
+    for good, want in (("4x6", "4 6"), (" 8X12 ", "8 12")):
+        r = subprocess.run(
+            [sys.executable, "-c", probe], capture_output=True, text=True,
+            cwd=repo, env={**env_base, "BDPE_EMB_SKETCH": good},
+        )
+        assert r.returncode == 0 and r.stdout.strip() == want, (good, r.stderr[-300:])
+
+
 def _default_near_dup_count() -> int:
     """Row count of embedding_near_dup_pairs' ORACLE at the default 8x8
     sketch (DuckDB-only — no second Spark session needed; the oracle IS

@@ -559,6 +559,23 @@ def test_partial_ds_same_config_retry_self_heals(spark, corpus_wh, tmp_path, win
         assert healed == control, f"[{window}] layer {table} diverged after crash-replay"
 
 
+@pytest.mark.parametrize("window", sorted(CRASH_WINDOWS))
+def test_partial_ds_divergent_input_retry_is_refused(spark, corpus_wh, window):
+    """r13 advice: healing assumes the retry re-supplies the crashed
+    run's exact input — deterministic operators then reproduce the same
+    survivors and append_once fills the gaps. A retry with DIFFERENT
+    input (here: day 1 minus retained doc 4) would silently MIX the
+    partial DOCS rows with the new survivor set, so the reconciliation
+    guard must refuse: every already-persisted partial doc_id has to
+    reappear in the recomputed survivors."""
+    _simulate_crash(spark, corpus_wh, window)
+    cp = CorpusPipeline(spark, corpus_wh)
+    retry_docs = [(i, t) for i, t in DAY1_DOCS if i != 4]
+    retry_emb = [(i, v) for i, v in DAY1_EMB if i != 4]
+    with pytest.raises(CorpusContractError, match="crash-replay"):
+        cp.run(_df(spark, retry_docs), "2021-03-01", embeddings=_edf(spark, retry_emb))
+
+
 def test_orphan_config_without_indexes_is_rebaked(spark, corpus_wh):
     """Crash window inside _finish: the config row is written before the
     first index append, so a crash between them leaves a config that

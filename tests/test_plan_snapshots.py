@@ -52,11 +52,28 @@ def plan_shape(plan: str) -> dict[str, int]:
     return {m: plan.count(m) for m in MARKERS if plan.count(m) > 0}
 
 
+#: non-bench queries whose plan shapes are pinned anyway (r13 verdict
+#: task 7): the as-of join family has three strategies (window linear
+#: form, cogroup, pandas — operators/asof.py) and only the benched
+#: purchase_after_click_asof was fixture-covered; these two registry
+#: queries rely on the same linear (shuffle-then-window) plan staying
+#: linear, so a strategy regression must fail CI, not just slow a
+#: future sweep.
+EXTRA_PINNED = (
+    "click_purchase_attribution",
+    "purchase_after_click_1h",
+)
+
+
 def _headline_names() -> list[str]:
     return sorted(n for n, q in contract.REGISTRY.items() if q.bench)
 
 
-@pytest.mark.parametrize("name", _headline_names())
+def _pinned_names() -> list[str]:
+    return sorted(set(_headline_names()) | set(EXTRA_PINNED))
+
+
+@pytest.mark.parametrize("name", _pinned_names())
 def test_headline_plan_shape_is_pinned(spark, sf_dir, name):
     expected = json.loads(FIXTURE.read_text())
     assert name in expected, (
@@ -119,5 +136,5 @@ def test_kmeans_quantized_trainer_stays_pinned(spark, sf_dir):
 
 def test_fixture_has_no_stale_entries():
     expected = json.loads(FIXTURE.read_text())
-    stale = set(expected) - set(_headline_names())
-    assert not stale, f"fixture entries for non-bench queries: {sorted(stale)}"
+    stale = set(expected) - set(_pinned_names())
+    assert not stale, f"fixture entries for unpinned queries: {sorted(stale)}"

@@ -49,3 +49,32 @@ def test_registry_index_covers_every_query():
 
     names = {r[0] for r in _table_rows((REPO / "REGISTRY.md").read_text())}
     assert names == set(contract.REGISTRY)
+
+
+def test_registry_index_evidence_inputs_are_fresh():
+    """r13 verdict task 4: the evidence column silently lagged a round
+    (REGISTRY.md listed inputs through r12 while CORRECTNESS_r13.json
+    sat on disk). Pin freshness structurally: the generation-time input
+    list must be a prefix of the CORRECTNESS files now on disk, and at
+    most ONE unlisted file is tolerated — the current round's own
+    driver-written file, which by construction appears AFTER the
+    build's last commit and before the judge's pytest run. Two or more
+    unlisted files mean a builder skipped the regeneration step; the
+    fix is one command: python tests/gen_registry_index.py."""
+    import re
+
+    text = (REPO / "REGISTRY.md").read_text()
+    m = re.search(r"Evidence inputs read at generation time: ([^\n]+)\.", text)
+    assert m, "REGISTRY.md lost its evidence-inputs provenance line"
+    raw = m.group(1).strip()
+    listed = [] if raw == "none" else [s.strip() for s in raw.split(",")]
+    on_disk = sorted(p.name for p in REPO.glob("CORRECTNESS_r*.json"))
+    assert listed == on_disk[: len(listed)], (
+        "REGISTRY.md lists evidence inputs that are not the on-disk "
+        f"CORRECTNESS prefix: listed={listed} disk={on_disk}"
+    )
+    unlisted = on_disk[len(listed):]
+    assert len(unlisted) <= 1, (
+        f"REGISTRY.md is {len(unlisted)} rounds stale (unlisted: {unlisted}) — "
+        "run python tests/gen_registry_index.py and commit the diff"
+    )

@@ -128,6 +128,32 @@ print(json.dumps({"recycles": cp.session_recycles}))
     assert _table_content(spark, str(tmp_path / "c_plain"), "corpus_docs") is not None
 
 
+def test_conf_snapshot_excludes_runtime_identity_keys(spark):
+    """Round-13 advice: the live session's ``SET`` list carries
+    runtime-identity keys Spark minted for THIS process
+    (``spark.driver.port``/``host``, ``spark.app.id``/``startTime``,
+    ``spark.executor.id``). Replaying the dead session's ephemeral
+    driver port into a rebuilt session can intermittently fail to bind
+    (aborting a soak mid-run), so the snapshot must filter them. Two
+    assertions: the hazard is real (the live SET list DOES contain
+    identity keys), and the snapshot excludes every one of them."""
+    from batch_data_pipeline_exercise_spark.session import (
+        _is_identity_key,
+        session_conf_snapshot,
+    )
+
+    live = {r["key"] for r in spark.sql("SET").collect()}
+    assert any(_is_identity_key(k) for k in live), (
+        "expected the live SET list to carry runtime-identity keys — if "
+        "Spark stopped listing them, the filter (and this test) can go"
+    )
+    snap = session_conf_snapshot(spark)
+    leaked = sorted(k for k in snap if _is_identity_key(k))
+    assert leaked == [], f"identity keys leaked into the rebuild snapshot: {leaked}"
+    # the filter must not eat real engine confs
+    assert "spark.sql.session.timeZone" in snap
+
+
 def test_recycle_replays_extra_conf_and_runtime_sets(tmp_path):
     """Round-12 advice + r12 verdict task 5, in two steps: recycled
     sessions were originally rebuilt from only (app, master, shuffle
