@@ -552,6 +552,7 @@ def embedding_near_dup_pairs(
     dim: int | None = None,
     bucket_cap: int | None = None,
     max_candidates: int | None = None,
+    on_over_budget: str = "raise",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via MULTI-BAND sign-bit LSH
     (the minhash-band construction transplanted to random hyperplanes):
@@ -588,8 +589,33 @@ def embedding_near_dup_pairs(
     linear sketch materialization, which is the bounded cost that makes
     the quadratic join refusable at all). When the scout passes, output
     is identical to the unbudgeted call (the guard never touches the
-    plan)."""
-    vecs = banded_sign_sketch(embeddings, bands, rows_per_band, seed, id_col, vec_col, dim)
+    plan).
+
+    ``on_over_budget`` (r13 verdict task 3) chooses the guardrail's
+    over-budget behavior: ``"raise"`` (default) refuses with the sized
+    suggestion; ``"resize"`` auto-escalates — the pick the refusal
+    would only have SUGGESTED is applied instead
+    (``auto_sized_sketch_pick`` at the operator's own threshold and
+    ``SIZING_MIN_RECALL``), the sketch rebuilt, and the actual scout
+    count re-gated (content-skewed corpora can exceed the uniform
+    model; each retry raises the row floor, so the loop terminates).
+    Because resizing changes which near-threshold pairs the sketch can
+    catch, the mode is opt-in AND self-describing: every output row
+    carries a constant-key broadcast audit block — requested_bands/
+    requested_rows (the caller's pinned config), sketch_bands/
+    sketch_rows (what actually ran), sketch_resized — so a downstream
+    reader can always tell an escalated run from a pinned one. The
+    escalation never fires under budget: a "resize" run that fits at
+    the pinned config is the pinned plan plus the audit columns."""
+    if on_over_budget not in ("raise", "resize"):
+        raise ValueError(f"on_over_budget must be 'raise' or 'resize', got {on_over_budget!r}")
+    if on_over_budget == "resize" and max_candidates is None:
+        raise ValueError(
+            "on_over_budget='resize' needs max_candidates: without a budget "
+            "there is no over-budget signal to escalate on"
+        )
+    eff_bands, eff_rows, resized = bands, rows_per_band, False
+    vecs = banded_sign_sketch(embeddings, eff_bands, eff_rows, seed, id_col, vec_col, dim)
     bk = _explode_band_keys(vecs)
     # ONE sizing probe feeds BOTH downstream gates (round-10: every
     # extra Spark action costs a fixed ~2-5 executor-CPU s on a 32-way
@@ -603,9 +629,33 @@ def embedding_near_dup_pairs(
     # occupancy scan (no bucket can need splitting at tiny n) and
     # (b) whether the pinned vectors fit the verify broadcast gate.
     if max_candidates is not None:
+        p = cosine_collision_p(threshold)
+        row = _occupancy_summary(bk, eff_bands).first()
+        # auto-escalation loop: apply the sized pick instead of refusing,
+        # then re-gate the ACTUAL count at the new config. Bounded — the
+        # row floor strictly increases per retry and the pick raises when
+        # it runs out of rows; 4 attempts is already past any plausible
+        # model-vs-content skew (each +1 row halves expected occupancy).
+        attempts = 4
+        while (
+            on_over_budget == "resize"
+            and attempts > 0
+            and (row["candidate_pairs"] or 0) > max_candidates
+            and (row["n_vectors"] or 0) > 0
+        ):
+            eff_bands, eff_rows, _rec = auto_sized_sketch_pick(
+                row["n_vectors"], max_candidates, p, min_rows=eff_rows + 1
+            )
+            resized = True
+            vecs = banded_sign_sketch(
+                embeddings, eff_bands, eff_rows, seed, id_col, vec_col, dim
+            )
+            bk = _explode_band_keys(vecs)
+            row = _occupancy_summary(bk, eff_bands).first()
+            attempts -= 1
         s = _check_candidate_budget(
-            _occupancy_summary(bk, bands), max_candidates, bands, rows_per_band,
-            p=cosine_collision_p(threshold),
+            row, max_candidates, eff_bands, eff_rows,
+            p=p,
             threshold_label=f"cosine >= {threshold}",
         )
         n = s["n_vectors"] or 0
@@ -627,7 +677,23 @@ def embedding_near_dup_pairs(
             n_exact = n_probe if n_probe <= probe_cap else None
             do_broadcast = n_probe <= threshold_rows
     cand = _bucketed_self_pairs(bk, bucket_cap, n_rows=n_exact).distinct()
-    return _verify_cosine_pairs(cand, vecs, threshold, broadcast=do_broadcast)
+    out = _verify_cosine_pairs(cand, vecs, threshold, broadcast=do_broadcast)
+    if on_over_budget == "resize":
+        # self-describing escalation: the pick rides the output as a
+        # constant-key broadcast HASH join (the ivf audit pattern,
+        # plans/contract_ext.py) — 5 tiny columns, keyed so the
+        # plan-quality CI's no-BNLJ rule holds
+        audit = embeddings.sparkSession.createDataFrame(
+            [(bands, rows_per_band, eff_bands, eff_rows, resized)],
+            "requested_bands int, requested_rows int, "
+            "sketch_bands int, sketch_rows int, sketch_resized boolean",
+        )
+        out = (
+            out.withColumn("__one", F.lit(1))
+            .join(F.broadcast(audit.withColumn("__one", F.lit(1))), "__one")
+            .drop("__one")
+        )
+    return out
 
 
 
@@ -783,6 +849,61 @@ def bands_rows_for(
     return best
 
 
+def auto_sized_sketch_pick(
+    n: int,
+    max_candidates: int,
+    p: float,
+    min_recall: float = SIZING_MIN_RECALL,
+    min_rows: int = 1,
+    max_bands: int = 4096,
+    max_rows: int = 62,
+) -> tuple[int, int, float]:
+    """Cheapest ``(bands, rows_per_band, predicted_recall)`` whose
+    EXPECTED per-band collision count fits ``max_candidates`` — the
+    sizing solve behind the auto-escalation path (r13 verdict task 3).
+
+    ``bands_rows_for`` sizes to a caller-chosen occupancy target; this
+    variant sizes to the caller's candidate BUDGET directly, which is
+    what the over-budget guardrail actually knows: under the uniform
+    sign-bit model, expected occupancy is n/2^rows per (band, key)
+    bucket and expected per-band collisions are bands·n·occ/2, so each
+    extra row halves the candidate volume while the recall floor sets
+    the band count (1-(1-p^r)^b >= min_recall). Scanning rows upward
+    from ``min_rows`` returns the FIRST config that fits — the
+    narrowest sketch, hence the cheapest projection pass and index.
+
+    The model is exact for sign-LSH over centered data; content-skewed
+    corpora can exceed it, which is why the caller re-gates the actual
+    scout count after resizing (and calls back here with a higher
+    ``min_rows``) instead of trusting the expectation. Raises
+    ``ValueError`` when no config within (max_bands, max_rows) holds
+    both floors — tiny budgets at low thresholds (p < 0.5 makes the
+    band growth outpace the occupancy halving)."""
+    if n <= 0:
+        raise ValueError(f"auto sizing needs a positive corpus size, got n={n}")
+    if not 0.0 < min_recall < 1.0:
+        raise ValueError(f"min_recall must be in (0, 1), got {min_recall}")
+    p = min(max(p, 1e-6), 1.0 - 1e-9)
+    for rows in range(max(1, min_rows), max_rows + 1):
+        miss = 1.0 - p**rows
+        if miss >= 1.0:  # p^rows underflowed: no band count reaches the floor
+            break
+        bands = 1 if miss <= 0.0 else max(
+            1, math.ceil(math.log(1.0 - min_recall) / math.log(miss))
+        )
+        if bands > max_bands:
+            continue
+        expected = bands * n * (n / 2.0**rows) / 2.0
+        if expected <= max_candidates:
+            return bands, rows, lsh_recall(p, bands, rows)
+    raise ValueError(
+        f"no sketch with bands <= {max_bands} and rows_per_band <= {max_rows} "
+        f"holds both recall >= {min_recall} (per-row collision p={p:.4f}) and "
+        f"expected per-band collisions <= {max_candidates:,} at n={n:,}; raise "
+        "max_candidates, relax min_recall, or shard the corpus"
+    )
+
+
 def _check_candidate_budget(
     stats_df: DataFrame,
     max_candidates: int,
@@ -811,8 +932,11 @@ def _check_candidate_budget(
 
     Returns the summary Row so a passing caller can reuse the exact
     item count it already paid one action for (e.g. to skip the sizing
-    probe) instead of relearning it with another."""
-    s = stats_df.first()
+    probe) instead of relearning it with another. ``stats_df`` may also
+    be an already-collected summary Row — the auto-escalation path
+    (r13 verdict task 3) gates each attempt off the Row it already
+    holds instead of paying a second action."""
+    s = stats_df.first() if isinstance(stats_df, DataFrame) else stats_df
     # aggregating ZERO rows yields null n/candidate_pairs — an empty
     # corpus must read as "0 candidates: under budget", not a TypeError
     # out of the None > int comparison

@@ -37,7 +37,7 @@ the 0.95 cosine threshold, so only the 7 injected vector-copies per day
 can trip the embedding stage.
 
 Usage: python tests/corpus_soak.py [out_jsonl] [--days N] [--recycle-every N]
-       [--expected-corpus-docs N]
+       [--expected-corpus-docs N] [--source path]
 
 Defaults reproduce the r9 soak (10 days, shipped default sketch, no
 recycling). The r13 variant (verdict task 7) soaks PAST day 10 with
@@ -46,8 +46,19 @@ three r12 hardening fixes (config baked only after first persist,
 pre-config-era defaults, extra_conf replay) plus the r13 conf snapshot
 had never exercised end-to-end:
 
-    python tests/corpus_soak.py evidence/CORPUS_SOAK_r13.jsonl \
+    python tests/corpus_soak.py evidence/CORPUS_SOAK_r14.jsonl \
         --days 15 --recycle-every 2 --expected-corpus-docs 8000
+
+SELF-PROVISIONING (r13 verdict task 6): the soak needs
+``days x 450`` fresh docs; sf0.1's 5,000-doc pool starves past day 11
+(the r13 first attempt fed days 12-15 only 58/14/0/0 fresh docs). A
+longer soak now provisions its own pool with ZERO manual steps: it
+scales the sf0.1 documents via ``gen_sf_scale.spliced_documents`` (the
+same decorrelation the full generator uses) into
+``/tmp/soak_docpool_x{factor}.parquet``, verifying an existing pool's
+parquet-footer row count before reuse and regenerating it otherwise —
+one command on a freshly-wiped /tmp. ``--source`` still overrides for
+soaking a specific corpus (e.g. /tmp/sf10/documents.parquet).
 
 On recycle days the session (and its UI) is rebuilt at the end of
 ``run``, so that day's executor-CPU delta is unreadable — recorded as
@@ -77,6 +88,56 @@ SRC = "/root/testdata/sf0.1/documents.parquet"
 FRESH_PER_DAY = 450
 N_EXACT, N_NEAR, N_VEC = 10, 8, 7
 N_DAYS = 10
+
+
+def _pool_rows(path) -> int:
+    """Parquet-footer row count (no data read) of a flat file or a
+    Spark-written directory."""
+    import pyarrow.parquet as pq
+
+    p = Path(path)
+    if p.is_dir():
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in sorted(p.glob("*.parquet")))
+    return pq.ParquetFile(p).metadata.num_rows
+
+
+def _provision_pool(spark, n_needed: int) -> str:
+    """Self-provisioning document pool (r13 verdict task 6): return a
+    documents parquet holding >= ``n_needed`` docs with no manual step.
+    The sf0.1 pool serves directly when big enough; otherwise the soak
+    scales it with ``gen_sf_scale.spliced_documents`` (the generator's
+    own decorrelation — dup density stays ~linear) into a /tmp pool
+    keyed by factor, verified by footer row count before reuse so a
+    truncated or stale pool regenerates instead of starving late days."""
+    base = _pool_rows(SRC)
+    if n_needed <= base:
+        return SRC
+    from pyspark.sql import functions as F  # noqa: PLC0415 — soak-only dep
+
+    from tests.gen_sf_scale import spliced_documents
+
+    factor = -(-n_needed // base)  # ceil
+    dest = f"/tmp/soak_docpool_x{factor}.parquet"
+    if Path(dest).exists():
+        try:
+            have = _pool_rows(dest)
+        except Exception:  # noqa: BLE001 — half-written pool: regenerate
+            have = 0
+        if have >= n_needed:
+            print(f"reusing pool {dest} ({have} docs)", flush=True)
+            return dest
+        print(f"pool {dest} has {have} < {n_needed} docs — regenerating", flush=True)
+    d = spark.read.parquet(SRC)
+    key_rng = d.agg(F.max("doc_id")).first()[0] + 1
+    (
+        spliced_documents(d, factor, key_rng)
+        .drop("rep")
+        .repartition(8)
+        .write.mode("overwrite")
+        .parquet(dest)
+    )
+    print(f"provisioned pool {dest} ({_pool_rows(dest)} docs for {n_needed})", flush=True)
+    return dest
 
 
 def _unit_vec(doc_id: int, dim: int = 16) -> list[float]:
@@ -183,11 +244,11 @@ def main() -> None:
     n_days = _opt("--days") or N_DAYS
     recycle_every = _opt("--recycle-every") or 0
     expected_docs = _opt("--expected-corpus-docs")
-    if "--source" in args:
-        # a >10-day soak needs a pool bigger than sf0.1's 5,000 docs
-        # (the r13 first attempt starved days 12-15 to 58/14/0/0
-        # fresh docs) — point at a scaled corpus, e.g. /tmp/sf10
-        global SRC
+    global SRC
+    explicit_source = "--source" in args
+    if explicit_source:
+        # override: soak a specific corpus (e.g. /tmp/sf10) instead of
+        # the self-provisioned pool
         i = args.index("--source")
         SRC = args[i + 1]
         del args[i : i + 2]
@@ -204,6 +265,8 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     ui_url = spark.sparkContext.uiWebUrl
+    if not explicit_source:
+        SRC = _provision_pool(spark, n_days * FRESH_PER_DAY)
     days = _build_days(spark, n_days)
 
     records: list[dict] = []
@@ -243,6 +306,8 @@ def main() -> None:
         },
         "recycle_every": recycle_every,
         "session_recycles": cp.session_recycles,
+        "source_pool": SRC,
+        "source_pool_provisioned": not explicit_source and SRC != "/root/testdata/sf0.1/documents.parquet",
         "final_corpus_total": records[-1]["corpus_total"],
         "max_docs_shingled": max(r["docs_shingled"] for r in records),
         "rebuild_equal": True,

@@ -77,6 +77,38 @@ def mixture_embeddings_table(base_rows, factor: int, key_rng: int):
     )
 
 
+def spliced_documents(d: DataFrame, factor: int, key_rng: int) -> DataFrame:
+    """The documents decorrelation as a reusable builder (mirrors
+    ``mixture_embeddings_table``): replica r of a doc splices the first
+    half of its own text with the second half of a stride-chosen
+    partner's, so duplicate-pair density stays ~linear in corpus size
+    (verbatim replication would grow every dup group ``factor``x and
+    LSH pair counts quadratically — see module docstring). Replica 0 is
+    the exact source doc. Returns the scaled frame WITH the ``rep``
+    column; callers drop it before writing. Shared by the full
+    generator and the corpus soak's self-provisioned document pool
+    (``tests/corpus_soak.py``), so both scale corpora the same way."""
+    n_docs = d.count()
+    d2 = d.select(F.col("doc_id").alias("p_id"), F.col("text").alias("p_text"))
+    return (
+        replicate(d, factor)
+        .withColumn("partner", (F.col("doc_id") + F.col("rep") * 797) % F.lit(n_docs))
+        .join(d2, F.col("partner") == F.col("p_id"))
+        .withColumn(
+            "text",
+            F.when(F.col("rep") == 0, F.col("text")).otherwise(
+                F.concat(
+                    F.substring(F.col("text"), 1, 1_000_000).substr(F.lit(1), F.length("text") / 2),
+                    F.lit(" "),
+                    F.col("p_text").substr(F.length("p_text") / 2, F.lit(1_000_000)),
+                )
+            ),
+        )
+        .withColumn("n_chars", F.length("text").cast("long"))
+        .select(offset("doc_id", key_rng), "text", "lang", "source", "n_chars", "rep")
+    )
+
+
 def offset(col: str, rng: int) -> F.Column:
     return (F.col(col) + F.col("rep") * F.lit(rng)).alias(col)
 
@@ -148,26 +180,7 @@ def main() -> None:
 
     # documents: splice halves of two different docs per replica so
     # near-dup structure scales linearly (see module docstring)
-    d = load(spark, SRC, "documents")
-    n_docs = d.count()
-    d2 = d.select(F.col("doc_id").alias("p_id"), F.col("text").alias("p_text"))
-    dd = (
-        replicate(d, factor)
-        .withColumn("partner", (F.col("doc_id") + F.col("rep") * 797) % F.lit(n_docs))
-        .join(d2, F.col("partner") == F.col("p_id"))
-        .withColumn(
-            "text",
-            F.when(F.col("rep") == 0, F.col("text")).otherwise(
-                F.concat(
-                    F.substring(F.col("text"), 1, 1_000_000).substr(F.lit(1), F.length("text") / 2),
-                    F.lit(" "),
-                    F.col("p_text").substr(F.length("p_text") / 2, F.lit(1_000_000)),
-                )
-            ),
-        )
-        .withColumn("n_chars", F.length("text").cast("long"))
-        .select(offset("doc_id", rng["documents"]), "text", "lang", "source", "n_chars", "rep")
-    )
+    dd = spliced_documents(load(spark, SRC, "documents"), factor, rng["documents"])
     write(dd, "documents", 8)
 
     # embeddings: replica r of vector i = mean of i and 7 deterministic

@@ -220,7 +220,7 @@ def main() -> None:
         q for q in sorted(sized)
         if q not in done and q not in skips and (not only or q in only)
     ]
-    for sketch, qs in sorted(sweep_routing.sized_sketch_groups(sf, sized_pending).items()):
+    for sketch, qs in sorted(sweep_routing.sized_sketch_groups(sf, sized_pending, sf_dir).items()):
         print(f"routing {qs} -> child sweep at BDPE_EMB_SKETCH={sketch}", flush=True)
         env = {**os.environ, "BDPE_EMB_SKETCH": sketch, "SWEEP_ONLY": ",".join(qs)}
         env.pop("SWEEP_SHARDS", None)

@@ -141,23 +141,27 @@ class SizedSketchRoute:
     ``BDPE_EMB_SKETCH=<sketch>`` so the family is VERIFIED at scale,
     not skipped (r12 verdict task 1 — the three sf10 skips here were
     the engine's own scouted candidate cliff, not oracle
-    infeasibility)."""
+    infeasibility). The sketch VALUE is not curated (r13 verdict task
+    3): ``model_emb_sketch`` derives it per sweep from the engine's own
+    sizing model and the corpus size read off the parquet footer, so a
+    bigger corpus re-sizes itself — the same pick
+    ``similarity.bands_rows_for`` makes everywhere else."""
 
-    sketch: str
     min_sf: float
     note: str
 
 
 _SIZED_NOTE = (
     "8x8 at sf10 is the measured 806M-candidate cliff on both engines "
-    "(EMBSCALE_sf10_r09.jsonl); 8x12 is bands_rows_for(cos 0.95, recall "
-    "0.9, n=200k, occupancy 64) — the stricter of the two model picks, "
+    "(EMBSCALE_sf10_r09.jsonl); the sweep sketch is bands_rows_for(cos "
+    "0.95, recall 0.9, n=<parquet footer row count>, occupancy 64) — at "
+    "sf10's n=200k that is 8x12, the stricter of the two r12 model picks, "
     "chosen by scout: 81M candidates vs 183M at the occupancy-256 pick "
     "(6x10), with HIGHER predicted recall (0.927 vs 0.921)"
 )
 
 SIZED_SKETCH: dict[str, SizedSketchRoute] = {
-    q: SizedSketchRoute("8x12", 10.0, _SIZED_NOTE)
+    q: SizedSketchRoute(10.0, _SIZED_NOTE)
     for q in (
         "embedding_near_dup_pairs",
         "embedding_incremental_near_dups",
@@ -165,16 +169,53 @@ SIZED_SKETCH: dict[str, SizedSketchRoute] = {
     )
 }
 
+#: model arguments for the sized embedding sweep sketch — the recall
+#: anchor is the family's near-dup cosine (0.95, the level whose pairs a
+#: resize must not forfeit), occupancy 64 the scout-validated stricter
+#: pick (see _SIZED_NOTE). These are model INPUTS, not a curated output:
+#: the (bands x rows) itself comes from bands_rows_for at sweep time.
+SIZED_EMB_COS, SIZED_EMB_RECALL, SIZED_EMB_OCC = 0.95, 0.9, 64
 
-def sized_sketch_groups(sf: float, queries) -> dict[str, list[str]]:
+
+def model_emb_sketch(sf_dir: str) -> str:
+    """The '<bands>x<rows>' the sized embedding sweeps mirror through
+    ``BDPE_EMB_SKETCH`` — derived, not curated: corpus size from the
+    embeddings parquet footer (metadata only, no data read), sketch from
+    the engine's own ``bands_rows_for`` at the family's anchors. Pinned
+    for continuity in tests/test_staged_oracle_tools.py: n=200k (sf10's
+    corpus) must reproduce the r13-verified 8x12."""
+    import pyarrow.parquet as pq
+
+    from batch_data_pipeline_exercise_spark.operators import similarity
+
+    p = Path(sf_dir) / "embeddings.parquet"
+    if p.is_dir():
+        n = sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in sorted(p.glob("*.parquet"))
+        )
+    else:
+        n = pq.ParquetFile(p).metadata.num_rows
+    bands, rows, _recall = similarity.bands_rows_for(
+        SIZED_EMB_COS,
+        SIZED_EMB_RECALL,
+        n_vectors=n,
+        target_occupancy=SIZED_EMB_OCC,
+        p=similarity.cosine_collision_p(SIZED_EMB_COS),
+    )
+    return f"{bands}x{rows}"
+
+
+def sized_sketch_groups(sf: float, queries, sf_dir: str) -> dict[str, list[str]]:
     """Group the sized-routable subset of ``queries`` by sketch string —
-    one child sweep per sketch value."""
-    groups: dict[str, list[str]] = {}
-    for q in queries:
-        route = SIZED_SKETCH.get(q)
-        if route and sf >= route.min_sf:
-            groups.setdefault(route.sketch, []).append(q)
-    return groups
+    one child sweep per sketch value (one model pick per sf_dir)."""
+    routable = [
+        q for q in queries
+        if (route := SIZED_SKETCH.get(q)) and sf >= route.min_sf
+    ]
+    if not routable:
+        return {}
+    return {model_emb_sketch(sf_dir): routable}
 
 
 # ------------------------------------------------- documented divergences
@@ -329,8 +370,9 @@ def shard_split(names: list[str], n_shards: int, shard: int, sf: float) -> set[s
         route = STAGED_ORACLES.get(q)
         if sized and sf >= sized.min_sf:
             # the sized child sweep runs the whole sketch group in one
-            # process (it owns the BDPE_EMB_SKETCH env for its family)
-            key = f"sized:{sized.sketch}"
+            # process (it owns the BDPE_EMB_SKETCH env for its family;
+            # one model pick per sf_dir, so one group)
+            key = "sized:emb"
         elif route and sf >= route.min_sf:
             key = f"group:{route.runner}:{route.group}"
         else:

@@ -576,6 +576,77 @@ def test_partial_ds_divergent_input_retry_is_refused(spark, corpus_wh, window):
         cp.run(_df(spark, retry_docs), "2021-03-01", embeddings=_edf(spark, retry_emb))
 
 
+#: compaction (= Warehouse.overwrite) is a temp-write + two-rename swap:
+#: write __tmp -> rename target aside to __bak -> rename __tmp in ->
+#: drop __bak. A kill at each boundary leaves a distinct on-disk state;
+#: _recover (run by every read/exists) must make all three invisible.
+COMPACTION_CRASH_WINDOWS = ("after_tmp_write", "after_target_aside", "before_bak_delete")
+
+
+def _crash_compaction(spark, wh_root: str, table: str, window: str) -> None:
+    """Reproduce the exact on-disk state of a ``Warehouse.compact`` (its
+    ``overwrite`` swap) killed at ``window``, by performing the
+    documented sequence up to that point with the real rename calls."""
+    from batch_data_pipeline_exercise_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, wh_root)
+    parts = wh.partition_columns(table)
+    df = wh.read(table, merge_schema=True).repartition(2)
+    target, tmp, bak = wh.path(table), wh.path(table) + "__tmp", wh.path(table) + "__bak"
+    w = df.write.mode("overwrite")
+    if parts:
+        w = w.partitionBy(*parts)
+    w.parquet(tmp)  # step 1: the compacted rewrite lands in __tmp
+    if window == "after_tmp_write":
+        return
+    P, fs = wh._fs(target)
+    assert fs.rename(P(target), P(bak))  # step 2: old data moved aside
+    if window == "after_target_aside":
+        return
+    assert fs.rename(P(tmp), P(target))  # step 3: new data moved in
+    # window "before_bak_delete": killed before the final cleanup
+
+
+@pytest.mark.parametrize("window", COMPACTION_CRASH_WINDOWS)
+@pytest.mark.parametrize("table", [CorpusPipeline.DOCS, CorpusPipeline.FINGERPRINTS])
+def test_crash_mid_compaction_self_heals(spark, corpus_wh, tmp_path, window, table):
+    """r13 verdict task 5: the soak's nightly compaction rewrites
+    multi-ds layer files through the overwrite swap; the crash-window
+    coverage stopped at the _finish persist order and never exercised
+    it. Kill the swap at each boundary — on both a ds-partitioned layer
+    (DOCS) and a flat one (FINGERPRINTS) — then prove the pipeline
+    carries on as if nothing happened: the next day's run and a retried
+    maintain() leave every layer logically identical to a never-crashed
+    control (rebuild_equal), with no stale __tmp/__bak residue left to
+    confuse a later swap."""
+    cp = CorpusPipeline(spark, corpus_wh)
+    cp.run(_df(spark, DAY1_DOCS), "2021-03-01", embeddings=_edf(spark, DAY1_EMB))
+    _crash_compaction(spark, corpus_wh, table, window)
+
+    # the crashed swap must be invisible: day 2 runs, a retried
+    # compaction completes
+    s2 = cp.run(_df(spark, DAY2_DOCS), "2021-03-02", embeddings=_edf(spark, DAY2_EMB))
+    assert s2["docs_kept"] == 1
+    cp.wh.compact(table, target_partitions=1)
+
+    ctl = CorpusPipeline(spark, str(tmp_path / "ctl_wh"))
+    ctl.run(_df(spark, DAY1_DOCS), "2021-03-01", embeddings=_edf(spark, DAY1_EMB))
+    ctl.run(_df(spark, DAY2_DOCS), "2021-03-02", embeddings=_edf(spark, DAY2_EMB))
+    for t in CorpusPipeline.MAINTAINED_TABLES:
+        healed = sorted(map(tuple, cp.wh.read(t).collect()))
+        control = sorted(map(tuple, ctl.wh.read(t).collect()))
+        assert healed == control, (
+            f"[{table}/{window}] layer {t} diverged after mid-compaction crash"
+        )
+    # the retried swap cleaned its own residue (a stale __bak would be
+    # data the next overwrite silently deletes; a stale __tmp is dead
+    # weight the next overwrite replaces — neither should survive a
+    # completed retry)
+    P, fs = cp.wh._fs(cp.wh.path(table))
+    assert not fs.exists(P(cp.wh.path(table) + "__bak"))
+    assert not fs.exists(P(cp.wh.path(table) + "__tmp"))
+
+
 def test_orphan_config_without_indexes_is_rebaked(spark, corpus_wh):
     """Crash window inside _finish: the config row is written before the
     first index append, so a crash between them leaves a config that

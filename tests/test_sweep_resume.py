@@ -67,7 +67,22 @@ def test_sf_inference(monkeypatch):
     assert sr.infer_sf("/data/whatever") == 7.0
 
 
-def test_routing_thresholds():
+def _fake_sf_dir(tmp_path, n_embeddings: int) -> str:
+    """An sf-dir stub holding only an embeddings.parquet whose FOOTER
+    says n rows — model_emb_sketch reads metadata only, so this pins the
+    model pick without generating real vectors."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tmp_path.mkdir(parents=True, exist_ok=True)
+    pq.write_table(
+        pa.table({"vec_id": pa.array(range(n_embeddings), type=pa.int64())}),
+        tmp_path / "embeddings.parquet",
+    )
+    return str(tmp_path)
+
+
+def test_routing_thresholds(tmp_path):
     """Staged routes and known skips engage at the measured cliffs: the
     minhash family monolithic oracles die at sf3 (ENOSPC), the quadratic
     brute-force differentials at sf10."""
@@ -88,9 +103,18 @@ def test_routing_thresholds():
     for q in ("embedding_near_dup_pairs", "embedding_incremental_near_dups",
               "embedding_dedup_survivors"):
         assert q not in sr.auto_skips(10.0)
-    assert not sr.sized_sketch_groups(3.0, sr.SIZED_SKETCH)
-    g10 = sr.sized_sketch_groups(10.0, sr.SIZED_SKETCH)
+    sf10ish = _fake_sf_dir(tmp_path, 200_000)  # sf10's embedding corpus size
+    assert not sr.sized_sketch_groups(3.0, sr.SIZED_SKETCH, sf10ish)
+    g10 = sr.sized_sketch_groups(10.0, sr.SIZED_SKETCH, sf10ish)
+    # the pick is MODEL-DERIVED (r13 verdict task 3), not curated: at
+    # n=200k it must reproduce the 8x12 the r13 sf10 sweep verified
+    # (evidence/SWEEP_sf10_r13.jsonl — continuity pin), and a 10x corpus
+    # must re-size itself upward without anyone editing a constant
     assert sorted(g10) == ["8x12"] and len(g10["8x12"]) == 3
+    assert sr.model_emb_sketch(sf10ish) == "8x12"
+    bigger = sr.model_emb_sketch(_fake_sf_dir(tmp_path / "b", 2_000_000))
+    b_bands, b_rows = (int(x) for x in bigger.split("x"))
+    assert b_rows > 12, f"10x the corpus must deepen the sketch, got {bigger}"
     # survivors: staged-labelprop route from sf1 still holds (the sized
     # child inherits it, so the recursive-CTE oracle never runs at scale)
     assert "embedding_dedup_survivors" not in sr.auto_skips(3.0)
