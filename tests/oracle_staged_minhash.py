@@ -77,7 +77,10 @@ FAMILY = [
 # `GROUP BY 1,2 HAVING COUNT(*) >= 5` — which at sf3 spilled 44 GB raw
 # and died on ENOSPC inside one DuckDB pipeline.
 FAMILY5 = ["dup_graph_pagerank2", "dup_graph_triangles"]
-E_CHUNKS = 8
+# shingle-hash partition count for the staged edge build; 8 suffices at
+# sf3 (1.1e8 join pairs), sf10's 1.28e9 (measured r14) wants more and
+# smaller partial-count spills — MH_E_CHUNKS overrides
+E_CHUNKS = int(os.environ.get("MH_E_CHUNKS", "8"))
 
 # the exact module constants the oracles are composed from; stripping
 # them (plus their list separator) leaves each query's own tail

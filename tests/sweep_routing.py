@@ -101,33 +101,20 @@ STAGED_ORACLES: dict[str, StagedRoute] = {
 
 # ------------------------------------------------------------------ skips
 
-# query -> (min_sf, reason). All reasons carry the r9/r10 measurements
-# that justify them; SWEEP_SKIP env entries override these.
-KNOWN_SKIPS: dict[str, tuple[float, str]] = {
-    "ann_cosine_topk": (
-        10.0,
-        "DuckDB brute-force oracle is 600k x 600k = 3.6e11 cosine pairs at "
-        "sf10; exact at sf1 (r07) and sf3 (r10)",
-    ),
-    "ann_cosine_topk_ivf": (
-        10.0,
-        "same quadratic DuckDB baseline at sf10; exact at sf3",
-    ),
-    "ann_cosine_topk_lsh": (
-        10.0,
-        "same quadratic DuckDB verify baseline at sf10; exact at sf3",
-    ),
-    "dup_graph_pagerank2": (
-        10.0,
-        "sf10: uncapped 5-gram edge self-join quadratic on both engines at "
-        "100x; staged-oracle-exact at sf3 (STAGEDORACLE_sf3_r10.jsonl)",
-    ),
-    "dup_graph_triangles": (
-        10.0,
-        "sf10: triangle count grows cubically with clique size (50M at "
-        "sf3); staged-oracle-exact at sf3",
-    ),
-}
+# query -> (min_sf, reason). All reasons carry the measurements that
+# justify them; SWEEP_SKIP env entries override these.
+#
+# RETIRED r14 (verdict task 1 — zero skips at sf10):
+# - ann_cosine_topk / _lsh / _ivf: the "600k x 600k = 3.6e11" reason was
+#   STALE — the registered queries pin 10 query vectors (vec_id < 10),
+#   so the full oracles are 10 x n differentials. Re-measured at sf10:
+#   all three EXACT with the registered oracle text in td = 1.6 / 0.5 /
+#   8.4 s (evidence/SWEEP_sf10_r14.jsonl) — no sampling needed.
+# - dup_graph_pagerank2 / _triangles: routed to the staged minhash
+#   runner at sf10 too (STAGED_ORACLES min_sf now covers it); the edge
+#   build prices at 1.28e9 join pairs (measured r14), which the
+#   shingle-hash-chunked partial counts schedule fine.
+KNOWN_SKIPS: dict[str, tuple[float, str]] = {}
 
 # --------------------------------------------------------- sized sketches
 

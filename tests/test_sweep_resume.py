@@ -94,8 +94,15 @@ def test_routing_thresholds(tmp_path):
     assert ("oracle_staged_flagship.py", "flagship") in g3
     assert "doc_minhash_lsh_pairs" in g3[("oracle_staged_minhash.py", "minhash")]
 
-    assert "ann_cosine_topk" not in sr.auto_skips(3.0)
-    assert "ann_cosine_topk" in sr.auto_skips(10.0)
+    # r14 (verdict task 1): ZERO auto-skips at any SF — the ANN trio's
+    # "quadratic oracle" reason was stale (the registered queries pin 10
+    # query vectors; re-measured exact at sf10 with td <= 8.4 s), and
+    # the graph pair routes to the staged runner at sf10 like at sf3
+    assert not sr.auto_skips(10.0)
+    assert not sr.KNOWN_SKIPS
+    g10s = sr.staged_groups(10.0, sr.STAGED_ORACLES)
+    assert "dup_graph_pagerank2" in g10s[("oracle_staged_minhash.py", "minhash")]
+    assert "dup_graph_triangles" in g10s[("oracle_staged_minhash.py", "minhash")]
     # embedding family (r12 verdict task 1): at sf10 it is no longer
     # SKIPPED — it routes to a sized-sketch child sweep (the 8x8 cliff
     # was the engine's own scouted candidate volume, not oracle
