@@ -82,6 +82,42 @@ FAMILY5 = ["dup_graph_pagerank2", "dup_graph_triangles"]
 # smaller partial-count spills — MH_E_CHUNKS overrides
 E_CHUNKS = int(os.environ.get("MH_E_CHUNKS", "8"))
 
+# -------- triangle aggregate compare (r14, retires the last sf10 skip)
+#
+# sf10's 5-gram graph holds 50.6M edges and 1.97e9 triangles (measured
+# r14): materializing the enumeration on BOTH engines plus a symmetric
+# EXCEPT ALL would spill tens of GB each way — the real cubic blowup the
+# old skip described. But the differential does not need the rows on
+# disk: both engines reduce the SAME triangle stream to one row —
+# exact COUNT plus two order-independent modular checksums with
+# different (weights, modulus) — in bounded memory, no driver collect,
+# no parquet. Every triangle contributes to the compared value (unlike
+# a sampled-vertex oracle), and the arithmetic is exact 64-bit integer
+# on both engines: per-row terms stay under 2^63 for any doc_id <
+# 9.2e12, per-sum under rows * modulus < 2^62 for rows < 2^31. A
+# single-row disagreement flips at least one checksum unless it
+# collides mod BOTH near-2^31 primes simultaneously (~2^-62).
+# Equivalence to the full row compare is pinned at test SF in
+# tests/test_staged_oracle_tools.py. MH_TRI_AGG_MIN_SF overrides the
+# routing threshold (sf >= 10 by default; sf3's 50M rows compare fully).
+TRI_CHECKSUMS = (
+    # (c_a, c_b, c_c, modulus) — distinct weights per vertex column so
+    # a permuted triangle cannot alias the original; two independent
+    # prime moduli
+    (1_000_003, 10_007, 7_368_787, 2_147_483_647),
+    (999_983, 20_011, 5_000_011, 2_147_483_629),
+)
+
+
+def tri_agg_sql(table: str) -> str:
+    """The shared aggregate expression (ANSI SQL — runs verbatim on
+    DuckDB and Spark): COUNT(*) plus one SUM per checksum config."""
+    sums = ", ".join(
+        f"SUM((doc_a * {ca} + doc_b * {cb} + doc_c * {cc}) % {m}) AS ck{i}"
+        for i, (ca, cb, cc, m) in enumerate(TRI_CHECKSUMS)
+    )
+    return f"SELECT COUNT(*) AS n, {sums} FROM {table}"
+
 # the exact module constants the oracles are composed from; stripping
 # them (plus their list separator) leaves each query's own tail
 FRAGS = [ce._TOKS_CTE, ce._SHINGLES_CTE, ce._MH_WORDS, ce._MH_SIG, ce._CAND_CTE]
@@ -250,8 +286,40 @@ def main() -> None:
     REACH_QUERIES = {"doc_dup_clusters", "dedup_aware_split"}
     labelprop_done = False
 
-    spark = get_spark(app_name="mh-oracle-staged", master="local[32]", shuffle_partitions=32)
-    spark.sparkContext.setLogLevel("ERROR")
+    from tests.sweep_routing import infer_sf
+    tri_agg_min_sf = float(os.environ.get("MH_TRI_AGG_MIN_SF", "10"))
+    tri_agg = infer_sf(sf_dir) >= tri_agg_min_sf
+
+    # MH_SPARK_CONF: semicolon-separated k=v session confs for the
+    # evidence run (same logical plans; physical strategy only). The
+    # sf10 triangle aggregate needs the two edge joins BROADCAST —
+    # edges are 50.6M rows ≈ 800 MB, far under the 8 GB broadcast cap,
+    # and broadcasting turns the 3.66e9-row wedge stream into one
+    # pipelined pass into the partial aggregate, no wedge shuffle (the
+    # 32-thread SMJ sort of that stream is what SPILL_OOMed the r14
+    # first attempt). Recorded in the evidence record.
+    extra_conf = dict(
+        kv.split("=", 1)
+        for kv in os.environ.get("MH_SPARK_CONF", "").split(";")
+        if "=" in kv
+    ) or None
+    # MH_DRIVER_MEMORY: runner-local heap override. The sweep shard that
+    # shells out to this runner keeps its own default-sized session
+    # alive, so a global SPARK_DRIVER_MEMORY bump would double-charge
+    # the box; this scopes the bigger heap (broadcast edge relations
+    # at sf10) to the runner process alone.
+    if os.environ.get("MH_DRIVER_MEMORY"):
+        os.environ["SPARK_DRIVER_MEMORY"] = os.environ["MH_DRIVER_MEMORY"]
+
+    def _spark():
+        s = get_spark(
+            app_name="mh-oracle-staged", master="local[32]",
+            shuffle_partitions=32, extra_conf=extra_conf,
+        )
+        s.sparkContext.setLogLevel("ERROR")
+        return s
+
+    spark = _spark()
 
     # fresh-session discipline inside the runner too: one shared session
     # across the family OOMed at sf10 once the heaviest query ran first
@@ -264,10 +332,7 @@ def main() -> None:
     for q in mh_queries + g5_queries:
         if recycle_every and since_recycle >= recycle_every:
             spark.stop()
-            spark = get_spark(
-                app_name="mh-oracle-staged", master="local[32]", shuffle_partitions=32
-            )
-            spark.sparkContext.setLogLevel("ERROR")
+            spark = _spark()
             since_recycle = 0
         since_recycle += 1
         entry = contract.REGISTRY[q]
@@ -286,7 +351,38 @@ def main() -> None:
             tail = ("WITH " + o[after_e:]) if "bidir AS" in o else o[after_e:]
         else:
             tail = strip_shared(entry.oracle)
-        rec: dict = {"q": q, "mode": mode, "sf_dir": sf_dir}
+        if q == "dup_graph_triangles" and tri_agg:
+            # aggregate compare: both engines reduce the full triangle
+            # stream to (count, checksums) — see TRI_CHECKSUMS
+            rec = {"q": q, "mode": "staged-oracle-aggregate", "sf_dir": sf_dir,
+                   "checksum_cfg": [list(c) for c in TRI_CHECKSUMS]}
+            if extra_conf:
+                rec["spark_conf"] = extra_conf
+            try:
+                t0 = time.time()
+                tri = entry.fn(spark, sf_dir)
+                tri.createOrReplaceTempView("spark_tri")
+                srow = spark.sql(tri_agg_sql("spark_tri")).collect()[0]
+                rec["ts"] = round(time.time() - t0, 1)
+                t0 = time.time()
+                after_e = entry.oracle.index("SELECT e1.src")
+                con.execute(
+                    f"CREATE OR REPLACE VIEW oracle_tri AS {entry.oracle[after_e:]}"
+                )
+                orow = con.execute(tri_agg_sql("oracle_tri")).fetchone()
+                rec["td"] = round(time.time() - t0, 1)
+                svals = [int(srow["n"])] + [int(srow[f"ck{i}"]) for i in range(len(TRI_CHECKSUMS))]
+                ovals = [int(v) for v in orow]
+                rec.update({
+                    "match": svals == ovals,
+                    "n": svals[0], "n_oracle": ovals[0],
+                    "spark_checksums": svals[1:], "oracle_checksums": ovals[1:],
+                })
+            except Exception as e:  # keep going; the record carries the failure
+                rec["oracle_err"] = f"{type(e).__name__}: {e}"[:400]
+            emit(rec)
+            continue
+        rec = {"q": q, "mode": mode, "sf_dir": sf_dir}
         try:
             t0 = time.time()
             spark_dest = work / f"spark_{q}.parquet"

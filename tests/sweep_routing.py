@@ -14,10 +14,13 @@ fully-accounted evidence file:
   with parquet stage boundaries — which appends ``mode:
   "staged-oracle"`` records to the same evidence file.
 - ``KNOWN_SKIPS``: (SF, query) combinations where the DIFFERENTIAL
-  itself is infeasible or meaningless at scale (quadratic brute-force
-  DuckDB baselines, the recursive-closure degeneracy) — recorded as
-  deliberate skips with the measured reason, exactly what r10 passed
-  via the SWEEP_SKIP env var.
+  itself is infeasible at scale — EMPTY since r14 (verdict task 1):
+  the ANN trio's quadratic-oracle reason was stale (the registered
+  queries pin 10 query vectors; re-measured exact at sf10), and the
+  graph pair routes to the staged runner at every big SF, with the
+  sf10 triangle enumeration compared via exact count+checksum
+  aggregates instead of materialized rows. The mechanism stays for
+  future genuinely-infeasible combinations; SWEEP_SKIP still overrides.
 - ``SIZED_SKETCH``: queries whose registry-pinned test-scale sketch is
   the engine's own measured candidate cliff at big SF (r12 verdict
   task 1). The sweep re-invokes itself in a child process with

@@ -215,3 +215,42 @@ def test_embedding_labelprop_equals_recursive_cte_oracle(con):
     con.execute(f"CREATE OR REPLACE TABLE ver AS {ver_sql}")
     min_label_clusters(con, edges="ver", universe="embeddings", id_col="vec_id")
     assert _rows(con, SURVIVORS_TAIL) == _rows(con, oracle)
+
+
+def test_triangle_aggregate_compare_equals_row_compare(con, spark):
+    """r14 (verdict task 1): at sf10 the triangle differential compares
+    (COUNT, two modular checksums) instead of materializing 1.97e9 rows
+    per engine. Pin on sf0.001 with BOTH engines: (a) Spark's aggregate
+    of its own triangle output equals DuckDB's aggregate of the
+    registered oracle — the exact comparison the runner performs; (b)
+    the checksum detects single-row tampering (drop one triangle,
+    perturb one vertex) — the property that makes aggregate equality
+    evidence of row equality."""
+    from tests.oracle_staged_minhash import TRI_CHECKSUMS, tri_agg_sql
+
+    entry = contract.REGISTRY["dup_graph_triangles"]
+    # oracle side: full registered SQL, aggregated
+    con.execute(f"CREATE OR REPLACE VIEW oracle_tri AS {entry.oracle}")
+    ovals = [int(v) for v in con.execute(tri_agg_sql("oracle_tri")).fetchone()]
+    assert ovals[0] > 0, "test corpus has no triangles — pin is vacuous"
+    # spark side: the registry fn, aggregated with the SAME SQL text
+    entry.fn(spark, SF).createOrReplaceTempView("spark_tri")
+    srow = spark.sql(tri_agg_sql("spark_tri")).collect()[0]
+    svals = [int(srow["n"])] + [int(srow[f"ck{i}"]) for i in range(len(TRI_CHECKSUMS))]
+    assert svals == ovals
+    # tamper sensitivity: dropping any single triangle, or shifting one
+    # vertex id by one, must flip at least one compared value
+    rows = con.execute("SELECT doc_a, doc_b, doc_c FROM oracle_tri").fetchall()
+    con.execute(
+        "CREATE OR REPLACE VIEW tampered_drop AS "
+        "SELECT * FROM oracle_tri LIMIT (SELECT COUNT(*) - 1 FROM oracle_tri)"
+    )
+    assert [int(v) for v in con.execute(tri_agg_sql("tampered_drop")).fetchone()] != ovals
+    a, b, c = rows[0]
+    con.execute(
+        f"CREATE OR REPLACE VIEW tampered_shift AS "
+        f"SELECT CASE WHEN doc_a = {a} AND doc_b = {b} AND doc_c = {c} "
+        f"THEN doc_a + 1 ELSE doc_a END AS doc_a, doc_b, doc_c FROM oracle_tri"
+    )
+    tvals = [int(v) for v in con.execute(tri_agg_sql("tampered_shift")).fetchone()]
+    assert tvals[0] == ovals[0] and tvals[1:] != ovals[1:]
