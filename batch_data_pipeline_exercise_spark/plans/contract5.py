@@ -769,7 +769,7 @@ def session_bounce_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def lsh_band_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    sig = dedup.minhash_signatures(dedup.word_shingles(d, "doc_id", distinct=False), k=32)
+    sig = dedup.minhash_signatures_docs(d, "doc_id", k=32)
     bk = dedup.lsh_band_keys(sig, bands=8, rows=4)
     buckets = bk.groupBy("band", "band_key").agg(F.count(F.lit(1)).alias("c"))
     return buckets.groupBy("band").agg(
@@ -1626,7 +1626,7 @@ def daily_value_fir_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dup_graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     keys = dedup.lsh_band_keys(
-        dedup.minhash_signatures(dedup.word_shingles(d, "doc_id", distinct=False), k=32), 8, 4
+        dedup.minhash_signatures_docs(d, "doc_id", k=32), 8, 4
     )
     cand = dedup.lsh_candidate_pairs(keys)
     # one pass over cand: explode each edge to both endpoints instead of

@@ -130,7 +130,7 @@ _MH_SIG = _mh_sig_cte(32)
 )
 def doc_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    sig = dedup.minhash_signatures(dedup.word_shingles(d, "doc_id", distinct=False), k=32)
+    sig = dedup.minhash_signatures_docs(d, "doc_id", k=32)
     return sig.select(
         F.col("id").alias("doc_id"),
         F.col("sig").getItem(0).alias("sig_first"),
@@ -190,7 +190,7 @@ _CAND_CTE = _cand_cte(8, 4)
 )
 def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    sig = dedup.minhash_signatures(dedup.word_shingles(d, "doc_id", distinct=False), k=32)
+    sig = dedup.minhash_signatures_docs(d, "doc_id", k=32)
     cand = dedup.lsh_candidate_pairs(dedup.lsh_band_keys(sig, bands=8, rows=4))
     return cand
 
@@ -224,7 +224,7 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_lsh_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    sig = dedup.minhash_signatures(dedup.word_shingles(d, "doc_id", distinct=False), k=32)
+    sig = dedup.minhash_signatures_docs(d, "doc_id", k=32)
     bk = dedup.lsh_band_keys(sig, bands=8, rows=4)
     return dedup.lsh_occupancy_stats(bk, bands=8).select(
         "n_docs", "n_buckets", "max_occupancy", "candidate_pairs"
@@ -304,7 +304,7 @@ def doc_near_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    sig = dedup.minhash_signatures(dedup.word_shingles(d, "doc_id", distinct=False), k=32)
+    sig = dedup.minhash_signatures_docs(d, "doc_id", k=32)
     cand = dedup.lsh_candidate_pairs(dedup.lsh_band_keys(sig, bands=8, rows=4))
     return graph.dedup_clusters(cand, d.select("doc_id")).select("doc_id", "cluster")
 
@@ -1468,7 +1468,7 @@ def doc_incremental_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     prior_docs = d.filter(F.col("doc_id") % 5 != 0)
     new_docs = d.filter(F.col("doc_id") % 5 == 0)
     prior_keys = dedup.lsh_band_keys(
-        dedup.minhash_signatures(dedup.word_shingles(prior_docs, "doc_id", distinct=False), k=32),
+        dedup.minhash_signatures_docs(prior_docs, "doc_id", k=32),
         bands=8,
         rows=4,
     ).localCheckpoint()
@@ -1523,7 +1523,7 @@ def doc_incremental_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    sig = dedup.minhash_signatures(dedup.word_shingles(d, "doc_id", distinct=False), k=32)
+    sig = dedup.minhash_signatures_docs(d, "doc_id", k=32)
     cand = dedup.lsh_candidate_pairs(dedup.lsh_band_keys(sig, bands=8, rows=4))
     clusters = graph.dedup_clusters(cand, d.select("doc_id"))
     return sampling.with_hash_split(clusters, "cluster", _SPLIT_WEIGHTS, seed="r5").select(
