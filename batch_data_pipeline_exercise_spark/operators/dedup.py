@@ -65,23 +65,35 @@ def word_shingles(
 
     ``distinct=True`` (default) dedups per doc — required for Jaccard
     set arithmetic. Min-aggregating consumers (minhash signatures) can
-    pass ``distinct=False`` and skip that whole shuffle: the min over a
-    multiset equals the min over its support."""
+    pass ``distinct=False`` and skip that dedup: the min over a
+    multiset equals the min over its support.
+
+    The per-doc dedup is ``array_distinct`` INSIDE the row, before the
+    explode — not a post-explode ``.distinct()``. With one input row
+    per ``id_col`` (every caller: document tables keyed by doc_id) the
+    two produce the identical row set, but the global distinct pays a
+    full exchange plus two hash aggregates over every exploded shingle
+    string — measured at sf0.1 the matching 5-gram kernel spends +4.8
+    executor-CPU s there, ~70%% of the whole job (r14). The within-row
+    form dedups map-side and shuffles nothing. Callers that hold
+    several rows per id must dedup across rows themselves first."""
     # tokenize() is bound once per row (text.bind_once): referenced
     # directly from the transform lambda it would re-run the full-text
     # regex per shingle position — O(tokens²) per doc, measured 7.45 →
     # 1.97 executor-CPU s at sf0.1 for this kernel alone.
     shingles = text_ops.bind_once(
         tokenize(text_col),
-        lambda tk: F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(tk) - n, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(tk, i + 1, n)),
+        lambda tk: F.filter(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(tk) - n, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice(tk, i + 1, n)),
+            ),
+            lambda s: F.length(s) > 0,
         ),
     )
-    out = df.select(F.col(id_col).alias("id"), F.explode(shingles).alias("shingle")).filter(
-        F.length("shingle") > 0
-    )
-    return out.distinct() if distinct else out
+    if distinct:
+        shingles = F.array_distinct(shingles)
+    return df.select(F.col(id_col).alias("id"), F.explode(shingles).alias("shingle"))
 
 
 def minhash_signatures(shingles: DataFrame, k: int = 32) -> DataFrame:
@@ -492,15 +504,19 @@ def char_shingles(
     # position (same O(len²) pathology as the word-shingle kernel)
     shingles = text_ops.bind_once(
         norm,
-        lambda nm: F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(nm) - n + 1, F.lit(1))),
-            lambda i: F.substring(nm, i, n),
+        lambda nm: F.filter(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length(nm) - n + 1, F.lit(1))),
+                lambda i: F.substring(nm, i, n),
+            ),
+            lambda s: F.length(s) > 0,
         ),
     )
-    out = df.select(F.col(id_col).alias("id"), F.explode(shingles).alias("shingle")).filter(
-        F.length("shingle") > 0
-    )
-    return out.distinct() if distinct else out
+    # within-row dedup instead of a post-explode global distinct — same
+    # rows for one-row-per-id inputs, no exchange (see word_shingles)
+    if distinct:
+        shingles = F.array_distinct(shingles)
+    return df.select(F.col(id_col).alias("id"), F.explode(shingles).alias("shingle"))
 
 
 def _hex_digit_val(hexstr: Column, pos: int) -> Column:
@@ -516,9 +532,19 @@ def simhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     and bit: majority vote (+1/-1 sum ≥ 0 → 1). All md5/substring
     arithmetic → bit-identical in an SQL oracle.
     """
-    toks = df.select(F.col(id_col).alias("id"), F.explode(tokenize(text_col)).alias("tok")).filter(
-        F.length("tok") > 0
-    ).distinct()
+    # distinct tokens via within-row array_distinct — no exchange; same
+    # rows for one-row-per-id inputs (see word_shingles)
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(
+                text_ops.bind_once(
+                    tokenize(text_col),
+                    lambda tk: F.filter(tk, lambda t: F.length(t) > 0),
+                )
+            )
+        ).alias("tok"),
+    )
     h = F.md5(F.col("tok"))
     bit_sums = []
     for j in range(64):

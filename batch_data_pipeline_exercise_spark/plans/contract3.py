@@ -473,7 +473,9 @@ def train_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # branch. One max-over-gram window marks every gram that any eval
     # doc contains; the per-train-doc aggregate then needs only a
     # conditional sum. Shuffles: distinct, window on g, groupBy doc.
-    grams = d.select("doc_id", F.explode(word_ngrams("text", n)).alias("g")).distinct()
+    # per-doc distinct via array_distinct before the explode — identical
+    # rows with zero exchange (documents is one row per doc_id; r14)
+    grams = d.select("doc_id", F.explode(F.array_distinct(word_ngrams("text", n))).alias("g"))
     wg = Window.partitionBy("g")
     flagged = grams.withColumn(
         "in_eval", F.max(F.when(F.col("doc_id") % 10 == 0, 1).otherwise(0)).over(wg)

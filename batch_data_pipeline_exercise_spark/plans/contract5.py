@@ -224,9 +224,12 @@ def contamination_bloom_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pin plus the eval_grams pin below. At cluster scale this is the
     # "materialize the gram table" write between the screen's scan
     # stage and its join stages.
+    # per-doc distinct via array_distinct BEFORE the explode: identical
+    # rows (documents is one row per doc_id) with zero exchange, where
+    # the global .distinct() shuffled every exploded gram string —
+    # measured +4.8 executor-CPU s on this kernel at sf0.1 (r14)
     grams = (
-        d.select("doc_id", F.explode(text.word_ngrams("text", 5)).alias("g"))
-        .distinct()
+        d.select("doc_id", F.explode(F.array_distinct(text.word_ngrams("text", 5))).alias("g"))
         .localCheckpoint()
     )
     # eval_grams also has two consumers (Bloom build, final exact join):
@@ -888,7 +891,9 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # it per branch; a localCheckpoint papered over that), and the join
     # re-shuffled both sides. A min-over-gram window needs one shuffle
     # on g and nothing else between distinct and the final per-doc agg.
-    grams = d.select("doc_id", F.explode(text.word_ngrams("text", 5)).alias("g")).distinct()
+    grams = d.select(
+        "doc_id", F.explode(F.array_distinct(text.word_ngrams("text", 5))).alias("g")
+    )
     wg = Window.partitionBy("g")
     flagged = grams.withColumn("first_doc", F.min("doc_id").over(wg))
     novel = F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
@@ -1109,8 +1114,7 @@ def doc_incremental_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # streams; see SCALE.md pin-vs-recompute). Replaces the downstream
     # new_grams pin, which only covered one of the two consumers.
     grams = (
-        d.select("doc_id", F.explode(text.word_ngrams("text", 5)).alias("g"))
-        .distinct()
+        d.select("doc_id", F.explode(F.array_distinct(text.word_ngrams("text", 5))).alias("g"))
         .localCheckpoint()
     )
     # the stored index a production pipeline would read from the warehouse

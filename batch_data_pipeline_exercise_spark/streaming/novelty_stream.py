@@ -61,8 +61,12 @@ def fold_novelty(
     still counts as novel — see the module docstring's protocol.
     """
     grams = (
-        batch.select(F.col(id_col).alias("doc_id"), F.explode(text.word_ngrams("text", n)).alias("g"))
-        .distinct()
+        batch.select(
+            F.col(id_col).alias("doc_id"),
+            # per-doc distinct via array_distinct — no exchange; batches
+            # carry one row per doc_id (see dedup.word_shingles)
+            F.explode(F.array_distinct(text.word_ngrams("text", n))).alias("g"),
+        )
         .localCheckpoint()
     )
     first_new = grams.groupBy("g").agg(F.min("doc_id").alias("first_new"))

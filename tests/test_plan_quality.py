@@ -61,26 +61,50 @@ def unpartitioned_window_specs(plan: str) -> list[str]:
 EXPENSIVE_IN_LAMBDA = ("regexp_", "md5(", "sha1(", "sha2(", "xxhash64(", "levenshtein(", "conv(")
 
 
+def _balanced_span(text: str, start: int) -> str:
+    """The balanced-paren span beginning right after an opening paren at
+    ``start`` (newline is a hard stop — see expensive_lambda_bodies)."""
+    k, depth = start, 1
+    while k < len(text) and depth > 0 and text[k] != "\n":
+        if text[k] == "(":
+            depth += 1
+        elif text[k] == ")":
+            depth -= 1
+        k += 1
+    return text[start:k]
+
+
 def expensive_lambda_bodies(plan: str) -> list[str]:
-    """``lambdafunction(...)`` spans whose balanced-paren body mentions an
-    EXPENSIVE_IN_LAMBDA needle. A newline is a hard stop: plan-tree
-    expressions are single-line, and Spark's toString elides deep
-    subtrees with ``...`` which unbalances parens — without the stop the
-    scan swallows unrelated tree lines and false-positives on
-    expressions that are not in any lambda."""
+    """``lambdafunction(...)`` spans whose balanced-paren body contains an
+    EXPENSIVE_IN_LAMBDA call that does NOT consume a lambda variable. A
+    newline is a hard stop: plan-tree expressions are single-line, and
+    Spark's toString elides deep subtrees with ``...`` which unbalances
+    parens — without the stop the scan swallows unrelated tree lines and
+    false-positives on expressions that are not in any lambda.
+
+    The lambda-variable check is the point of the lint: an expensive
+    subtree that ignores the lambda variable is a BOUND-ONCE candidate
+    re-evaluated per array element (the O(len²) pathology text.bind_once
+    fixes), while e.g. ``md5(lambda x_5)`` is legitimate per-element
+    work — the exact same digests the explode form pays per row (the r14
+    fused minhash fold does this deliberately)."""
     found, i, needle = [], 0, "lambdafunction("
     while (j := plan.find(needle, i)) >= 0:
-        k, depth = j + len(needle), 1
-        while k < len(plan) and depth > 0 and plan[k] != "\n":
-            if plan[k] == "(":
-                depth += 1
-            elif plan[k] == ")":
-                depth -= 1
-            k += 1
-        body = plan[j:k]
-        if any(n in body for n in EXPENSIVE_IN_LAMBDA):
-            found.append(body[:400])
-        i = k
+        body = needle + _balanced_span(plan, j + len(needle))
+        for n in EXPENSIVE_IN_LAMBDA:
+            # every occurrence of the expensive call inside this lambda:
+            # flag it unless its argument list references a lambda var
+            p = 0
+            while (q := body.find(n, p)) >= 0:
+                args = _balanced_span(body, q + len(n))
+                if "lambda " not in args:
+                    found.append(body[:400])
+                    break
+                p = q + len(n)
+            else:
+                continue
+            break
+        i = j + len(body)
     return found
 
 
@@ -145,7 +169,9 @@ def test_lambda_lint_catches_planted_violation(spark, wide_plan_strings):
     bad = spark.range(3).select(
         F.transform(
             F.array(F.lit("a"), F.lit("b")),
-            lambda x: F.md5(F.concat(x, F.col("id").cast("string"))),
+            # the digest IGNORES the lambda variable — a bound-once
+            # candidate re-evaluated per element, the real pathology
+            lambda x: F.concat(x, F.md5(F.col("id").cast("string"))),
         ).alias("h")
     )
     plan = bad._jdf.queryExecution().executedPlan().toString()
@@ -156,6 +182,17 @@ def test_lambda_lint_catches_planted_violation(spark, wide_plan_strings):
         F.transform(F.array(F.lit("a")), lambda x: F.concat(x, x)).alias("t"),
     )
     plan = good._jdf.queryExecution().executedPlan().toString()
+    assert not expensive_lambda_bodies(plan)
+
+    # per-ELEMENT digests consume the lambda variable — legitimate work
+    # (the r14 fused minhash fold), must NOT be flagged
+    per_element = spark.range(3).select(
+        F.transform(
+            F.array(F.lit("a"), F.lit("b")),
+            lambda x: F.md5(F.concat(x, F.col("id").cast("string"))),
+        ).alias("h")
+    )
+    plan = per_element._jdf.queryExecution().executedPlan().toString()
     assert not expensive_lambda_bodies(plan)
 
 
