@@ -666,6 +666,23 @@ def embedding_near_dup_pairs(
             threshold_rows = int(VERIFY_BROADCAST_MAX_BYTES / (width * 8 * 1.5))
             n_exact = n if n <= max(threshold_rows, SPLIT_GATE_MAX_ROWS) else None
             do_broadcast = n <= threshold_rows
+    elif dim is not None:
+        # width is known from the caller — the only open question is n,
+        # and vecs is the just-pinned checkpoint, so ONE full count over
+        # materialized blocks answers it in a single job. The dim-less
+        # probe below pays two extra actions (a first() for the width
+        # plus a global-LIMIT count that scans in up to three
+        # incremental partition waves) to learn what the caller already
+        # told us — measured at sf0.1 (r14, isolated noop-sink loop):
+        # 21.1 -> 6.4 executor-CPU s / 6.5 -> 2.5 s wall for the
+        # registry query, which passes dim.
+        threshold_rows = int(VERIFY_BROADCAST_MAX_BYTES / (dim * 8 * 1.5))
+        n_probe = vecs.count()
+        if n_probe == 0:
+            n_exact, do_broadcast = 0, False
+        else:
+            n_exact = n_probe if n_probe <= max(threshold_rows, SPLIT_GATE_MAX_ROWS) else None
+            do_broadcast = n_probe <= threshold_rows
     else:
         first = vecs.select("__v").first()
         if first is None:
