@@ -59,8 +59,21 @@ def connected_components(
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     sym = sym.localCheckpoint(eager=False)  # reused every round — pin it
-    nodes = sym.select(F.col("a").alias(id_col)).distinct()
-    labels = nodes.select(id_col, F.col(id_col).alias("comp")).localCheckpoint()
+    # Fused round 0: with every label initialized to its own id, the
+    # first propagation round's output is exactly least(id, min neighbor
+    # id) — computable in the init aggregate itself (the distinct over
+    # edge endpoints becomes a groupBy, same single shuffle), so the
+    # loop starts one full round (neighbor join + groupBy-min + label
+    # join + checkpoint + convergence count) ahead at ANY scale. Same
+    # fixpoint: min-label propagation is monotone, and this init IS the
+    # state the old round 0 produced. Measured at sf0.1 on the
+    # flagship's pair graph (209 edges / 4,479 vertices): r14 work log.
+    labels = (
+        sym.groupBy("a")
+        .agg(F.min("b").alias("__mb"))
+        .select(F.col("a").alias(id_col), F.least("a", "__mb").alias("comp"))
+        .localCheckpoint()
+    )
 
     converged = False
     for rnd in range(max_iter):
