@@ -24,11 +24,11 @@ near-dup candidate at all) are attached as singleton components with one
 final left join, never paying per-round shuffles.
 
 Each round is two bounded shuffles (neighbor join + groupBy-min; plus
-the label-lookup join once accelerating). The per-round
+the label-lookup join once accelerating). The per-round lazy
 ``localCheckpoint`` truncates the otherwise exponentially-growing
-lineage and pins convergence checks to materialized state; the
-convergence count is one scalar action per round on already-materialized
-rows — the standard shape for iterative graph processing on Spark, NOT a
+lineage; the round's convergence count is the ONE action that both
+materializes (pins) the new labels and returns the changed-row scalar —
+the standard shape for iterative graph processing on Spark, NOT a
 driver-side data loop (no row ever reaches the driver).
 """
 
@@ -68,11 +68,18 @@ def connected_components(
     # fixpoint: min-label propagation is monotone, and this init IS the
     # state the old round 0 produced. Measured at sf0.1 on the
     # flagship's pair graph (209 edges / 4,479 vertices): r14 work log.
+    # Checkpoints are LAZY (eager=False): the round's convergence count
+    # is the action that materializes (and pins) the blocks, so each
+    # round runs ONE job instead of an eager-checkpoint job plus a
+    # count job. Same serialized blocks, half the driver actions —
+    # measured on the flagship's pair graph: 4.7-5.1 → 4.2-4.4
+    # executor-CPU s, wall 1.63 → 1.30 s (r14 work log). The init
+    # checkpoint is materialized by round 0's neighbor join.
     labels = (
         sym.groupBy("a")
         .agg(F.min("b").alias("__mb"))
         .select(F.col("a").alias(id_col), F.least("a", "__mb").alias("comp"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     converged = False
@@ -100,7 +107,7 @@ def connected_components(
             best = F.least("comp", F.coalesce("__nmin", "comp"), F.coalesce("__cc", "comp"))
         new_labels = cand.select(
             id_col, best.alias("comp"), (F.col("comp") != best).alias("__changed")
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         changed = new_labels.filter("__changed").count()
         labels = new_labels.drop("__changed")
         if changed == 0:
