@@ -58,6 +58,28 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text", normalized: 
     )
 
 
+def shingle_array(text_col: str = "text", n: int = 3, distinct: bool = True) -> Column:
+    """Per-row array of word n-gram shingles — the in-row kernel behind
+    ``word_shingles`` and the fused array verify in
+    ``minhash_near_dups``. ``distinct=True`` dedups within the row
+    (set semantics for Jaccard)."""
+    # tokenize() is bound once per row (text.bind_once): referenced
+    # directly from the transform lambda it would re-run the full-text
+    # regex per shingle position — O(tokens²) per doc, measured 7.45 →
+    # 1.97 executor-CPU s at sf0.1 for this kernel alone.
+    shingles = text_ops.bind_once(
+        tokenize(text_col),
+        lambda tk: F.filter(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(tk) - n, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice(tk, i + 1, n)),
+            ),
+            lambda s: F.length(s) > 0,
+        ),
+    )
+    return F.array_distinct(shingles) if distinct else shingles
+
+
 def word_shingles(
     df: DataFrame, id_col: str, text_col: str = "text", n: int = 3, distinct: bool = True
 ) -> DataFrame:
@@ -77,23 +99,9 @@ def word_shingles(
     executor-CPU s there, ~70%% of the whole job (r14). The within-row
     form dedups map-side and shuffles nothing. Callers that hold
     several rows per id must dedup across rows themselves first."""
-    # tokenize() is bound once per row (text.bind_once): referenced
-    # directly from the transform lambda it would re-run the full-text
-    # regex per shingle position — O(tokens²) per doc, measured 7.45 →
-    # 1.97 executor-CPU s at sf0.1 for this kernel alone.
-    shingles = text_ops.bind_once(
-        tokenize(text_col),
-        lambda tk: F.filter(
-            F.transform(
-                F.sequence(F.lit(0), F.greatest(F.size(tk) - n, F.lit(0))),
-                lambda i: F.concat_ws(" ", F.slice(tk, i + 1, n)),
-            ),
-            lambda s: F.length(s) > 0,
-        ),
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(shingle_array(text_col, n, distinct)).alias("shingle")
     )
-    if distinct:
-        shingles = F.array_distinct(shingles)
-    return df.select(F.col(id_col).alias("id"), F.explode(shingles).alias("shingle"))
 
 
 def minhash_signatures(shingles: DataFrame, k: int = 32) -> DataFrame:
@@ -360,17 +368,31 @@ def minhash_near_dups(
     suggestion instead of a cluster-scale surprise). A passing scout
     changes nothing downstream.
 
-    The multiset shingle stream feeds signatures directly (min over a
-    multiset equals min over its support — no distinct shuffle); the
-    distinct SET view needed for Jaccard is rebuilt from scratch for
-    CANDIDATE DOCS ONLY (a semi-join on the pair ids prunes the corpus
-    before the second shingle pass), so the expensive full-table explode
-    happens exactly once. The candidate pair list is eagerly pinned
-    (``localCheckpoint``) before verification: ``exact_jaccard`` reuses
-    it in three joins, and un-pinned each reuse would re-execute the
-    whole signature pipeline (no exchange reuse across broadcast/shuffle
-    sides — see ``lsh_candidate_pairs``). Pair lists are tiny (real
-    corpora: ≪ 1% of docs have any candidate), so the pin is free."""
+    Verification is the FUSED ARRAY form, not the exploded
+    ``exact_jaccard``: each candidate doc's distinct shingle SET is
+    built as one in-row array (for candidate docs only — a semi-join on
+    the pair ids prunes the corpus first), and each pair joins to its
+    two docs' arrays and computes |A∩B| with one ``array_intersect``.
+    That replaces the exploded machinery (explode + pin + per-doc
+    counts groupBy + two-join shingle-equality intersection + groupBy +
+    three reassembly joins) with two equi joins and one in-row set
+    intersection per pair — measured 2× on both wall and CPU on the
+    flagship's candidate set at sf0.1, byte-identical output (same
+    integer counts, same single double division; a candidate doc's
+    shingle array is never empty — its signature exists — so the
+    inner joins drop exactly the rows the old inner joins dropped).
+    At cluster scale it also shuffles strictly fewer bytes: one array
+    per doc instead of one row per (doc, shingle) with the shingle
+    string repeated. ``exact_jaccard`` remains the entry point for
+    callers that already hold an exploded shingle relation.
+
+    The candidate pair list is eagerly pinned (``localCheckpoint``)
+    before verification: three consumers (the id semi-join and the two
+    array joins) would otherwise each re-execute the whole signature
+    pipeline (no exchange reuse across broadcast/shuffle sides — see
+    ``lsh_candidate_pairs``). The candidate docs' array table is pinned
+    too — both join sides consume it. Pair lists are tiny (real
+    corpora: ≪ 1% of docs have any candidate), so both pins are free."""
     assert k % bands == 0
     sig = minhash_signatures_docs(df, id_col, text_col, n, k)
     bk = lsh_band_keys(sig, bands, k // bands)
@@ -395,8 +417,19 @@ def minhash_near_dups(
         .distinct()
     )
     cand_docs = df.join(ids, df[id_col] == F.col("__cid"), "left_semi")
-    sh_set = word_shingles(cand_docs, id_col, text_col, n, distinct=True)
-    return exact_jaccard(cand, sh_set).filter(F.col("jaccard") >= threshold)
+    arr = cand_docs.select(
+        F.col(id_col).alias("id"), shingle_array(text_col, n, distinct=True).alias("__sh")
+    ).localCheckpoint()
+    a = arr.select(F.col("id").alias("id1"), F.col("__sh").alias("__sh1"))
+    b = arr.select(F.col("id").alias("id2"), F.col("__sh").alias("__sh2"))
+    ni = F.size(F.array_intersect("__sh1", "__sh2"))
+    n1, n2 = F.size("__sh1"), F.size("__sh2")
+    return (
+        cand.join(a, "id1")
+        .join(b, "id2")
+        .select("id1", "id2", (ni / (n1 + n2 - ni)).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def ngram_jaccard_pairs(
