@@ -1291,54 +1291,57 @@ def event_daily_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Stage-by-stage survivor funnel through the corpus-prep filters "
     "(input -> quality >= 0.6 -> +english -> exact-dedup unique) — the "
-    "yield report every data-curation run ships with. Each stage is "
-    "one scalar aggregate over the progressively-filtered doc set, "
-    "unioned into 4 rows and stamped with the input count via the "
-    "zero-key broadcast join (fractions are single exact-integer "
-    "divisions). The scored projection is pinned ONCE before the "
-    "union: Spark does no cross-branch common-subtree elimination, so "
-    "an unpinned funnel re-ran the 40-regexp scorer per stage "
-    "(measured 6 scans / 3.57 s -> 1 scan at sf0.1, SCALE.md).",
+    "yield report every data-curation run ships with. ONE multi-"
+    "aggregate pass over the scored rows computes all four stages "
+    "(conditional counts; the exact-dedup stage is count_distinct of "
+    "the dedup key among filtered rows — identical to counting min-id "
+    "representatives), exploded into 4 rows; fractions are single "
+    "exact-integer divisions. The single-pass form (r14) replaced a "
+    "pinned scored projection re-read by 4 union branches plus a "
+    "groupBy-min + join-back (itself the round-5 fix for the unpinned "
+    "funnel re-running the 40-regexp scorer per stage — 6 scans, "
+    "3.57 s at sf0.1, SCALE.md).",
 )
 def corpus_prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    # Pin the scored projection ONCE: Spark performs no common-subtree
-    # elimination across union branches, so without this each of the 4
-    # stage aggregates re-runs the 40-regexp scorer over a fresh scan
-    # (measured: 6 parquet scans, 3.57 s at sf0.1 → 1 scan, see
-    # SCALE.md). The md5 dedup key is cheap enough to carry along.
+    # ONE aggregate pass computes the whole funnel (r14): the four stage
+    # counts are conditional counts over the same scored rows, and the
+    # exact-dedup stage count equals count_distinct of the dedup key
+    # among the filtered rows (the min-id representative per key group
+    # is one row per distinct key — no groupBy + join-back needed; the
+    # oracle's JOIN-on-min form counts the same groups). The old shape
+    # pinned the scored projection (localCheckpoint) and re-read it in
+    # four union branches plus a groupBy-min + equi join; this one
+    # neither pins nor re-reads — scan → scorer → single multi-aggregate
+    # → 4 exploded rows. CPU-neutral at sf0.1 (~3.8 executor-CPU s both,
+    # scorer-dominated), wall −0.5 s, and at scale it removes a pinned
+    # full-corpus intermediate, three re-reads and one join.
     scored = text.with_lang_id(text.with_quality_score(d)).select(
-        "doc_id", F.md5(text.normalize_ws("text")).alias("k"), "quality_score", "lang_pred"
-    ).localCheckpoint()
-    qpass = scored.filter(F.col("quality_score") >= 0.6)
-    qlang = qpass.filter(F.col("lang_pred") == "en")
-    ex = qlang.select("doc_id", "k")
-    first = ex.groupBy("k").agg(F.min("doc_id").alias("m"))
-    uniq = ex.join(first, "k").filter(F.col("doc_id") == F.col("m"))
-    stages = (
-        scored.agg(F.count(F.lit(1)).alias("n_docs")).select(F.lit("input").alias("stage"), "n_docs")
-        .unionByName(
-            qpass.agg(F.count(F.lit(1)).alias("n_docs")).select(
-                F.lit("quality_pass").alias("stage"), "n_docs"
-            )
-        )
-        .unionByName(
-            qlang.agg(F.count(F.lit(1)).alias("n_docs")).select(
-                F.lit("quality_and_lang").alias("stage"), "n_docs"
-            )
-        )
-        .unionByName(
-            uniq.agg(F.count(F.lit(1)).alias("n_docs")).select(
-                F.lit("exact_unique").alias("stage"), "n_docs"
-            )
-        )
+        F.md5(text.normalize_ws("text")).alias("k"), "quality_score", "lang_pred"
     )
-    tot2 = scored.agg(F.count(F.lit(1)).alias("n_input"))
-    stamped = _stamp_global(stages, "stage", tot2, "n_input")
-    return stamped.select(
-        "stage",
-        "n_docs",
-        (F.col("n_docs").cast("double") / F.col("n_input")).alias("frac_of_input"),
+    q = F.col("quality_score") >= 0.6
+    ql = q & (F.col("lang_pred") == "en")
+    one = scored.agg(
+        F.count(F.lit(1)).alias("n_input"),
+        F.count(F.when(q, 1)).alias("n_qpass"),
+        F.count(F.when(ql, 1)).alias("n_qlang"),
+        F.count_distinct(F.when(ql, F.col("k"))).alias("n_uniq"),
+    )
+    rows = one.select(
+        "n_input",
+        F.explode(
+            F.array(
+                F.struct(F.lit("input").alias("stage"), F.col("n_input").alias("n_docs")),
+                F.struct(F.lit("quality_pass").alias("stage"), F.col("n_qpass").alias("n_docs")),
+                F.struct(F.lit("quality_and_lang").alias("stage"), F.col("n_qlang").alias("n_docs")),
+                F.struct(F.lit("exact_unique").alias("stage"), F.col("n_uniq").alias("n_docs")),
+            )
+        ).alias("s"),
+    )
+    return rows.select(
+        F.col("s.stage").alias("stage"),
+        F.col("s.n_docs").alias("n_docs"),
+        (F.col("s.n_docs").cast("double") / F.col("n_input")).alias("frac_of_input"),
     )
 
 
