@@ -215,29 +215,30 @@ def corpus_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def contamination_bloom_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    # Pin the gram table ONCE: it fans out to three consumers (the Bloom
-    # build via eval_grams, the pruned train side, and the final exact
-    # join's eval side), and Spark has no common-subtree elimination
-    # across join branches — unpinned, the tokenize→5-gram→distinct
-    # pipeline executes three times. Measured at sf0.1 (executor-CPU,
-    # min-of-3 wall): 23.5 → 16.1 CPU s and 2.31 → 1.76 s wall for this
-    # pin plus the eval_grams pin below. At cluster scale this is the
-    # "materialize the gram table" write between the screen's scan
-    # stage and its join stages.
+    # The eval (doc_id % 10 == 0) and train doc sets are DISJOINT, so
+    # the gram kernel can run once per side over its own docs — the same
+    # total kernel work as one full-table pass, with NO shared pin: the
+    # old shape materialized the entire exploded gram table
+    # (localCheckpoint) just so the eval and train branches would not
+    # re-run the kernel, paying a full write+read of every gram row.
+    # Splitting first replaces that with one extra column-pruned scan of
+    # documents (the %10 predicate is a pushable scan filter) — measured
+    # at sf0.1: 8.2-8.7 → 6.3-6.7 executor-CPU s, identical output
+    # (r14). eval_grams keeps its pin (two consumers: Bloom build and
+    # the final exact join).
     # per-doc distinct via array_distinct BEFORE the explode: identical
     # rows (documents is one row per doc_id) with zero exchange, where
     # the global .distinct() shuffled every exploded gram string —
     # measured +4.8 executor-CPU s on this kernel at sf0.1 (r14)
-    grams = (
-        d.select("doc_id", F.explode(F.array_distinct(text.word_ngrams("text", 5))).alias("g"))
-        .localCheckpoint()
-    )
-    # eval_grams also has two consumers (Bloom build, final exact join):
-    # pin the small distinct-gram side rather than shuffle it twice
+    def grams(docs):
+        return docs.select(
+            "doc_id", F.explode(F.array_distinct(text.word_ngrams("text", 5))).alias("g")
+        )
+
     eval_grams = (
-        grams.filter(F.col("doc_id") % 10 == 0).select("g").distinct().localCheckpoint()
+        grams(d.filter(F.col("doc_id") % 10 == 0)).select("g").distinct().localCheckpoint()
     )
-    train = grams.filter(F.col("doc_id") % 10 != 0)
+    train = grams(d.filter(F.col("doc_id") % 10 != 0))
     bf = bloom.bloom_build(eval_grams, "g", m_bits=1 << 18, k=3)
     pruned = bloom.bloom_prune(train, "g", bf)
     return (
