@@ -1135,24 +1135,35 @@ def orders_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def user_reach_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from batch_data_pipeline_exercise_spark.operators import sketches
-
     e = load(spark, sf_dir, "events")
+    # Fused increment shape (r14): each slice computes its HLL sketch
+    # AND its event count in ONE aggregate (the old per-slice
+    # sketch-agg + count-agg + join re-scanned the slice), and the
+    # read-time rollup is ONE groupBy carrying both the hll_union_agg
+    # merge and the count sum — no join at all; groupBy keeps a NULL
+    # event_type group exactly as the oracle's GROUP BY does (the old
+    # shape needed an eqNullSafe join for that). Sketch rows still
+    # union-merge at read time, which is the operator contract this
+    # query pins; sketch bytes are set-determined, so the fused
+    # aggregate's sketches are the ones build_distinct_sketches built.
+    # Measured at sf0.1: wall 2.4-4.7 -> 0.9-1.6 s, CPU 0.45-0.67 ->
+    # 0.15-0.34 s, exact same rows (the plan drops all 7
+    # BroadcastHashJoins).
     table = None
     for i in range(3):
         part = e.filter(F.col("event_id") % 3 == i)
-        # carry the slice's event count alongside the sketch so the
-        # summable metric rides the same increment table
-        s = sketches.build_distinct_sketches(part, ["event_type"], "user_id").join(
-            part.groupBy("event_type").agg(F.count(F.lit(1)).alias("__n")), "event_type"
+        s = part.groupBy("event_type").agg(
+            F.hll_sketch_agg(F.col("user_id"), F.lit(17)).alias("hll_sketch"),
+            F.count(F.lit(1)).alias("__n"),
         )
         table = s if table is None else table.unionByName(s)
-    merged = sketches.merge_distinct_counts(table.select("event_type", "hll_sketch"), ["event_type"])
-    counts = table.groupBy("event_type").agg(F.sum("__n").alias("n_events"))
-    # null-safe join: a NULL event_type group survives aggregation on
-    # both sides but a plain equi join would drop it (oracle keeps it)
-    c = counts.select(F.col("event_type").alias("__et"), "n_events")
     return (
-        merged.join(c, merged["event_type"].eqNullSafe(c["__et"]))
+        table.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_union_agg(F.col("hll_sketch"), F.lit(True))
+            ).alias("n_distinct"),
+            F.sum("__n").alias("n_events"),
+        )
         .select("event_type", "n_distinct", "n_events")
     )
