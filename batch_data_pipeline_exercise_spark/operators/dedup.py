@@ -144,14 +144,111 @@ def minhash_signatures(shingles: DataFrame, k: int = 32) -> DataFrame:
     return sig.select("id", F.array(*[F.col(f"h{i}") for i in range(k)]).alias("sig"))
 
 
+#: default implementation for ``minhash_signatures_docs``: "arrow" (the
+#: vectorized mapInArrow/NumPy kernel) or "sql" (the pure-JVM
+#: higher-order ``aggregate`` fold). Both are bit-identical — pinned by
+#: ``tests/test_minhash_fused.py``; the module default exists so an A/B
+#: can force either form.
+SIG_DOCS_IMPL = "arrow"
+
+
+def _sig_arrow_batches(n: int, k: int):
+    """mapInArrow kernel factory for the minhash signature (guide §4.2):
+    per batch, the normalized text arrives as ONE contiguous Arrow UTF-8
+    value buffer plus row offsets. A word n-gram INCLUDING its single
+    separating spaces is a CONTIGUOUS BYTE SLICE of that buffer (tokens
+    are single-space separated by construction), so shingles are
+    (start, end) pairs over the shared buffer — no Python string is
+    ever materialized and nothing is re-encoded. md5 runs over
+    memoryview slices; the Kirsch-Mitzenmacher fold
+    gᵢ = (w0 + i·w1) mod 2³², min over shingles, is one vectorized
+    NumPy broadcast + ``minimum.reduceat`` per row chunk. Exactly the
+    arithmetic of the JVM fold — md5 bytes are md5 bytes, and the mask
+    IS the mod — so components are bit-identical."""
+
+    def fn(batches):
+        import hashlib
+
+        import numpy as np
+        import pyarrow as pa
+
+        md5 = hashlib.md5
+        iota = np.arange(k, dtype=np.uint64)[None, :]
+        mask = np.uint64(0xFFFFFFFF)
+        for batch in batches:
+            ids = batch.column(0)
+            col = batch.column(1)
+            n_rows = len(col)
+            if n_rows == 0:
+                yield pa.RecordBatch.from_arrays(
+                    [ids, pa.array([], type=pa.list_(pa.int64()))], ["id", "sig"]
+                )
+                continue
+            bufs = col.buffers()
+            odt = np.int64 if pa.types.is_large_string(col.type) else np.int32
+            offs = np.frombuffer(bufs[1], dtype=odt)[col.offset : col.offset + n_rows + 1]
+            data = np.frombuffer(bufs[2], dtype=np.uint8)
+            mv = memoryview(bufs[2])
+            # every separator position once per batch; rows slice into it
+            sp_all = np.flatnonzero(data[offs[0] : offs[-1]] == 0x20) + int(offs[0])
+            row_sp = np.searchsorted(sp_all, offs)
+            digests = bytearray()
+            counts = np.empty(n_rows, dtype=np.int64)
+            for r in range(n_rows):
+                o0, o1 = int(offs[r]), int(offs[r + 1])
+                sp = sp_all[row_sp[r] : row_sp[r + 1]]
+                t = len(sp) + 1  # token count (input is never empty)
+                m = max(t - n, 0) + 1
+                counts[r] = m
+                if t <= n:
+                    # single shingle: the whole row
+                    digests += md5(mv[o0:o1]).digest()[:8]
+                    continue
+                # shingle i spans token i .. token i+n-1; boundaries come
+                # straight from the space positions
+                starts = np.empty(m, dtype=np.int64)
+                starts[0] = o0
+                starts[1:] = sp[:m - 1] + 1
+                ends = np.empty(m, dtype=np.int64)
+                ends[:-1] = sp[n - 1 :]
+                ends[-1] = o1
+                for i in range(m):
+                    digests += md5(mv[starts[i] : ends[i]]).digest()[:8]
+            w = np.frombuffer(bytes(digests), dtype=">u4").reshape(-1, 2).astype(np.uint64)
+            cuts = np.zeros(n_rows, dtype=np.int64)
+            np.cumsum(counts[:-1], out=cuts[1:])
+            sigs = np.empty((n_rows, k), dtype=np.int64)
+            # chunk rows so the (shingles, k) uint64 temp stays ~100 MB
+            step = max(int(200_000 // max(counts.mean(), 1.0)), 1)
+            for r0 in range(0, n_rows, step):
+                r1 = min(r0 + step, n_rows)
+                s0 = int(cuts[r0])
+                s1 = int(cuts[r1]) if r1 < n_rows else len(w)
+                g = (w[s0:s1, 0:1] + iota * w[s0:s1, 1:2]) & mask
+                sigs[r0:r1] = np.minimum.reduceat(g, cuts[r0:r1] - s0, axis=0).astype(
+                    np.int64
+                )
+            sig_arr = pa.ListArray.from_arrays(
+                pa.array(np.arange(0, (n_rows + 1) * k, k, dtype=np.int32)),
+                pa.array(sigs.ravel()),
+            )
+            yield pa.RecordBatch.from_arrays([ids, sig_arr], ["id", "sig"])
+
+    return fn
+
+
 def minhash_signatures_docs(
-    df: DataFrame, id_col: str, text_col: str = "text", n: int = 3, k: int = 32
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 32,
+    impl: str | None = None,
 ) -> DataFrame:
     """Fused ``minhash_signatures(word_shingles(df, distinct=False), k)``
-    with NO explode and NO shuffle: the whole signature is one per-row
-    projection (shingle array → md5 word pairs → single ``aggregate``
-    fold carrying all k running minima), so the plan contains zero
-    Exchange nodes where the explode form pays a full groupBy shuffle.
+    with NO explode and NO shuffle: the whole signature is one map-only
+    pass over the documents, so the plan contains zero Exchange nodes
+    where the explode form pays a full groupBy shuffle.
 
     Output contract is IDENTICAL to the explode form — ``(id, sig)``
     with one row per document that has at least one non-empty shingle,
@@ -161,17 +258,45 @@ def minhash_signatures_docs(
     the raw document table; ``minhash_signatures`` stays as the entry
     point for callers that already hold an exploded shingle relation.
 
-    Why it wins (measured at sf0.1, local[32], warm JIT, interleaved
-    A/B, r14): the explode form pays ~1.2 executor-CPU s materializing
-    1.5M shingle rows through Generate and ~3.7 s updating 32 min
-    buffers per row in the hash aggregate; the fold does the same
-    arithmetic inside one interpreted ``aggregate`` over the in-row
-    array — 6.5-8.2 → 3.3 executor-CPU s and 1.2-1.5 → 0.9 s wall for
-    the k=32 signature kernel, identical output. At cluster scale the
-    removed exchange also deletes the signature stage boundary: the
-    scan, shingling, hashing and min-fold are one map-only stage.
+    Two implementations, selected by ``impl`` (default
+    ``SIG_DOCS_IMPL``), bit-identical by construction and by test:
+
+    - ``"arrow"``: vectorized ``mapInArrow`` kernel (guide §4.2) — the
+      JVM computes the normalized text (codegen), Python slices word
+      n-grams as contiguous byte ranges of the Arrow UTF-8 buffer,
+      md5s the slices, and folds the k running minima as one NumPy
+      broadcast + ``minimum.reduceat``. Replaces the interpreted
+      higher-order fold (k min-updates per shingle, one fresh k-array
+      allocation per shingle) with native vector code; measured at
+      sf0.1 / local[32] (r14, isolated interleaved A/B): k=32
+      ~2×, k=65 ~3× less executor CPU than the SQL fold, same wall or
+      better warm.
+    - ``"sql"``: the pure-JVM form — one per-row projection (shingle
+      array → md5 word pairs → single ``aggregate`` fold carrying all
+      k running minima). Kept as the A/B baseline and for
+      environments where the Python worker boundary is unavailable.
+
+    Why the fused shape wins over the explode form regardless of impl
+    (measured r14): the explode form pays ~1.2 executor-CPU s
+    materializing 1.5M shingle rows through Generate and ~3.7 s
+    updating 32 min buffers per row in the hash aggregate — the fused
+    kernel does the same arithmetic in one map-only stage, so the
+    scan, shingling, hashing and min-fold need no stage boundary at
+    any scale.
     """
     assert k >= 1
+    impl = impl or SIG_DOCS_IMPL
+    if impl not in ("arrow", "sql"):
+        raise ValueError(f"impl must be 'arrow' or 'sql', got {impl!r}")
+    if impl == "arrow":
+        norm = text_ops.normalize_ws(text_col)
+        base = df.filter(F.length(norm) > 0).select(
+            F.col(id_col).alias("id"), norm.alias("__norm")
+        )
+        id_type = base.schema["id"].dataType.simpleString()
+        return base.mapInArrow(
+            _sig_arrow_batches(n, k), schema=f"id {id_type}, sig array<bigint>"
+        )
     L = F.lit(2 ** 32)
     shingle_arr = text_ops.bind_once(
         tokenize(text_col),
@@ -417,19 +542,47 @@ def minhash_near_dups(
         .distinct()
     )
     cand_docs = df.join(ids, df[id_col] == F.col("__cid"), "left_semi")
-    arr = cand_docs.select(
+    return verify_jaccard_arrays(cand, cand_docs, id_col, text_col, n, threshold)
+
+
+def verify_jaccard_arrays(
+    cand: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float | None = None,
+) -> DataFrame:
+    """Fused array-intersect Jaccard verify: (id1, id2, jaccard) for the
+    given candidate pairs, joined against per-doc in-row shingle SETS —
+    the 2×-cheaper replacement for the exploded ``exact_jaccard``
+    machinery (r14 work log entry 6: |A∩B| = ``size(array_intersect)``,
+    set sizes = ``size``; same integer counts, so the one double
+    division is bit-identical).
+
+    ``docs`` should already be pruned to (roughly) the docs appearing in
+    ``cand`` — callers hold that relation anyway (the flagship's
+    semi-join, the incremental pipeline's by-key fetch); extra rows only
+    waste shingling work, never change the result (the pair joins are
+    keyed). Every ``cand`` id must have a ``docs`` row with ≥ 1 shingle
+    — true for any candidate generated from a signature, which exists
+    only for docs with non-empty normalized text; the inner joins drop
+    exactly the rows the exploded form's inner count-joins dropped.
+    ``threshold`` None returns all pairs with their jaccard; a float
+    filters ``jaccard >= threshold``."""
+    arr = docs.select(
         F.col(id_col).alias("id"), shingle_array(text_col, n, distinct=True).alias("__sh")
     ).localCheckpoint()
     a = arr.select(F.col("id").alias("id1"), F.col("__sh").alias("__sh1"))
     b = arr.select(F.col("id").alias("id2"), F.col("__sh").alias("__sh2"))
     ni = F.size(F.array_intersect("__sh1", "__sh2"))
     n1, n2 = F.size("__sh1"), F.size("__sh2")
-    return (
+    out = (
         cand.join(a, "id1")
         .join(b, "id2")
         .select("id1", "id2", (ni / (n1 + n2 - ni)).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
     )
+    return out if threshold is None else out.filter(F.col("jaccard") >= threshold)
 
 
 def ngram_jaccard_pairs(

@@ -541,9 +541,12 @@ class CorpusPipeline:
                 .select("doc_id", "text")
             )
         colliding = sides.join(pair_ids, "doc_id", "left_semi")
-        sh = dedup.word_shingles(colliding, "doc_id", "text", n=3, distinct=True)
-        verified = dedup.exact_jaccard(cand, sh).filter(
-            F.col("jaccard") >= self.jaccard_threshold
+        # fused array verify (r14): per-doc in-row shingle sets +
+        # array_intersect instead of the exploded exact_jaccard — same
+        # integer counts, bit-identical jaccard, one array per doc
+        # crossing the pair joins instead of one row per (doc, shingle)
+        verified = dedup.verify_jaccard_arrays(
+            cand, colliding, "doc_id", "text", n=3, threshold=self.jaccard_threshold
         )
         kept = kept.join(
             self._dup_drops(verified, kept.select("doc_id")), "doc_id", "left_anti"
