@@ -1123,6 +1123,116 @@ def _incremental_occupancy_summary(
     )
 
 
+#: default implementation for ``banded_sign_sketch``'s projection:
+#: "arrow" (vectorized mapInArrow/NumPy kernel) or "sql" (the one-string
+#: JVM expression). Bit-identical — the dot folds run in the same
+#: element order with the same IEEE-754 double rounding per step (a
+#: strict left fold is ``np.add``-accumulation order; NumPy only
+#: reassociates in reductions, never in elementwise accumulation) and
+#: the planes are the same Python floats either way (the SQL path
+#: round-trips them exactly through repr). Pinned by
+#: ``tests/test_similarity_multimodal.py``.
+SKETCH_IMPL = "arrow"
+
+
+def _sketch_arrow_batches(dim: int, bands: int, rows_per_band: int, seed: int):
+    """mapInArrow kernel factory for the multi-band sign sketch (guide
+    §4.2): per batch the pre-cast ``array<double>`` vectors arrive as
+    one contiguous Arrow buffer; the bands × rows_per_band plane dots
+    run as ``dim`` vectorized multiply-accumulate steps over a
+    (rows, planes) accumulator — PER-ELEMENT SEQUENTIAL, so every
+    intermediate rounding matches the JVM ``aggregate`` fold exactly —
+    then sign bits pack into per-band integer keys. Replaces the
+    interpreted per-plane higher-order folds (bands·rows·dim lambda
+    evaluations per row) AND their one-time codegen/JIT warmup for the
+    multi-thousand-node expression tree.
+
+    Null vectors replicate the SQL semantics: ``__n`` NULL, every band
+    key 0 (NULL dot fails ``>= 0``). Empty vectors key to 0 too — the
+    SQL ``zip_with`` pads them against the plane with nulls, nulling
+    the fold — with ``__n`` 0.0 (the norm's ``transform`` yields an
+    empty array, folded to the 0.0 base). Ragged widths (≠ dim) raise —
+    the SQL path would silently emit null-padded-zip garbage keys for
+    those, and no engine caller can produce them (dim is probed or
+    caller-pinned)."""
+    from batch_data_pipeline_exercise_spark.operators.similarity import hyperplanes as _hp
+
+    planes = _hp(dim, bands * rows_per_band, seed)
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        P = np.array(planes, dtype=np.float64)  # (n_planes, dim)
+        pw2 = (1 << np.arange(rows_per_band, dtype=np.int64))
+        band_ids = np.arange(bands, dtype=np.int32)
+        for batch in batches:
+            ids, vcol, dcol = batch.column(0), batch.column(1), batch.column(2)
+            n = len(ids)
+            if n == 0:
+                empty_bands = pa.ListArray.from_arrays(
+                    pa.array(np.zeros(1, dtype=np.int32)),
+                    pa.StructArray.from_arrays(
+                        [pa.array([], type=pa.int32()), pa.array([], type=pa.int64())],
+                        ["band", "key"],
+                    ),
+                )
+                yield pa.RecordBatch.from_arrays(
+                    [ids, vcol, pa.array([], type=pa.float64()), empty_bands.slice(0, 0)],
+                    ["id", "__v", "__n", "__bands"],
+                )
+                continue
+            offs = np.asarray(dcol.offsets, dtype=np.int64)
+            widths = np.diff(offs)
+            null_mask = np.zeros(n, dtype=bool)
+            if dcol.null_count:
+                null_mask = ~np.asarray(dcol.is_valid())
+            ragged = (~null_mask) & (widths != dim) & (widths != 0)
+            if ragged.any():
+                raise ValueError(
+                    f"banded_sign_sketch arrow kernel: vector width(s) "
+                    f"{sorted(set(widths[ragged].tolist()))} != dim={dim}"
+                )
+            # .values is the raw child buffer; offs index into it
+            # absolutely (never .flatten(), which drops null ranges and
+            # would misalign the offsets)
+            vals = np.asarray(dcol.values, dtype=np.float64)
+            full = (~null_mask) & (widths == dim)
+            V = vals[
+                (offs[:-1][full][:, None] + np.arange(dim)[None, :]).ravel()
+            ].reshape(-1, dim)
+            acc = np.zeros((V.shape[0], P.shape[0]))
+            nrm2 = np.zeros(V.shape[0])
+            for j in range(dim):
+                # strict left fold per (row, plane): one rounded multiply
+                # + one rounded add per step, exactly the JVM fold
+                acc += V[:, j : j + 1] * P[None, :, j]
+                nrm2 += V[:, j] * V[:, j]
+            # NULL and EMPTY vectors both key to 0 in every band: the SQL
+            # zip_with pads the empty side with nulls, the null products
+            # null the fold, and CASE WHEN NULL >= 0 takes the 0 branch
+            keys = np.zeros((n, bands), dtype=np.int64)
+            keys[full] = (
+                (acc >= 0.0).reshape(-1, bands, rows_per_band) * pw2[None, None, :]
+            ).sum(axis=2, dtype=np.int64)
+            norms = np.full(n, np.nan)
+            norms[full] = np.sqrt(nrm2)
+            norms[(~null_mask) & (widths == 0)] = 0.0
+            bands_arr = pa.ListArray.from_arrays(
+                pa.array(np.arange(0, (n + 1) * bands, bands, dtype=np.int32)),
+                pa.StructArray.from_arrays(
+                    [pa.array(np.tile(band_ids, n)), pa.array(keys.ravel())],
+                    ["band", "key"],
+                ),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [ids, vcol, pa.array(norms, mask=null_mask), bands_arr],
+                ["id", "__v", "__n", "__bands"],
+            )
+
+    return fn
+
+
 def banded_sign_sketch(
     embeddings: DataFrame,
     bands: int = 8,
@@ -1131,6 +1241,7 @@ def banded_sign_sketch(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    impl: str | None = None,
 ) -> DataFrame:
     """Materialized multi-band sign sketch: (id, __v, __n, __bands) with
     __bands = array<struct<band, key>> — the persistable LSH index table
@@ -1150,8 +1261,10 @@ def banded_sign_sketch(
     bit-identical to the Column form."""
     if dim is None:
         dim = len(embeddings.select(vec_col).first()[0])
+    impl = impl or SKETCH_IMPL
+    if impl not in ("arrow", "sql"):
+        raise ValueError(f"impl must be 'arrow' or 'sql', got {impl!r}")
     v = F.col(vec_col).cast("array<double>")
-    bands_sql = _bands_sql(dim, bands, rows_per_band, seed)
     # spread BEFORE the sketch projection when the input arrives in fewer
     # partitions than cores (single-row-group files): the sketch is
     # compute-dense per row and would otherwise fold on one core. Skipped
@@ -1163,6 +1276,20 @@ def banded_sign_sketch(
     sc = embeddings.sparkSession.sparkContext
     if _plan_partition_count(embeddings) < sc.defaultParallelism:
         embeddings = embeddings.repartition(sc.defaultParallelism)
+    if impl == "arrow":
+        idt = embeddings.schema[id_col].dataType.simpleString()
+        vect = embeddings.schema[vec_col].dataType.simpleString()
+        inp = embeddings.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("__v"), v.alias("__vd")
+        )
+        return inp.mapInArrow(
+            _sketch_arrow_batches(dim, bands, rows_per_band, seed),
+            schema=(
+                f"id {idt}, __v {vect}, __n double, "
+                "__bands array<struct<band:int,key:bigint>>"
+            ),
+        ).localCheckpoint()
+    bands_sql = _bands_sql(dim, bands, rows_per_band, seed)
     return (
         embeddings.withColumn("__vd", v)
         .select(
