@@ -252,6 +252,170 @@ def word_ngrams(text_col: str = "text", n: int = 5):
     return bind_once(tokenize(text_col), build)
 
 
+#: default implementation for ``word_ngrams_exploded``: "arrow" (the
+#: vectorized mapInArrow/NumPy kernel) or "sql" (the pure-JVM
+#: explode(array_distinct(word_ngrams(...))) projection). Both produce
+#: the identical (id, gram) row set — pinned by
+#: ``tests/test_gram_kernel.py``; the module default exists so an A/B
+#: can force either form.
+GRAMS_IMPL = "arrow"
+
+
+def _grams_arrow_batches(n: int):
+    """mapInArrow kernel factory for the exploded distinct word-n-gram
+    relation (guide §4.2, same buffer-slicing trick as the minhash
+    signature kernel): the normalized text arrives as ONE contiguous
+    Arrow UTF-8 value buffer plus row offsets, and a word n-gram
+    INCLUDING its single separating spaces is a CONTIGUOUS BYTE SLICE
+    of that buffer (tokens are single-space separated by construction —
+    ``concat_ws(' ', slice(tk, i+1, n))`` over consecutive tokens of a
+    single-space-joined string IS the substring between the two token
+    boundaries, empty edge tokens included). Per batch:
+
+    - gram (start, end) pairs come from vectorized offset math over the
+      space positions (no per-gram Python),
+    - the gram string column is built with ONE vectorized byte gather,
+    - per-row DISTINCT (the ``array_distinct`` contract) runs as
+      ``dictionary_encode`` (exact byte equality, C++) + one
+      ``np.unique`` over packed (row, code) int64 keys.
+
+    Row-set contract is IDENTICAL to the SQL form: one row per distinct
+    gram per document, documents with fewer than n tokens emit nothing
+    (``word_ngrams`` drops windows past the end), NULL text emits
+    nothing (pre-filtered). Row ORDER within a partition differs (the
+    SQL form keeps first-occurrence order, this form (row, dictionary
+    code) order) — every consumer is an aggregate/join/window keyed on
+    the gram or the id, so the query results are identical; pinned by
+    ``tests/test_gram_kernel.py`` with sorted-row equality."""
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        cap = 1 << 28  # per-chunk output-bytes bound, keeps utf8 offsets int32
+        for batch in batches:
+            ids = batch.column(0)
+            col = batch.column(1)
+            n_rows = len(col)
+            if n_rows == 0:
+                continue
+            bufs = col.buffers()
+            odt = np.int64 if pa.types.is_large_string(col.type) else np.int32
+            offs = (
+                np.frombuffer(bufs[1], dtype=odt)[col.offset : col.offset + n_rows + 1]
+                .astype(np.int64)
+            )
+            data = np.frombuffer(bufs[2], dtype=np.uint8)
+            # every separator position once per batch; rows slice into it
+            sp_all = np.flatnonzero(data[offs[0] : offs[-1]] == 0x20) + int(offs[0])
+            sp_safe = sp_all if sp_all.size else np.zeros(1, dtype=np.int64)
+            row_sp = np.searchsorted(sp_all, offs)
+            nsp = np.diff(row_sp)
+            toks = nsp + 1
+            m = np.where(toks >= n, toks - n + 1, 0).astype(np.int64)
+            # chunk rows so one output value buffer stays bounded (each
+            # source byte lands in <= n grams, so n * row_bytes bounds
+            # the per-row gram bytes); almost always a single chunk
+            est = np.cumsum(n * np.diff(offs))
+            n_chunks = int(est[-1] // cap) + 1
+            bounds = np.minimum(np.searchsorted(est, cap * np.arange(1, n_chunks)) + 1, n_rows)
+            cut_rows = [0] + sorted(set(bounds.tolist()) - {0, n_rows}) + [n_rows]
+            for r0, r1 in zip(cut_rows, cut_rows[1:]):
+                mm = m[r0:r1]
+                total = int(mm.sum())
+                if total == 0:
+                    continue
+                mcum = np.zeros(r1 - r0 + 1, dtype=np.int64)
+                np.cumsum(mm, out=mcum[1:])
+                row_of = np.repeat(np.arange(r1 - r0, dtype=np.int64), mm)
+                j = np.arange(total, dtype=np.int64) - np.repeat(mcum[:-1], mm)
+                sp_base = np.repeat(row_sp[r0:r1], mm)
+                # gram i spans token i .. token i+n-1; boundaries come
+                # straight from the space positions (absolute offsets)
+                starts = np.where(
+                    j == 0,
+                    np.repeat(offs[r0:r1], mm),
+                    sp_safe[np.maximum(sp_base + j - 1, 0) % sp_safe.size] + 1,
+                )
+                t_end = j + n - 1
+                ends = np.where(
+                    t_end < np.repeat(nsp[r0:r1], mm),
+                    sp_safe[np.minimum(sp_base + t_end, sp_safe.size - 1)],
+                    np.repeat(offs[r0 + 1 : r1 + 1], mm),
+                )
+                lens = ends - starts
+                gcum = np.zeros(total + 1, dtype=np.int64)
+                np.cumsum(lens, out=gcum[1:])
+                nbytes = int(gcum[-1])
+                idx = (
+                    np.arange(nbytes, dtype=np.int64)
+                    - np.repeat(gcum[:-1], lens)
+                    + np.repeat(starts, lens)
+                )
+                garr = pa.Array.from_buffers(
+                    pa.utf8(),
+                    total,
+                    [None, pa.py_buffer(gcum.astype(np.int32)), pa.py_buffer(data[idx])],
+                )
+                denc = pc.dictionary_encode(garr)
+                codes = np.asarray(denc.indices, dtype=np.int64)
+                nuniq = len(denc.dictionary)
+                ukey = np.unique(row_of * np.int64(nuniq) + codes)
+                urow = ukey // nuniq
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        ids.slice(r0, r1 - r0).take(pa.array(urow)),
+                        denc.dictionary.take(pa.array(ukey - urow * nuniq)),
+                    ],
+                    ["id", "g"],
+                )
+
+    return fn
+
+
+def word_ngrams_exploded(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    impl: str | None = None,
+) -> DataFrame:
+    """The exploded distinct word-n-gram relation — (id_col, g), one row
+    per distinct gram per document. The SINGLE Spark-side entry point
+    behind every gram-based screen (contamination, bloom pruning,
+    novelty); the DuckDB twin stays the _GRAMS5_CTE the oracles compose.
+
+    Two implementations, selected by ``impl`` (default ``GRAMS_IMPL``),
+    identical row sets by construction and by test
+    (``tests/test_gram_kernel.py``):
+
+    - ``"arrow"``: vectorized ``mapInArrow`` kernel (guide §4.2) — the
+      JVM computes the normalized text (codegen), the kernel slices
+      grams as contiguous byte ranges of the Arrow buffer and dedups
+      per row with dictionary-encode + one np.unique. Replaces the
+      interpreted higher-order chain (transform/slice/concat_ws per
+      gram + array_distinct string compares + Generate) with native
+      vector code; map-only either way, so the plan keeps zero
+      exchanges up to the first consumer shuffle at any scale.
+    - ``"sql"``: the pure-JVM form — ``explode(array_distinct(
+      word_ngrams(...)))``. Kept as the A/B baseline and for
+      environments where the Python worker boundary is unavailable.
+    """
+    impl = impl or GRAMS_IMPL
+    if impl not in ("arrow", "sql"):
+        raise ValueError(f"impl must be 'arrow' or 'sql', got {impl!r}")
+    if impl == "sql":
+        return df.select(
+            F.col(id_col), F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("g")
+        )
+    norm = normalize_ws(text_col)
+    base = df.filter(norm.isNotNull()).select(F.col(id_col).alias("id"), norm.alias("__norm"))
+    idt = base.schema["id"].dataType.simpleString()
+    out = base.mapInArrow(_grams_arrow_batches(n), schema=f"id {idt}, g string")
+    return out.select(F.col("id").alias(id_col), "g")
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -32,7 +32,11 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from batch_data_pipeline_exercise_spark.operators.text import tokenize, word_ngrams
+from batch_data_pipeline_exercise_spark.operators.text import (
+    tokenize,
+    word_ngrams,
+    word_ngrams_exploded,
+)
 from batch_data_pipeline_exercise_spark.plans.contract import dec, load, register
 
 from batch_data_pipeline_exercise_spark.operators.text import norm_ws_sql
@@ -474,8 +478,9 @@ def train_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doc contains; the per-train-doc aggregate then needs only a
     # conditional sum. Shuffles: distinct, window on g, groupBy doc.
     # per-doc distinct via array_distinct before the explode — identical
-    # rows with zero exchange (documents is one row per doc_id; r14)
-    grams = d.select("doc_id", F.explode(F.array_distinct(word_ngrams("text", n))).alias("g"))
+    # rows with zero exchange (documents is one row per doc_id; r14) —
+    # via the arrow gram kernel (text.word_ngrams_exploded, r14)
+    grams = word_ngrams_exploded(d, "doc_id", "text", n)
     wg = Window.partitionBy("g")
     flagged = grams.withColumn(
         "in_eval", F.max(F.when(F.col("doc_id") % 10 == 0, 1).otherwise(0)).over(wg)

@@ -229,11 +229,10 @@ def contamination_bloom_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-doc distinct via array_distinct BEFORE the explode: identical
     # rows (documents is one row per doc_id) with zero exchange, where
     # the global .distinct() shuffled every exploded gram string —
-    # measured +4.8 executor-CPU s on this kernel at sf0.1 (r14)
+    # measured +4.8 executor-CPU s on this kernel at sf0.1 (r14) —
+    # via the arrow gram kernel (text.word_ngrams_exploded, r14)
     def grams(docs):
-        return docs.select(
-            "doc_id", F.explode(F.array_distinct(text.word_ngrams("text", 5))).alias("g")
-        )
+        return text.word_ngrams_exploded(docs, "doc_id", "text", 5)
 
     eval_grams = (
         grams(d.filter(F.col("doc_id") % 10 == 0)).select("g").distinct().localCheckpoint()
@@ -892,9 +891,7 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # it per branch; a localCheckpoint papered over that), and the join
     # re-shuffled both sides. A min-over-gram window needs one shuffle
     # on g and nothing else between distinct and the final per-doc agg.
-    grams = d.select(
-        "doc_id", F.explode(F.array_distinct(text.word_ngrams("text", 5))).alias("g")
-    )
+    grams = text.word_ngrams_exploded(d, "doc_id", "text", 5)
     wg = Window.partitionBy("g")
     flagged = grams.withColumn("first_doc", F.min("doc_id").over(wg))
     novel = F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
@@ -1114,10 +1111,7 @@ def doc_incremental_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct shuffle — the pin-pays case (unlike the cheap exploded
     # streams; see SCALE.md pin-vs-recompute). Replaces the downstream
     # new_grams pin, which only covered one of the two consumers.
-    grams = (
-        d.select("doc_id", F.explode(F.array_distinct(text.word_ngrams("text", 5))).alias("g"))
-        .localCheckpoint()
-    )
+    grams = text.word_ngrams_exploded(d, "doc_id", "text", 5).localCheckpoint()
     # the stored index a production pipeline would read from the warehouse
     prior_index = (
         grams.filter(F.col("doc_id") < _NOVELTY_SPLIT)
