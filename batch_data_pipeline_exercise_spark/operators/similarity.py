@@ -74,17 +74,9 @@ def cosine_topk_bruteforce(
         F.col(query_vec_col).alias("__q"),
         _norm(F.col(query_vec_col).cast("array<double>")).alias("__nq"),
     )
-    scored = (
-        F.broadcast(q)
-        .join(e, F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            (
-                _dot(F.col("__q").cast("array<double>"), F.col("__v").cast("array<double>"))
-                / (F.col("__nq") * F.col("__nv"))
-            ).alias("cosine"),
-        )
+    joined = F.broadcast(q).join(e, F.col("query_id") != F.col("neighbor_id"))
+    scored = _cosine_scored_pairs(
+        joined, "query_id", "neighbor_id", "__q", "__v", "__nq", "__nv"
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -1449,6 +1441,155 @@ def _bucketed_self_pairs(
 VERIFY_BROADCAST_MAX_BYTES = 256 * 2**20
 
 
+#: default implementation for the pairwise-cosine scoring projection
+#: (``_verify_cosine_pairs``, ``cosine_topk_bruteforce``): "arrow" (the
+#: vectorized mapInArrow/NumPy kernel) or "sql" (the interpreted
+#: ``aggregate``/``zip_with`` fold). Bit-identical — the kernel
+#: accumulates the dot ELEMENTWISE-SEQUENTIALLY per (row, dim) step
+#: (the entry-12 pattern: one rounded multiply + one rounded add per
+#: step, exactly the JVM left fold; NumPy only reassociates in
+#: reductions like reduceat/sum, which are deliberately NOT used) and
+#: the division cosine = dot / (na * nb) is the same two double ops.
+#: Pinned by ``tests/test_cosine_kernel.py``.
+COSINE_PAIRS_IMPL = "arrow"
+
+
+def _cosine_pairs_arrow_batches(ansi: bool):
+    """mapInArrow kernel factory for pairwise cosine (guide §4.2):
+    input batches are (id1, id2, __va, __vb, __na, __nb) with the
+    vectors pre-cast to ``array<double>`` JVM-side (the float→double
+    widening stays where the SQL fold does it); output is
+    (id1, id2, cosine).
+
+    NULL semantics replicate the SQL fold: a NULL vector or NULL norm
+    on either side → NULL cosine (``zip_with`` against NULL nulls the
+    fold; NULL operands null the division). Mismatched per-row widths
+    raise — the SQL ``zip_with`` would silently null-pad — and no
+    engine caller can produce them (both sides come from one vector
+    table). Rows are processed grouped by vector width so the fold
+    loop is one vectorized multiply-add per dimension, sequential per
+    row — every intermediate IEEE-754 rounding matches the JVM fold."""
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            names = batch.schema.names
+            id1, id2, va, vb, na, nb = (batch.column(i) for i in range(6))
+            n = len(id1)
+            if n == 0:
+                yield pa.RecordBatch.from_arrays(
+                    [id1, id2, pa.array([], type=pa.float64())], [names[0], names[1], "cosine"]
+                )
+                continue
+            ao = np.asarray(va.offsets, dtype=np.int64)
+            bo = np.asarray(vb.offsets, dtype=np.int64)
+            aw, bw = np.diff(ao), np.diff(bo)
+            null_mask = np.zeros(n, dtype=bool)
+            if va.null_count:
+                null_mask |= ~np.asarray(va.is_valid())
+            if vb.null_count:
+                null_mask |= ~np.asarray(vb.is_valid())
+            if na.null_count:
+                null_mask |= ~np.asarray(na.is_valid())
+            if nb.null_count:
+                null_mask |= ~np.asarray(nb.is_valid())
+            valid = ~null_mask
+            if ((aw != bw) & valid).any():
+                raise ValueError(
+                    "cosine pairs arrow kernel: per-row vector widths differ "
+                    "between the two sides (the SQL zip_with would null-pad)"
+                )
+            # .values is the raw child buffer; offsets index into it
+            # absolutely (never .flatten(), which drops null ranges)
+            avals = np.asarray(va.values, dtype=np.float64)
+            bvals = np.asarray(vb.values, dtype=np.float64)
+            dots = np.zeros(n)
+            for wd in np.unique(aw[valid]).tolist():
+                sel = valid & (aw == wd)
+                if wd == 0:
+                    continue  # empty zip → fold stays at the 0.0 base
+                ia = (ao[:-1][sel][:, None] + np.arange(wd)[None, :]).ravel()
+                ib = (bo[:-1][sel][:, None] + np.arange(wd)[None, :]).ravel()
+                A = avals[ia].reshape(-1, wd)
+                B = bvals[ib].reshape(-1, wd)
+                acc = np.zeros(A.shape[0])
+                for j in range(wd):
+                    # strict left fold: one rounded multiply + one
+                    # rounded add per step, exactly the JVM aggregate
+                    acc += A[:, j] * B[:, j]
+                dots[sel] = acc
+            nan_ = np.asarray(na.cast(pa.float64()).fill_null(np.nan), dtype=np.float64)
+            nbn_ = np.asarray(nb.cast(pa.float64()).fill_null(np.nan), dtype=np.float64)
+            denom = nan_ * nbn_
+            zero_div = (denom == 0.0) & valid
+            if zero_div.any():
+                if ansi:
+                    # under the ANSI dialect (plain-session default) the
+                    # SQL division throws DIVIDE_BY_ZERO — replicate the
+                    # failure instead of silently emitting values
+                    raise ValueError(
+                        "cosine pairs arrow kernel: zero norm product "
+                        "(ANSI division by zero in the SQL form)"
+                    )
+                # non-ANSI Spark Divide returns NULL on a zero divisor
+                # (not the Java NaN/inf) — null those rows out
+                null_mask = null_mask | zero_div
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dots / denom
+            yield pa.RecordBatch.from_arrays(
+                [id1, id2, pa.array(cos, mask=null_mask)], [names[0], names[1], "cosine"]
+            )
+
+    return fn
+
+
+def _cosine_scored_pairs(
+    joined: DataFrame,
+    id1: str,
+    id2: str,
+    va: str,
+    vb: str,
+    na: str,
+    nb: str,
+    impl: str | None = None,
+) -> DataFrame:
+    """(id1, id2, cosine) over a pre-joined pair relation carrying both
+    vectors and both pre-computed norms — the one scoring projection
+    behind the verify stage and the brute-force top-k. ``impl`` selects
+    the arrow kernel (default ``COSINE_PAIRS_IMPL``) or the JVM fold;
+    both bit-identical (see ``COSINE_PAIRS_IMPL``)."""
+    impl = impl or COSINE_PAIRS_IMPL
+    if impl not in ("arrow", "sql"):
+        raise ValueError(f"impl must be 'arrow' or 'sql', got {impl!r}")
+    if impl == "sql":
+        return joined.select(
+            id1,
+            id2,
+            (
+                _dot(F.col(va).cast("array<double>"), F.col(vb).cast("array<double>"))
+                / (F.col(na) * F.col(nb))
+            ).alias("cosine"),
+        )
+    t1 = joined.schema[id1].dataType.simpleString()
+    t2 = joined.schema[id2].dataType.simpleString()
+    inp = joined.select(
+        F.col(id1),
+        F.col(id2),
+        F.col(va).cast("array<double>").alias("__vad"),
+        F.col(vb).cast("array<double>").alias("__vbd"),
+        F.col(na),
+        F.col(nb),
+    )
+    ansi = (
+        str(joined.sparkSession.conf.get("spark.sql.ansi.enabled", "true")).lower() == "true"
+    )
+    return inp.mapInArrow(
+        _cosine_pairs_arrow_batches(ansi), schema=f"{id1} {t1}, {id2} {t2}, cosine double"
+    )
+
+
 def _verify_cosine_pairs(
     cand: DataFrame, vecs: DataFrame, threshold: float, broadcast: bool | None = None
 ) -> DataFrame:
@@ -1471,18 +1612,9 @@ def _verify_cosine_pairs(
             broadcast = vecs.limit(threshold_rows + 1).count() <= threshold_rows
     if broadcast:
         va, vb = F.broadcast(va), F.broadcast(vb)
-    return (
-        cand.join(va, "id1")
-        .join(vb, "id2")
-        .select(
-            "id1",
-            "id2",
-            (
-                _dot(F.col("__va").cast("array<double>"), F.col("__vb").cast("array<double>"))
-                / (F.col("__na") * F.col("__nb"))
-            ).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
+    joined = cand.join(va, "id1").join(vb, "id2")
+    return _cosine_scored_pairs(joined, "id1", "id2", "__va", "__vb", "__na", "__nb").filter(
+        F.col("cosine") >= threshold
     )
 
 
