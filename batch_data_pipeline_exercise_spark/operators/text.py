@@ -97,12 +97,244 @@ def _regexp_count_fold_sql(text_sql: str, needles: list[str]) -> str:
 
 STAT_COLS = ["n_chars", "n_words", "n_tokens", "n_punct", "punct_ratio", "stopword_ratio", "avg_word_len"]
 
+#: default implementation for the scorer count columns behind
+#: ``with_text_stats`` / ``with_lang_id`` / ``with_quality_lang``:
+#: "arrow" (one vectorized mapInArrow/NumPy counting pass) or "sql"
+#: (the per-needle regexp_count folds). The kernel computes ONLY
+#: integer counts (codepoints, whitespace/punct bytes, token runs,
+#: stopword/marker substring hits, CJK codepoints) — every ratio,
+#: quality weight, and the language argmax stays in the JVM with the
+#: identical expressions, so value equality reduces to integer-count
+#: equality (pinned by ``tests/test_scorer_kernel.py``).
+TEXT_COUNTS_IMPL = "arrow"
 
-def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+_STATS_COUNT_COLS = ["__c_chars", "__c_ws", "__c_wruns", "__c_tok", "__c_punct", "__c_stop"]
+_LANG_COUNT_COLS = ["__c_en", "__c_fr", "__c_es", "__c_de", "__c_cjk"]
+
+
+def _scorer_counts_arrow_batches(t_idx: int, want_stats: bool, want_lang: bool):
+    """mapInArrow kernel factory for the scorer's integer counts (guide
+    §4.2). Input batches carry the caller's columns plus ``__pad``
+    (JVM-computed ``' ' || lower(t) || ' '`` — lowercasing stays in the
+    JVM so unicode case rules cannot drift) as the LAST column; output
+    is the input minus ``__pad`` plus the requested count columns.
+
+    Count definitions (all exact integers, replicating the regex twins
+    byte-for-byte over the UTF-8 buffer):
+
+    - ``__c_chars``  codepoints of t (= length(t); bytes minus UTF-8
+      continuation bytes),
+    - ``__c_ws``     ASCII-whitespace chars of t (Java ``\\s`` is the
+      6 ASCII bytes — each one codepoint),
+    - ``__c_wruns``  maximal whitespace runs in the SPACE-trimmed t
+      (so ``n_words = size(split(trim(t), '\\s+')) = __c_wruns + 1``;
+      trim strips 0x20 only, so an edge run survives iff it contains a
+      non-space whitespace char — the per-row edge correction below),
+    - ``__c_tok``    TOKEN_PATTERN matches = maximal [A-Za-z] runs +
+      maximal [0-9] runs + other non-ws codepoints (leftmost-greedy
+      alternation over disjoint starts — count equality by
+      construction),
+    - ``__c_punct``  the 14 ASCII punct bytes,
+    - ``__c_stop``   non-overlapping ``' w '`` hits over __pad summed
+      across ENGLISH_STOPWORDS (bytes.count IS regexp_count's
+      leftmost non-overlapping semantics for a literal needle),
+    - ``__c_en/fr/es/de``  the same per LANG_MARKERS language,
+    - ``__c_cjk``    U+4E00–U+9FFF codepoints (3-byte UTF-8 lead-byte
+      range test).
+
+    NULL text → NULL counts (the regex forms null-propagate)."""
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        stops = [f" {w} ".encode() for w in ENGLISH_STOPWORDS]
+        marks = [[m.encode() for m in LANG_MARKERS[lang]] for lang in ("en", "fr", "es", "de")]
+        ws_bytes = np.array([0x20, 0x09, 0x0A, 0x0B, 0x0C, 0x0D], dtype=np.uint8)
+        punct_bytes = np.frombuffer(b".,;:!?'\"()[]{}-", dtype=np.uint8)
+
+        def per_row(csum, lo):
+            return csum[lo[1:]] - csum[lo[:-1]]
+
+        def cum(mask):
+            c = np.zeros(len(mask) + 1, dtype=np.int64)
+            np.cumsum(mask, out=c[1:])
+            return c
+
+        def run_starts(mask, lo):
+            st = mask & ~np.concatenate(([False], mask[:-1]))
+            heads = lo[:-1][lo[:-1] < len(mask)]
+            st[heads] = mask[heads]
+            return st
+
+        for batch in batches:
+            n = len(batch)
+            tcol = batch.column(t_idx)
+            pcol = batch.column(batch.num_columns - 1)
+            keep = [batch.column(i) for i in range(batch.num_columns - 1)]
+            keep_names = batch.schema.names[:-1]
+            count_names = (list(_STATS_COUNT_COLS) if want_stats else []) + (
+                list(_LANG_COUNT_COLS) if want_lang else []
+            )
+            if n == 0:
+                yield pa.RecordBatch.from_arrays(
+                    keep + [pa.array([], type=pa.int64()) for _ in count_names],
+                    keep_names + count_names,
+                )
+                continue
+            null_mask = np.zeros(n, dtype=bool)
+            if tcol.null_count:
+                null_mask = ~np.asarray(tcol.is_valid())
+            tb = tcol.buffers()
+            odt = np.int64 if pa.types.is_large_string(tcol.type) else np.int32
+            toffs = (
+                np.frombuffer(tb[1], dtype=odt)[tcol.offset : tcol.offset + n + 1]
+                .astype(np.int64)
+            )
+            tdata = np.frombuffer(tb[2], dtype=np.uint8)
+            seg = tdata[toffs[0] : toffs[-1]]
+            lo = toffs - toffs[0]
+            out: dict[str, np.ndarray] = {}
+            if want_stats or want_lang:
+                ws = np.isin(seg, ws_bytes)
+            if want_stats:
+                cont = (seg & 0xC0) == 0x80
+                alpha = ((seg >= 0x41) & (seg <= 0x5A)) | ((seg >= 0x61) & (seg <= 0x7A))
+                digit = (seg >= 0x30) & (seg <= 0x39)
+                punct = np.isin(seg, punct_bytes)
+                lead = ~cont
+                other_cp = lead & ~alpha & ~digit & ~ws
+                out["__c_chars"] = per_row(cum(~cont), lo)
+                out["__c_ws"] = per_row(cum(ws), lo)
+                out["__c_punct"] = per_row(cum(punct), lo)
+                out["__c_tok"] = (
+                    per_row(cum(run_starts(alpha, lo)), lo)
+                    + per_row(cum(run_starts(digit, lo)), lo)
+                    + per_row(cum(other_cp), lo)
+                )
+                # whitespace runs of t, then the space-trim edge fix:
+                # an edge run vanishes iff it is ALL 0x20 (trim strips
+                # exactly those); it survives (shrunk) iff it reaches a
+                # non-space whitespace byte
+                wruns = per_row(cum(run_starts(ws, lo)), lo)
+                nonsp = np.flatnonzero(seg != 0x20)
+                f = np.searchsorted(nonsp, lo[:-1])
+                g = np.searchsorted(nonsp, lo[1:]) - 1
+                has_non = f <= g
+                fidx = nonsp[np.minimum(f, max(len(nonsp) - 1, 0))] if len(nonsp) else np.zeros(n, dtype=np.int64)
+                lidx = nonsp[np.maximum(g, 0)] if len(nonsp) else np.zeros(n, dtype=np.int64)
+                ws_at = np.zeros(len(seg) + 1, dtype=bool)
+                ws_at[: len(seg)] = ws
+                lead_cut = has_non & (fidx > lo[:-1]) & ~ws_at[fidx]
+                trail_cut = has_non & (lidx < lo[1:] - 1) & ~ws_at[lidx]
+                wruns = wruns - lead_cut - trail_cut
+                # all-space (or empty) rows: trimmed text is "" → 0 runs
+                wruns[~has_non] = 0
+                out["__c_wruns"] = wruns
+            if want_lang:
+                cjk = ((seg >= 0xE5) & (seg <= 0xE9)) | (
+                    (seg == 0xE4) & (np.concatenate((seg[1:], np.zeros(1, dtype=np.uint8))) >= 0xB8)
+                )
+                out["__c_cjk"] = per_row(cum(cjk), lo)
+            # substring hits run per row over the pad buffer with C-speed
+            # bytes.count(needle, start, end) — no slices materialized
+            pb_bufs = pcol.buffers()
+            podt = np.int64 if pa.types.is_large_string(pcol.type) else np.int32
+            poffs = (
+                np.frombuffer(pb_bufs[1], dtype=podt)[pcol.offset : pcol.offset + n + 1]
+                .astype(np.int64)
+            )
+            pb = pb_bufs[2].to_pybytes()
+            if want_stats:
+                c_stop = np.zeros(n, dtype=np.int64)
+            if want_lang:
+                c_langs = [np.zeros(n, dtype=np.int64) for _ in range(4)]
+            for r in range(n):
+                if null_mask[r]:
+                    continue
+                s, e = int(poffs[r]), int(poffs[r + 1])
+                if want_stats:
+                    c_stop[r] = sum(pb.count(nd, s, e) for nd in stops)
+                if want_lang:
+                    for li in range(4):
+                        c_langs[li][r] = sum(pb.count(nd, s, e) for nd in marks[li])
+            if want_stats:
+                out["__c_stop"] = c_stop
+            if want_lang:
+                for li, name in enumerate(("__c_en", "__c_fr", "__c_es", "__c_de")):
+                    out[name] = c_langs[li]
+            mask = null_mask if null_mask.any() else None
+            yield pa.RecordBatch.from_arrays(
+                keep + [pa.array(out[c], mask=mask) for c in count_names],
+                keep_names + count_names,
+            )
+
+    return fn
+
+
+def _scorer_counts(df: DataFrame, text_col: str, want_stats: bool, want_lang: bool) -> DataFrame:
+    """Append the requested integer count columns via the arrow kernel:
+    one map-only pass, JVM-lowered pad, full column passthrough."""
+    t = F.col(text_col)
+    inp = df.withColumn("__pad", F.concat(F.lit(" "), F.lower(t), F.lit(" ")))
+    t_idx = df.columns.index(text_col)
+    counts = (list(_STATS_COUNT_COLS) if want_stats else []) + (
+        list(_LANG_COUNT_COLS) if want_lang else []
+    )
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    schema = fields + ", " + ", ".join(f"{c} bigint" for c in counts)
+    return inp.mapInArrow(_scorer_counts_arrow_batches(t_idx, want_stats, want_lang), schema=schema)
+
+
+def _stats_from_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """The 7 STAT_COLS from the kernel's count columns — every division
+    and cast matches the regex form's expression exactly (identical
+    integer inputs → identical doubles)."""
+    n_chars = F.col("__c_chars").cast("int")
+    # NULL text: size(split(trim(NULL))) is SESSION-DEPENDENT — -1 with
+    # ANSI off (legacy sizeOfNull defaults to !ansi), NULL with ANSI on.
+    # Evaluate the ORIGINAL expression on exactly the null rows so the
+    # session's own semantics apply; non-null rows take the count.
+    n_words = (
+        F.when(
+            F.col("__c_wruns").isNull(),
+            F.size(F.split(F.trim(F.col(text_col)), "\\s+")),
+        )
+        .otherwise(F.col("__c_wruns") + 1)
+        .cast("int")
+    )
+    n_tokens = F.col("__c_tok").cast("int")
+    n_punct = F.col("__c_punct").cast("int")
+    stop_hits = F.col("__c_stop").cast("double")
+    return df.select(
+        "*",
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        n_punct.cast("bigint").alias("n_punct"),
+        (n_punct / F.greatest(n_chars, F.lit(1))).alias("punct_ratio"),
+        (stop_hits / F.greatest(n_words, F.lit(1))).alias("stopword_ratio"),
+        ((n_chars - F.col("__c_ws").cast("int")) / F.greatest(n_words, F.lit(1))).alias(
+            "avg_word_len"
+        ),
+    ).drop(*_STATS_COUNT_COLS)
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text", impl: str | None = None) -> DataFrame:
     """Length / word / token / punctuation statistics, one projection.
     Pre-existing columns with the same names are replaced (the documents
-    testdata table ships its own ``n_chars``)."""
+    testdata table ships its own ``n_chars``). ``impl`` selects the
+    arrow counting kernel (default ``TEXT_COUNTS_IMPL``) or the
+    regexp_count folds; identical values by construction and by test
+    (``tests/test_scorer_kernel.py``)."""
+    impl = impl or TEXT_COUNTS_IMPL
+    if impl not in ("arrow", "sql"):
+        raise ValueError(f"impl must be 'arrow' or 'sql', got {impl!r}")
     df = df.drop(*[c for c in STAT_COLS if c in df.columns])
+    if impl == "arrow":
+        return _stats_from_counts(_scorer_counts(df, text_col, True, False), text_col)
     t = F.col(text_col)
     n_words = F.size(F.split(F.trim(t), "\\s+"))
     n_tokens = F.regexp_count(t, F.lit(TOKEN_PATTERN))
@@ -125,11 +357,9 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     ).drop("__pad")
 
 
-def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Composite [0,1] quality heuristic: length band + stopword presence +
-    sane punctuation + sane word length. Weights are arbitrary but fixed;
-    the point is a deterministic, filterable scalar."""
-    stats = with_text_stats(df, text_col) if "stopword_ratio" not in df.columns else df
+def _quality_from_stats(stats: DataFrame) -> DataFrame:
+    """The quality_score arithmetic over the STAT_COLS — pure fixed-order
+    double expressions, shared verbatim by both impls."""
     len_score = F.least(F.col("n_chars") / F.lit(200.0), F.lit(1.0))
     stop_score = F.least(F.col("stopword_ratio") * F.lit(4.0), F.lit(1.0))
     punct_score = F.when(F.col("punct_ratio") <= 0.1, F.lit(1.0)).otherwise(
@@ -144,10 +374,55 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+def with_quality_score(df: DataFrame, text_col: str = "text", impl: str | None = None) -> DataFrame:
+    """Composite [0,1] quality heuristic: length band + stopword presence +
+    sane punctuation + sane word length. Weights are arbitrary but fixed;
+    the point is a deterministic, filterable scalar."""
+    stats = with_text_stats(df, text_col, impl=impl) if "stopword_ratio" not in df.columns else df
+    return _quality_from_stats(stats)
+
+
+def _lang_pred_from_scores(cjk: Column, t: Column) -> Column:
+    """The deterministic argmax over __score_* columns plus the CJK
+    short-circuit — shared verbatim by both impls (the when-chain is
+    pure arithmetic over the score columns)."""
+    best = F.lit("und")
+    best_score = F.lit(0.0)
+    # fixed iteration order; strict > keeps the earlier language on ties
+    for lang in ["en", "fr", "es", "de"]:
+        score = F.col(f"__score_{lang}")
+        is_better = score > best_score
+        best = F.when(is_better, F.lit(lang)).otherwise(best)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    return F.when(cjk * 2 > F.length(t) * 0.1, F.lit("zh")).otherwise(best)
+
+
+def _lang_from_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """lang_pred from the kernel's count columns — the scores are the
+    identical CAST(int-sum AS DOUBLE) the fold form produces."""
+    t = F.col(text_col)
+    with_scores = df.select(
+        "*",
+        *[F.col(f"__c_{lang}").cast("double").alias(f"__score_{lang}") for lang in LANG_MARKERS],
+    )
+    lang_col = _lang_pred_from_scores(F.col("__c_cjk"), t)
+    return with_scores.withColumn("lang_pred", lang_col).drop(
+        *_LANG_COUNT_COLS, *[f"__score_{lang}" for lang in LANG_MARKERS]
+    )
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text", impl: str | None = None) -> DataFrame:
     """n-gram-heuristic language ID over the stopword marker table; CJK
     character density short-circuits to 'zh'. Ties resolve by fixed
-    language order (en, fr, es, de) — deterministic by construction."""
+    language order (en, fr, es, de) — deterministic by construction.
+    ``impl`` selects the arrow counting kernel (default
+    ``TEXT_COUNTS_IMPL``) or the regexp_count folds; identical values
+    by construction and by test."""
+    impl = impl or TEXT_COUNTS_IMPL
+    if impl not in ("arrow", "sql"):
+        raise ValueError(f"impl must be 'arrow' or 'sql', got {impl!r}")
+    if impl == "arrow":
+        return _lang_from_counts(_scorer_counts(df, text_col, False, True), text_col)
     t = F.col(text_col)
     # Materialize the pad and the per-language scores as real columns
     # before the argmax: the when-chain below references each score and
@@ -164,18 +439,26 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         ],
     )
     cjk = F.regexp_count(t, F.lit(CJK_RANGE))
-    best = F.lit("und")
-    best_score = F.lit(0.0)
-    # fixed iteration order; strict > keeps the earlier language on ties
-    for lang in ["en", "fr", "es", "de"]:
-        score = F.col(f"__score_{lang}")
-        is_better = score > best_score
-        best = F.when(is_better, F.lit(lang)).otherwise(best)
-        best_score = F.when(is_better, score).otherwise(best_score)
-    lang_col = F.when(cjk * 2 > F.length(t) * 0.1, F.lit("zh")).otherwise(best)
+    lang_col = _lang_pred_from_scores(cjk, t)
     return with_scores.withColumn("lang_pred", lang_col).drop(
         "__pad", *[f"__score_{lang}" for lang in LANG_MARKERS]
     )
+
+
+def with_quality_lang(df: DataFrame, text_col: str = "text", impl: str | None = None) -> DataFrame:
+    """Fused ``with_lang_id(with_quality_score(df))`` — the corpus-prep
+    scorer. On the arrow path the stats AND lang counts come out of ONE
+    kernel pass (one text transfer instead of two); the SQL path is the
+    literal composition. Identical output either way."""
+    impl = impl or TEXT_COUNTS_IMPL
+    if impl not in ("arrow", "sql"):
+        raise ValueError(f"impl must be 'arrow' or 'sql', got {impl!r}")
+    if impl == "sql":
+        return with_lang_id(with_quality_score(df, text_col, impl="sql"), text_col, impl="sql")
+    d = df.drop(*[c for c in STAT_COLS if c in df.columns])
+    counted = _scorer_counts(d, text_col, True, True)
+    stats = _stats_from_counts(counted, text_col)
+    return _lang_from_counts(_quality_from_stats(stats), text_col)
 
 
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -1311,7 +1311,7 @@ def corpus_prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # → 4 exploded rows. CPU-neutral at sf0.1 (~3.8 executor-CPU s both,
     # scorer-dominated), wall −0.5 s, and at scale it removes a pinned
     # full-corpus intermediate, three re-reads and one join.
-    scored = text.with_lang_id(text.with_quality_score(d)).select(
+    scored = text.with_quality_lang(d).select(
         F.md5(text.normalize_ws("text")).alias("k"), "quality_score", "lang_pred"
     )
     q = F.col("quality_score") >= 0.6

@@ -470,7 +470,7 @@ def corpus_prep_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster scale this pin is the natural "persist the quality
     scores" write between scoring and filtering."""
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    scored = text.with_fingerprint(text.with_lang_id(text.with_quality_score(d)))
+    scored = text.with_fingerprint(text.with_quality_lang(d))
     scored = scored.select(
         "doc_id", "text", "quality_score", "n_tokens", "lang_pred", "fingerprint_norm"
     ).localCheckpoint()

@@ -469,7 +469,7 @@ class CorpusPipeline:
         # lesson: filtering on unpinned derived columns re-inlines the
         # scorer trees), with in-flight counts from the SAME job
         scored = text.with_fingerprint(
-            text.with_lang_id(text.with_quality_score(docs.select("doc_id", "text")))
+            text.with_quality_lang(docs.select("doc_id", "text"))
         ).select("doc_id", "text", "quality_score", "n_tokens", "lang_pred", "fingerprint_norm")
         scored, obs_in = observe_load_metrics(
             scored, {"docs_in": F.count(F.lit(1))}, name=f"corpus_in_{ds}"
