@@ -37,6 +37,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: graphs at or below this many (symmetrized, distinct) edges run the
+#: loop in BROADCAST mode: the per-round label/neighbor-min/hop tables
+#: (≤ 2·edges rows × 16 bytes — ≤ 32 MB at the gate) ship as broadcast
+#: hash relations instead of shuffling, and the pinned edge list is
+#: coalesced to one partition. A dedup pair graph is tiny relative to
+#: its corpus (pairs are the RARE event — the flagship's sf0.1 run is
+#: 209 edges over 4,479 survivors), so per-round exchanges cost pure
+#: fixed overhead: measured on that shape, the loop burned 6.15
+#: executor-CPU s across 30 stages of 32 near-empty tasks each (r15
+#: work log). Above the gate nothing changes — the shuffle shape is the
+#: correct one once labels stop fitting an executor.
+CC_BROADCAST_MAX_EDGES = 1 << 20
+
 
 def connected_components(
     edges: DataFrame,
@@ -59,6 +72,21 @@ def connected_components(
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     sym = sym.localCheckpoint(eager=False)  # reused every round — pin it
+    # ONE upfront count sizes the whole loop (guide §1.2/§3.1): it runs
+    # over the pin the first round would have had to materialize anyway,
+    # so the only added cost is a row count of in-memory blocks. Small
+    # graphs (the dedup norm) then take the BROADCAST shape — the edge
+    # pin coalesced to one partition and every per-round label-side
+    # relation shipped as a broadcast hash join — which collapses each
+    # round from ~8 exchanges-and-32-empty-task stages to one or two
+    # single-task stages. Results are identical on both shapes (same
+    # joins, same monotone min aggregation; only strategy/placement
+    # change); big graphs keep the shuffle shape untouched.
+    n_edges = sym.count()
+    small = n_edges <= CC_BROADCAST_MAX_EDGES
+    if small:
+        sym = sym.coalesce(1)
+    bcast = F.broadcast if small else (lambda df: df)
     # Fused round 0: with every label initialized to its own id, the
     # first propagation round's output is exactly least(id, min neighbor
     # id) — computable in the init aggregate itself (the distinct over
@@ -86,12 +114,14 @@ def connected_components(
     for rnd in range(max_iter):
         # smallest label among my neighbors
         nbr_min = (
-            sym.join(labels.select(F.col(id_col).alias("b"), F.col("comp").alias("__nc")), "b")
+            sym.join(
+                bcast(labels.select(F.col(id_col).alias("b"), F.col("comp").alias("__nc"))), "b"
+            )
             .groupBy("a")
             .agg(F.min("__nc").alias("__nmin"))
             .withColumnRenamed("a", id_col)
         )
-        cand = labels.join(nbr_min, id_col, "left")
+        cand = labels.join(bcast(nbr_min), id_col, "left")
         best = F.least("comp", F.coalesce("__nmin", "comp"))
         if rnd >= accelerate_after:
             # path halving: for each distinct label value c, look up
@@ -103,7 +133,7 @@ def connected_components(
                 .join(labels.select(F.col(id_col).alias("__hc"), F.col("comp").alias("__cc")), "__hc")
                 .withColumnRenamed("__hc", "comp")
             )
-            cand = cand.join(hop, "comp", "left")
+            cand = cand.join(bcast(hop), "comp", "left")
             best = F.least("comp", F.coalesce("__nmin", "comp"), F.coalesce("__cc", "comp"))
         new_labels = cand.select(
             id_col, best.alias("comp"), (F.col("comp") != best).alias("__changed")
@@ -120,9 +150,11 @@ def connected_components(
         # union, not a vertices-driven left join: an edge-incident vertex
         # missing from a stale/partial vertex list must still come back
         # labeled (the docstring promises vertices only ADDS isolated
-        # ids, never filters)
-        all_ids = vertices.select(id_col).distinct().unionByName(labels.select(id_col)).distinct()
-        labels = all_ids.join(labels, id_col, "left").select(
+        # ids, never filters). ONE distinct over the union — the previous
+        # extra distinct on the vertex list alone was a second exchange
+        # deduplicating rows the outer distinct deduplicates anyway.
+        all_ids = vertices.select(id_col).unionByName(labels.select(id_col)).distinct()
+        labels = all_ids.join(bcast(labels), id_col, "left").select(
             id_col, F.coalesce("comp", F.col(id_col)).alias("comp")
         )
     return labels
@@ -203,5 +235,9 @@ def pagerank_scaled(
         ).cast("bigint")
         scores = deg.select("u").join(contrib, "u", "left").select(
             "u", (F.lit(base).cast("bigint") + damped).alias("s")
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
+        # lazy: the caller's one action materializes every iteration's pin
+        # in a single job (each pin still truncates lineage for whatever
+        # runs after it); eager paid one separate job PER iteration for
+        # blocks the same action was about to build anyway
     return scores.select(F.col("u").alias("id"), F.col("s").alias("score_scaled"))
