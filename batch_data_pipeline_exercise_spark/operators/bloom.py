@@ -79,6 +79,17 @@ def bloom_build(
         )
         .groupBy("word_idx")
         .agg(F.bit_or("__mask").alias("bits"))
+        # Pin the word table: ``bloom_prune`` broadcasts it ONCE PER HASH
+        # (k BroadcastExchanges), and without the pin each broadcast
+        # re-runs the whole build subtree — explode + partial/final
+        # aggregate + exchange over the build side — k times (observed in
+        # the r14 contamination plan: the identical Generate/HashAggregate
+        # /Exchange chain appeared under every probe's BroadcastExchange).
+        # The table is ≤ m_bits/64 rows (~16k at the defaults) so the pin
+        # is a few hundred KB; lazy, so the first probe's broadcast
+        # materializes it and the remaining k-1 read blocks (guide §2.4 —
+        # share one computation instead of duplicating the subtree).
+        .localCheckpoint(eager=False)
     )
     return BloomFilter(words=words, m_bits=m_bits, k=k)
 
