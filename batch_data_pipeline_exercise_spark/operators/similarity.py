@@ -545,6 +545,7 @@ def embedding_near_dup_pairs(
     bucket_cap: int | None = None,
     max_candidates: int | None = None,
     on_over_budget: str = "raise",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via MULTI-BAND sign-bit LSH
     (the minhash-band construction transplanted to random hyperplanes):
@@ -668,8 +669,14 @@ def embedding_near_dup_pairs(
         # told us — measured at sf0.1 (r14, isolated noop-sink loop):
         # 21.1 -> 6.4 executor-CPU s / 6.5 -> 2.5 s wall for the
         # registry query, which passes dim.
+        # ``n_rows`` (r15): a caller that already knows the input row
+        # count — e.g. from the parquet footer, free of any Spark job —
+        # retires even that one count action. The sketch emits exactly
+        # one output row per input row (NULL/empty vectors included), so
+        # the caller's input count IS the sketch count; the gates it
+        # feeds are monotone, so an upper bound is also sound.
         threshold_rows = int(VERIFY_BROADCAST_MAX_BYTES / (dim * 8 * 1.5))
-        n_probe = vecs.count()
+        n_probe = n_rows if n_rows is not None else vecs.count()
         if n_probe == 0:
             n_exact, do_broadcast = 0, False
         else:
@@ -685,8 +692,14 @@ def embedding_near_dup_pairs(
             n_probe = vecs.limit(probe_cap + 1).count()
             n_exact = n_probe if n_probe <= probe_cap else None
             do_broadcast = n_probe <= threshold_rows
-    cand = _bucketed_self_pairs(bk, bucket_cap, n_rows=n_exact).distinct()
-    out = _verify_cosine_pairs(cand, vecs, threshold, broadcast=do_broadcast)
+    # across-band duplicate folding moved OUT of a pair-wide .distinct()
+    # exchange into the verify projection's map-side min-colliding-band
+    # filter (guide §2.4): identical output row set, zero shuffles
+    # between the pinned sketch scan and the scored pairs
+    cand = _bucketed_self_pairs(bk, bucket_cap, n_rows=n_exact, keep_band=True)
+    out = _verify_cosine_pairs(
+        cand, vecs, threshold, broadcast=do_broadcast, min_band_dedup=True
+    )
     if on_over_budget == "resize":
         # self-describing escalation: the pick rides the output as a
         # constant-key broadcast HASH join (the ivf audit pattern,
@@ -1179,6 +1192,18 @@ def _sketch_arrow_batches(dim: int, bands: int, rows_per_band: int, seed: int):
             null_mask = np.zeros(n, dtype=bool)
             if dcol.null_count:
                 null_mask = ~np.asarray(dcol.is_valid())
+            # rows with a NULL ELEMENT: the SQL folds null out — every
+            # band key 0 (CASE WHEN NULL >= 0 is false) and __n NULL.
+            # The vectorized key path already lands on 0 (the NaN the
+            # element decodes to fails >= 0.0 like the SQL NULL), but
+            # the norm must come back NULL, not NaN (ADVICE r14's
+            # element-null gap, fixed alongside the cosine kernel's)
+            elem_null = np.zeros(n, dtype=bool)
+            if dcol.values.null_count:
+                inv = ~np.asarray(dcol.values.is_valid())
+                c = np.zeros(len(inv) + 1, dtype=np.int64)
+                np.cumsum(inv, out=c[1:])
+                elem_null = (c[offs[1:]] - c[offs[:-1]]) > 0
             ragged = (~null_mask) & (widths != dim) & (widths != 0)
             if ragged.any():
                 raise ValueError(
@@ -1210,6 +1235,7 @@ def _sketch_arrow_batches(dim: int, bands: int, rows_per_band: int, seed: int):
             norms = np.full(n, np.nan)
             norms[full] = np.sqrt(nrm2)
             norms[(~null_mask) & (widths == 0)] = 0.0
+            norm_null = null_mask | elem_null
             bands_arr = pa.ListArray.from_arrays(
                 pa.array(np.arange(0, (n + 1) * bands, bands, dtype=np.int32)),
                 pa.StructArray.from_arrays(
@@ -1218,7 +1244,7 @@ def _sketch_arrow_batches(dim: int, bands: int, rows_per_band: int, seed: int):
                 ),
             )
             yield pa.RecordBatch.from_arrays(
-                [ids, vcol, pa.array(norms, mask=null_mask), bands_arr],
+                [ids, vcol, pa.array(norms, mask=norm_null), bands_arr],
                 ["id", "__v", "__n", "__bands"],
             )
 
@@ -1321,7 +1347,8 @@ SPLIT_GATE_MAX_ROWS = 4096
 
 
 def _bucketed_self_pairs(
-    bk: DataFrame, cap: int | None = None, n_rows: int | None = None
+    bk: DataFrame, cap: int | None = None, n_rows: int | None = None,
+    keep_band: bool = False,
 ) -> DataFrame:
     """Candidate pairs (id1 < id2) from a band-key table via the per-bucket
     equi self-join, with an OCCUPANCY GUARDRAIL: buckets holding more than
@@ -1364,9 +1391,20 @@ def _bucketed_self_pairs(
        (band, key) count shuffle + one empty-checkpoint read; a
        degenerate one pays the same count plus the split it needs.
 
+    ``keep_band`` additionally emits the band the pair collided in —
+    (id1, id2, band), EXACTLY ONE ROW PER (pair, colliding band) on
+    every path — so a caller can fold the across-band duplicates with a
+    map-side min-colliding-band filter instead of a pair-wide
+    ``distinct`` exchange (see ``embedding_near_dup_pairs``). The
+    once-per-band guarantee holds on the split path too: the one task
+    where BOTH ends share a chunk (``__i == __j``) orders the pair by id
+    like the plain join does, where it previously emitted both
+    orderings and leaned on the caller's distinct to fold them.
+
     Output is byte-identical on every path: an empty (or impossible)
     over-list makes the split plan degenerate to the plain join
     row-for-row."""
+    out_cols = (["id1", "id2", "band"] if keep_band else ["id1", "id2"])
     explicit_cap = cap is not None
     if cap is None:
         cap = SIGN_BUCKET_CAP
@@ -1377,7 +1415,8 @@ def _bucketed_self_pairs(
             bk.alias("a")
             .join(bk.alias("b"), ["band", "key"])
             .filter(F.col("a.id") < F.col("b.id"))
-            .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+            .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"), "band")
+            .select(*out_cols)
         )
     over_occ = (
         bk.groupBy("band", "key")
@@ -1390,7 +1429,8 @@ def _bucketed_self_pairs(
             bk.alias("a")
             .join(bk.alias("b"), ["band", "key"])
             .filter(F.col("a.id") < F.col("b.id"))
-            .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+            .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"), "band")
+            .select(*out_cols)
         )
     over = F.broadcast(over_occ)
     small = bk.join(over.select("band", "key"), ["band", "key"], "left_anti")
@@ -1398,7 +1438,8 @@ def _bucketed_self_pairs(
         small.alias("a")
         .join(small.alias("b"), ["band", "key"])
         .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"), "band")
+        .select(*out_cols)
     )
     member = (
         bk.join(over, ["band", "key"])
@@ -1421,11 +1462,22 @@ def _bucketed_self_pairs(
     )
     pairs_big = (
         aside.join(bside, ["band", "key", "__i", "__j"])
-        .filter(F.col("id") != F.col("__idb"))
+        # cross-chunk pairs meet in exactly one task with one ordering;
+        # the SAME-chunk task (__i == __j) sees both orderings, so keep
+        # only id < __idb there — each unordered pair then comes out
+        # exactly once per band (before this, the same-chunk duplicate
+        # survived to the caller's distinct)
+        .filter(
+            F.when(F.col("__i") == F.col("__j"), F.col("id") < F.col("__idb")).otherwise(
+                F.col("id") != F.col("__idb")
+            )
+        )
         .select(
             F.least(F.col("id"), F.col("__idb")).alias("id1"),
             F.greatest(F.col("id"), F.col("__idb")).alias("id2"),
+            "band",
         )
+        .select(*out_cols)
     )
     return pairs_small.unionByName(pairs_big)
 
@@ -1463,16 +1515,28 @@ def _cosine_pairs_arrow_batches(ansi: bool):
 
     NULL semantics replicate the SQL fold: a NULL vector or NULL norm
     on either side → NULL cosine (``zip_with`` against NULL nulls the
-    fold; NULL operands null the division). Mismatched per-row widths
-    raise — the SQL ``zip_with`` would silently null-pad — and no
-    engine caller can produce them (both sides come from one vector
-    table). Rows are processed grouped by vector width so the fold
-    loop is one vectorized multiply-add per dimension, sequential per
-    row — every intermediate IEEE-754 rounding matches the JVM fold."""
+    fold; NULL operands null the division), and a NULL ELEMENT inside a
+    vector also → NULL cosine (the element nulls its product, the fold
+    propagates it — ADVICE r14: ``np.asarray`` alone would have turned
+    it into a NaN the threshold filter treats differently from NULL).
+    Mismatched per-row widths raise — the SQL ``zip_with`` would
+    silently null-pad — and no engine caller can produce them (both
+    sides come from one vector table). Rows are processed grouped by
+    vector width so the fold loop is one vectorized multiply-add per
+    dimension, sequential per row — every intermediate IEEE-754
+    rounding matches the JVM fold."""
 
     def fn(batches):
         import numpy as np
         import pyarrow as pa
+
+        def rows_with_null_elem(col, offs):
+            # rows whose slice of the child buffer contains a null
+            # element: one cumsum over the child validity, O(child)
+            inv = ~np.asarray(col.values.is_valid())
+            c = np.zeros(len(inv) + 1, dtype=np.int64)
+            np.cumsum(inv, out=c[1:])
+            return (c[offs[1:]] - c[offs[:-1]]) > 0
 
         for batch in batches:
             names = batch.schema.names
@@ -1495,6 +1559,10 @@ def _cosine_pairs_arrow_batches(ansi: bool):
                 null_mask |= ~np.asarray(na.is_valid())
             if nb.null_count:
                 null_mask |= ~np.asarray(nb.is_valid())
+            if va.values.null_count:
+                null_mask |= rows_with_null_elem(va, ao)
+            if vb.values.null_count:
+                null_mask |= rows_with_null_elem(vb, bo)
             valid = ~null_mask
             if ((aw != bw) & valid).any():
                 raise ValueError(
@@ -1559,7 +1627,17 @@ def _cosine_scored_pairs(
     vectors and both pre-computed norms — the one scoring projection
     behind the verify stage and the brute-force top-k. ``impl`` selects
     the arrow kernel (default ``COSINE_PAIRS_IMPL``) or the JVM fold;
-    both bit-identical (see ``COSINE_PAIRS_IMPL``)."""
+    both bit-identical (see ``COSINE_PAIRS_IMPL``).
+
+    ``spark.sql.ansi.enabled`` is SNAPSHOTTED here, at plan-build time,
+    into the kernel closure (a worker cannot read session conf at
+    execution): the arrow path's zero-norm behavior — raise under ANSI,
+    NULL cosine otherwise — therefore follows the conf value in force
+    when the DataFrame was BUILT. A session that flips the conf between
+    building and executing the plan would see the stale dialect; no
+    engine caller does that (queries build and execute in one call),
+    and the both-flavors smoke in tests/test_cosine_kernel.py pins each
+    dialect end-to-end (ADVICE r14)."""
     impl = impl or COSINE_PAIRS_IMPL
     if impl not in ("arrow", "sql"):
         raise ValueError(f"impl must be 'arrow' or 'sql', got {impl!r}")
@@ -1591,10 +1669,32 @@ def _cosine_scored_pairs(
 
 
 def _verify_cosine_pairs(
-    cand: DataFrame, vecs: DataFrame, threshold: float, broadcast: bool | None = None
+    cand: DataFrame,
+    vecs: DataFrame,
+    threshold: float,
+    broadcast: bool | None = None,
+    min_band_dedup: bool = False,
 ) -> DataFrame:
-    va = vecs.select(F.col("id").alias("id1"), F.col("__v").alias("__va"), F.col("__n").alias("__na"))
-    vb = vecs.select(F.col("id").alias("id2"), F.col("__v").alias("__vb"), F.col("__n").alias("__nb"))
+    """``min_band_dedup`` replaces the caller's pair-wide ``.distinct()``
+    with a MAP-SIDE filter (guide §2.4 — remove the shuffle outright):
+    ``cand`` then carries the colliding ``band`` per row (exactly one row
+    per (pair, colliding band) — ``_bucketed_self_pairs(keep_band=True)``)
+    and, with both sides' ``__bands`` arrays attached by the verify join
+    anyway, a pair is kept only at its SMALLEST colliding band:
+    ``array_min`` over the per-band key-equality zip. Every colliding
+    pair has exactly one minimal colliding band, so the output row set is
+    identical to distinct-then-verify while the candidate relation never
+    crosses an exchange (the across-band duplicate factor is ~1.02 at the
+    shipped SFs — near-dup pairs are rare — so the duplicated probe work
+    this trades in is noise)."""
+    va = vecs.select(
+        F.col("id").alias("id1"), F.col("__v").alias("__va"), F.col("__n").alias("__na"),
+        *([F.col("__bands").alias("__ba")] if min_band_dedup else []),
+    )
+    vb = vecs.select(
+        F.col("id").alias("id2"), F.col("__v").alias("__vb"), F.col("__n").alias("__nb"),
+        *([F.col("__bands").alias("__bb")] if min_band_dedup else []),
+    )
     # broadcast=None → self-probe. vecs is USUALLY the materialized
     # sketch pin, but the incremental path unions in a caller-supplied
     # prior index that may be an arbitrary unpinned plan (e.g. read
@@ -1613,6 +1713,23 @@ def _verify_cosine_pairs(
     if broadcast:
         va, vb = F.broadcast(va), F.broadcast(vb)
     joined = cand.join(va, "id1").join(vb, "id2")
+    if min_band_dedup:
+        # first (minimum) colliding band of the pair, from the two band
+        # arrays: keys are equal at position i iff the pair collides in
+        # band i (arrays are band-ordered by construction in both sketch
+        # impls; the band fields are compared anyway for safety). The
+        # emitted band row survives only when it IS that minimum, which
+        # keeps exactly one row per colliding pair — before the cosine
+        # kernel, so the scoring work matches the distinct path's.
+        first_band = F.array_min(
+            F.zip_with(
+                "__ba", "__bb",
+                lambda x, y: F.when(
+                    (x["band"] == y["band"]) & (x["key"] == y["key"]), x["band"]
+                ),
+            )
+        )
+        joined = joined.filter(F.col("band") == first_band).drop("band", "__ba", "__bb")
     return _cosine_scored_pairs(joined, "id1", "id2", "__va", "__vb", "__na", "__nb").filter(
         F.col("cosine") >= threshold
     )

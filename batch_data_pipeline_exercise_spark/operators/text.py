@@ -134,7 +134,8 @@ def _scorer_counts_arrow_batches(t_idx: int, want_stats: bool, want_lang: bool):
       maximal [0-9] runs + other non-ws codepoints (leftmost-greedy
       alternation over disjoint starts — count equality by
       construction),
-    - ``__c_punct``  the 14 ASCII punct bytes,
+    - ``__c_punct``  the 15 ASCII punct bytes (matching the SQL regex
+      class ``.,;:!?'"()[]{}-``),
     - ``__c_stop``   non-overlapping ``' w '`` hits over __pad summed
       across ENGLISH_STOPWORDS (bytes.count IS regexp_count's
       leftmost non-overlapping semantics for a literal needle),
@@ -281,8 +282,12 @@ def _scorer_counts(df: DataFrame, text_col: str, want_stats: bool, want_lang: bo
     counts = (list(_STATS_COUNT_COLS) if want_stats else []) + (
         list(_LANG_COUNT_COLS) if want_lang else []
     )
+    # backtick-quote passthrough names: a caller column needing quoting
+    # (space, dash, dot, reserved word) must round-trip the DDL schema
+    # string exactly as the SQL impl would handle it (ADVICE r14)
     fields = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+        "`{}` {}".format(f.name.replace("`", "``"), f.dataType.simpleString())
+        for f in df.schema.fields
     )
     schema = fields + ", " + ", ".join(f"{c} bigint" for c in counts)
     return inp.mapInArrow(_scorer_counts_arrow_batches(t_idx, want_stats, want_lang), schema=schema)

@@ -111,6 +111,27 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return df
 
 
+def parquet_num_rows(sf_dir: str, table: str) -> int:
+    """Exact row count of a testdata table from the parquet FOOTER —
+    pure driver-side metadata, zero Spark jobs. Query builders pass it
+    to operators whose sizing gates would otherwise spend a whole
+    count() action learning it (each action on a 32-way local session
+    costs a fixed ~0.5-2 executor-CPU s regardless of data size —
+    evidence/ABSCOUT_r10.jsonl); the footer count is the same number
+    computed from the same input at the same moment, just without the
+    job. Handles both single-file tables (the shipped testdata) and
+    directory layouts."""
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    p = Path(sf_dir) / f"{table}.parquet"
+    if p.is_dir():
+        return sum(
+            pq.ParquetFile(f).metadata.num_rows for f in sorted(p.rglob("*.parquet"))
+        )
+    return pq.ParquetFile(p).metadata.num_rows
+
+
 def dec(col: str, p: int = 18, s: int = 2) -> F.Column:
     return F.col(col).cast(f"decimal({p},{s})")
 

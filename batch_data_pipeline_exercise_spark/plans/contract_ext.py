@@ -35,7 +35,7 @@ from batch_data_pipeline_exercise_spark.operators import (
     similarity,
     text,
 )
-from batch_data_pipeline_exercise_spark.plans.contract import load, register
+from batch_data_pipeline_exercise_spark.plans.contract import load, parquet_num_rows, register
 
 # ---------------------------------------------------------------------------
 # shared oracle SQL fragments (DuckDB)
@@ -1192,7 +1192,11 @@ def _banded_bk_sql() -> str:
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     out = similarity.embedding_near_dup_pairs(
-        e, threshold=0.4, bands=_NEARDUP_BANDS, rows_per_band=_NEARDUP_ROWS, seed=42, dim=EMB_DIM
+        e, threshold=0.4, bands=_NEARDUP_BANDS, rows_per_band=_NEARDUP_ROWS, seed=42,
+        dim=EMB_DIM,
+        # footer row count: retires the operator's one sizing count()
+        # action (a whole Spark job) — same number, read driver-side
+        n_rows=parquet_num_rows(sf_dir, "embeddings"),
     )
     return out.select("id1", "id2")
 
@@ -1261,6 +1265,10 @@ def embedding_incremental_near_dups(spark: SparkSession, sf_dir: str) -> DataFra
     pairs, _updated = similarity.incremental_embedding_pairs(
         prior_index, new, threshold=0.4,
         bands=_NEARDUP_BANDS, rows_per_band=_NEARDUP_ROWS, seed=42, dim=EMB_DIM,
+        # footer row count of the FULL table = a sound upper bound on the
+        # filtered new batch (the gate is monotone — see n_new_rows doc);
+        # retires the increment's occupancy-scan action
+        n_new_rows=parquet_num_rows(sf_dir, "embeddings"),
     )
     return pairs.select("id1", "id2")
 
